@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column-level operator library mirroring SURVEY.md §2 — zero UDFs, all
+  * codegen'd built-ins, so every expression stays inside whole-stage
+  * codegen and pushes down to the parquet scan where applicable.
+  */
+object Ops {
+
+  /** Exact-sum working type. Summing doubles is association-order
+    * dependent: Spark's partial/final aggregation tree and DuckDB's
+    * sequential sum would drift in the last ulps and break the driver's
+    * hash-compare. Decimal arithmetic is exact, so
+    * `sum(cast(x as decimal(38,10)))` is order-insensitive and matches the
+    * oracle bit-for-bit; the final `cast(double)` is deterministic IEEE
+    * nearest. 28 integer digits cannot overflow at any realistic SF.
+    */
+  val Dec: DecimalType = DecimalType(38, 10)
+
+  /** Order-insensitive exact sum of a double column (null on empty group,
+    * like SQL SUM). */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Exact sum that is 0 (not null) on an empty group — ClickHouse `sum`
+    * over zero rows semantics (SURVEY.md §7.5-4). */
+  def dsum0(c: Column): Column =
+    coalesce(sum(c.cast(Dec)), lit(0).cast(Dec)).cast("double")
+
+  /** ClickHouse `sumIf(expr, cond)` (reference: api/server.py:146-147):
+    * conditional sum, 0 on empty match set. `when` without `otherwise`
+    * yields null, which `sum` skips; `coalesce` restores CH's 0. */
+  def sumIf(c: Column, p: Column): Column =
+    coalesce(sum(when(p, c).cast(Dec)), lit(0).cast(Dec)).cast("double")
+
+  /** Exact mean: exact sum / count. Plain `avg` over doubles is
+    * order-sensitive like `sum`. */
+  def avgExact(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Volume-weighted average price for the rows matching `p`
+    * (reference: api/server.py:148-149):
+    * `sumIf(price*qty, p) / nullIf(sumIf(qty, p), 0)` — null when the
+    * matching set has zero volume. */
+  def vwap(price: Column, qty: Column, p: Column): Column =
+    sumIf(price * qty, p) / nullif(sumIf(qty, p), lit(0.0d))
+
+  /** `toStartOfMinute(ts)` (reference: sql/V2__create_trades_1m_view.sql:20). */
+  def minuteOf(ts: Column): Column = date_trunc("minute", ts)
+
+  /** `toYYYYMM(ts)` monthly partition key
+    * (reference: sql/V1__create_trades_table.sql:14). */
+  def monthKey(ts: Column): Column = date_format(ts, "yyyyMM")
+
+  /** The flagship OHLCV candle aggregate (reference:
+    * sql/V2__create_trades_1m_view.sql:19-29, api/server.py:62-76):
+    * open = price at min ts (`argMin`→`min_by`), close = price at max ts
+    * (`anyLast`→`max_by`, deterministic under time-ordered arrival —
+    * SURVEY.md §7.5-1), high/low = max/min, volume = sum(qty),
+    * trades = count. */
+  def ohlcvAggs(price: Column, qty: Column, ts: Column): Seq[Column] = Seq(
+    min_by(price, ts).as("open"),
+    max(price).as("high"),
+    min(price).as("low"),
+    max_by(price, ts).as("close"),
+    dsum(qty).as("volume"),
+    count(lit(1)).as("trades"))
+
+  /** `agg` over a Seq of columns (Spark's vararg signature needs head/tail). */
+  def aggSeq(g: org.apache.spark.sql.RelationalGroupedDataset,
+             cols: Seq[Column]): DataFrame =
+    g.agg(cols.head, cols.tail: _*)
+
+  /** Sliding lookback window `ts >= asOf - INTERVAL n unit`
+    * (reference: api/server.py:73 et al.), anchored at a deterministic
+    * 1-row `anchor` frame (column `_asof`) instead of wall clock.
+    * The anchor is broadcast — a BroadcastNestedLoopJoin of a single row,
+    * no shuffle, and the time predicate still reaches the parquet scan as
+    * a runtime filter under AQE. */
+  def lastWindow(df: DataFrame, anchor: DataFrame, interval: String,
+                 tsCol: String = "ts"): DataFrame =
+    df.crossJoin(broadcast(anchor))
+      .where(col(tsCol) >= col("_asof") - expr(s"INTERVAL $interval"))
+      .drop("_asof")
+
+  /** ReplacingMergeTree(ingested_at) read semantics
+    * (reference: sql/V1__create_trades_table.sql:13-15): keep, per sort
+    * key, the row with the greatest ingested_at. Implemented as the
+    * standard row_number dedup view (SURVEY.md §1.1 / C3). */
+  def dedupLatest(df: DataFrame, keyCols: Seq[String],
+                  versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+}

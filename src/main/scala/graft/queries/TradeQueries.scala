@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{NamedQuery, Tables}
+import graft.ops.Ops
+
+/** The reference's analytical surface (SURVEY.md §2.10): the five API
+  * queries plus the hand-run verification set (reference: src/queries.sql)
+  * and the ReplacingMergeTree / materialized-view read semantics, all over
+  * the events→trades role-cast.
+  *
+  * Every query is anchored at max(event ts) instead of `now()` so results
+  * are deterministic and oracle-matchable (SURVEY.md §7.5-2). Plan shapes:
+  * parquet scan with pushed filters → partial hash agg → single shuffle on
+  * the group keys → final agg → TakeOrderedAndProject for the top-k
+  * variants. At 100 TB the only shuffle is on (minute[,symbol]) or
+  * (symbol) — low-cardinality keys after map-side partial aggregation, so
+  * exchanged bytes stay tiny regardless of input size.
+  */
+object TradeQueries {
+
+  import Sql.{tradesWith, dsum, sumIf, vwap, avgExact, ohlcvSelect}
+
+  private def trades(s: SparkSession, d: String): DataFrame = Tables.trades(s, d)
+  private def windowed(s: SparkSession, d: String, interval: String): DataFrame =
+    Ops.lastWindow(trades(s, d), Tables.asOf(s, d), interval)
+
+  /** Q1 `/ohlcv` (reference: api/server.py:57-84): per-minute OHLCV candles
+    * for one symbol over a lookback window. */
+  val ohlcv1m: NamedQuery = NamedQuery(
+    "trades_ohlcv_1m",
+    s"""$tradesWith
+       |SELECT date_trunc('minute', ts) AS minute,
+       |       $ohlcvSelect
+       |FROM trades, anchor
+       |WHERE symbol = 'click' AND ts >= t_anchor - INTERVAL 1440 MINUTE
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    Ops.aggSeq(
+      windowed(s, d, "1440 MINUTE")
+        .where(col("symbol") === "click")
+        .groupBy(Ops.minuteOf(col("ts")).as("minute")),
+      Ops.ohlcvAggs(col("price"), col("qty"), col("ts")))
+      .orderBy("minute")
+  }
+
+  /** Q2 `/top_symbols` (reference: api/server.py:87-105): top symbols by
+    * traded volume over a lookback window. Plans as partial agg → 1 shuffle
+    * → TakeOrderedAndProject (true top-k, never a full sort). */
+  val topSymbols: NamedQuery = NamedQuery(
+    "trades_top_symbols",
+    s"""$tradesWith
+       |SELECT symbol, ${dsum("qty")} AS volume, count(*) AS trades
+       |FROM trades, anchor
+       |WHERE ts >= t_anchor - INTERVAL 10080 MINUTE
+       |GROUP BY 1
+       |ORDER BY volume DESC, symbol
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    windowed(s, d, "10080 MINUTE")
+      .groupBy("symbol")
+      .agg(Ops.dsum(col("qty")).as("volume"), count(lit(1)).as("trades"))
+      .orderBy(col("volume").desc, col("symbol"))
+      .limit(10)
+  }
+
+  /** Q3 `/live_trades` (reference: api/server.py:108-132): the newest ≤500
+    * raw trades for a symbol. trade_id joins the sort for a deterministic
+    * tie-break at the LIMIT boundary. */
+  val liveTrades: NamedQuery = NamedQuery(
+    "trades_live_trades",
+    s"""$tradesWith
+       |SELECT ts, symbol, trade_id, price, qty, is_buyer_maker
+       |FROM trades, anchor
+       |WHERE symbol = 'view' AND ts >= t_anchor - INTERVAL 240 MINUTE
+       |ORDER BY ts DESC, trade_id DESC
+       |LIMIT 500""".stripMargin) { (s, d) =>
+    windowed(s, d, "240 MINUTE")
+      .where(col("symbol") === "view")
+      .select("ts", "symbol", "trade_id", "price", "qty", "is_buyer_maker")
+      .orderBy(col("ts").desc, col("trade_id").desc)
+      .limit(500)
+  }
+
+  /** Q4 `/live_buy_sell` (reference: api/server.py:135-169): per-symbol
+    * buy/sell volume split, VWAPs, trade rate; top-k by total volume.
+    * ClickHouse reuses sibling SELECT aliases (`buy_volume + sell_volume`,
+    * reference: api/server.py:151) — ANSI/Spark can't, so the derived
+    * column lives in a second projection (SURVEY.md §7.5-3). */
+  val liveBuySell: NamedQuery = NamedQuery(
+    "trades_live_buy_sell",
+    s"""$tradesWith,
+       |base AS (
+       |  SELECT symbol,
+       |         ${sumIf("qty", "is_buyer_maker = 0")} AS buy_volume,
+       |         ${sumIf("qty", "is_buyer_maker = 1")} AS sell_volume,
+       |         ${vwap("price", "qty", "is_buyer_maker = 0")} AS buy_vwap,
+       |         ${vwap("price", "qty", "is_buyer_maker = 1")} AS sell_vwap,
+       |         count(*) AS trades,
+       |         count(*) / CAST(1440 AS DOUBLE) AS trades_per_min
+       |  FROM trades, anchor
+       |  WHERE ts >= t_anchor - INTERVAL 1440 MINUTE
+       |  GROUP BY symbol
+       |)
+       |SELECT symbol, buy_volume, sell_volume, buy_vwap, sell_vwap, trades,
+       |       trades_per_min, buy_volume + sell_volume AS total_volume
+       |FROM base
+       |ORDER BY total_volume DESC, symbol
+       |LIMIT 5""".stripMargin) { (s, d) =>
+    val isBuy  = col("is_buyer_maker") === 0
+    val isSell = col("is_buyer_maker") === 1
+    windowed(s, d, "1440 MINUTE")
+      .groupBy("symbol")
+      .agg(
+        Ops.sumIf(col("qty"), isBuy).as("buy_volume"),
+        Ops.sumIf(col("qty"), isSell).as("sell_volume"),
+        Ops.vwap(col("price"), col("qty"), isBuy).as("buy_vwap"),
+        Ops.vwap(col("price"), col("qty"), isSell).as("sell_vwap"),
+        count(lit(1)).as("trades"),
+        (count(lit(1)) / lit(1440.0d)).as("trades_per_min"))
+      .withColumn("total_volume", col("buy_volume") + col("sell_volume"))
+      .orderBy(col("total_volume").desc, col("symbol"))
+      .limit(5)
+  }
+
+  /** Q5 `/hist_buy_sell` (reference: api/server.py:172-200): per-minute
+    * buy/sell series for one symbol. */
+  val histBuySell: NamedQuery = NamedQuery(
+    "trades_hist_buy_sell",
+    s"""$tradesWith
+       |SELECT date_trunc('minute', ts) AS minute,
+       |       ${sumIf("qty", "is_buyer_maker = 0")} AS buy_volume,
+       |       ${sumIf("qty", "is_buyer_maker = 1")} AS sell_volume,
+       |       ${vwap("price", "qty", "is_buyer_maker = 0")} AS buy_vwap,
+       |       ${vwap("price", "qty", "is_buyer_maker = 1")} AS sell_vwap,
+       |       count(*) AS trades
+       |FROM trades, anchor
+       |WHERE symbol = 'purchase' AND ts >= t_anchor - INTERVAL 2880 MINUTE
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val isBuy  = col("is_buyer_maker") === 0
+    val isSell = col("is_buyer_maker") === 1
+    windowed(s, d, "2880 MINUTE")
+      .where(col("symbol") === "purchase")
+      .groupBy(Ops.minuteOf(col("ts")).as("minute"))
+      .agg(
+        Ops.sumIf(col("qty"), isBuy).as("buy_volume"),
+        Ops.sumIf(col("qty"), isSell).as("sell_volume"),
+        Ops.vwap(col("price"), col("qty"), isBuy).as("buy_vwap"),
+        Ops.vwap(col("price"), col("qty"), isSell).as("sell_vwap"),
+        count(lit(1)).as("trades"))
+      .orderBy("minute")
+  }
+
+  /** Verification count (reference: src/queries.sql:2). */
+  val countAll: NamedQuery = NamedQuery(
+    "trades_count",
+    s"""$tradesWith
+       |SELECT count(*) AS n_trades
+       |FROM trades, anchor
+       |WHERE ts >= t_anchor - INTERVAL 10080 MINUTE""".stripMargin) { (s, d) =>
+    windowed(s, d, "10080 MINUTE").agg(count(lit(1)).as("n_trades"))
+  }
+
+  /** Latest-10 raw trades across all symbols (reference: src/queries.sql:5). */
+  val latest10: NamedQuery = NamedQuery(
+    "trades_latest10",
+    s"""WITH ${Sql.tradesCte}
+       |SELECT ts, symbol, trade_id, price, qty
+       |FROM trades
+       |ORDER BY ts DESC, trade_id DESC
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    trades(s, d)
+      .select("ts", "symbol", "trade_id", "price", "qty")
+      .orderBy(col("ts").desc, col("trade_id").desc)
+      .limit(10)
+  }
+
+  /** Top-10 symbols over a short window (reference: src/queries.sql:8-13,
+    * the PREWHERE query). PREWHERE's two-phase read maps to Catalyst's
+    * parquet predicate pushdown — the time filter reaches the scan
+    * (SURVEY.md §2.2/P5), nothing custom needed. */
+  val top10Prewhere: NamedQuery = NamedQuery(
+    "trades_top10_6h",
+    s"""$tradesWith
+       |SELECT symbol, ${dsum("qty")} AS volume, count(*) AS trades
+       |FROM trades, anchor
+       |WHERE ts >= t_anchor - INTERVAL 360 MINUTE
+       |GROUP BY 1
+       |ORDER BY volume DESC, symbol
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    windowed(s, d, "360 MINUTE")
+      .groupBy("symbol")
+      .agg(Ops.dsum(col("qty")).as("volume"), count(lit(1)).as("trades"))
+      .orderBy(col("volume").desc, col("symbol"))
+      .limit(10)
+  }
+
+  /** Per-minute average-price trend (reference: src/queries.sql:16-20). */
+  val minuteTrend: NamedQuery = NamedQuery(
+    "trades_minute_trend",
+    s"""$tradesWith
+       |SELECT date_trunc('minute', ts) AS minute,
+       |       ${avgExact("price")} AS avg_price,
+       |       ${dsum("qty")} AS volume,
+       |       count(*) AS trades
+       |FROM trades, anchor
+       |WHERE symbol = 'error' AND ts >= t_anchor - INTERVAL 720 MINUTE
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    windowed(s, d, "720 MINUTE")
+      .where(col("symbol") === "error")
+      .groupBy(Ops.minuteOf(col("ts")).as("minute"))
+      .agg(
+        Ops.avgExact(col("price")).as("avg_price"),
+        Ops.dsum(col("qty")).as("volume"),
+        count(lit(1)).as("trades"))
+      .orderBy("minute")
+  }
+
+  /** The materialized view's partial-candle semantics (reference:
+    * sql/V2__create_trades_1m_view.sql:16-29 + SURVEY.md §2.7/ST4b): each
+    * insert block contributes a *partial* candle per (minute, symbol);
+    * correct readback merges partials. Blocks are modeled as
+    * floor(trade_id / 500) — the reference's 500-row ingest batches.
+    * Merge rules: open = open of the partial with min open_ts, close =
+    * close of the partial with max close_ts, high/low = max/min,
+    * volume/trades = sums (SURVEY.md §7.5-5). */
+  val candleMerge: NamedQuery = NamedQuery(
+    "trades_candle_merge",
+    s"""$tradesWith,
+       |partials AS (
+       |  SELECT date_trunc('minute', ts) AS minute,
+       |         symbol,
+       |         CAST(floor(trade_id / 500) AS BIGINT) AS block,
+       |         min(ts) AS open_ts,
+       |         max(ts) AS close_ts,
+       |         $ohlcvSelect
+       |  FROM trades, anchor
+       |  WHERE ts >= t_anchor - INTERVAL 2880 MINUTE
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT minute, symbol,
+       |       min_by(open, open_ts) AS open,
+       |       max(high) AS high,
+       |       min(low) AS low,
+       |       max_by(close, close_ts) AS close,
+       |       ${dsum("volume")} AS volume,
+       |       sum(trades) AS trades
+       |FROM partials
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val partials = Ops.aggSeq(
+      windowed(s, d, "2880 MINUTE")
+        .groupBy(
+          Ops.minuteOf(col("ts")).as("minute"),
+          col("symbol"),
+          floor(col("trade_id") / 500).cast("long").as("block")),
+      min(col("ts")).as("open_ts") +:
+        max(col("ts")).as("close_ts") +:
+        Ops.ohlcvAggs(col("price"), col("qty"), col("ts")))
+    partials
+      .groupBy("minute", "symbol")
+      .agg(
+        min_by(col("open"), col("open_ts")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("close_ts")).as("close"),
+        Ops.dsum(col("volume")).as("volume"),
+        sum(col("trades")).as("trades"))
+      .orderBy("minute", "symbol")
+  }
+
+  /** ReplacingMergeTree(ingested_at) read semantics (reference:
+    * sql/V1__create_trades_table.sql:13-15): the stream may re-deliver a
+    * trade after a reconnect; the table keeps the newest ingested_at per
+    * (ts, symbol, trade_id). Modeled by replaying every trade twice with
+    * distinct synthetic ingest times, then applying the dedup view
+    * ([[graft.ops.Ops.dedupLatest]]). The dedup'd per-symbol totals must
+    * equal the originals — the whole point of replay absorption. */
+  val dedupLatest: NamedQuery = NamedQuery(
+    "trades_dedup_replay",
+    s"""$tradesWith,
+       |replayed AS (
+       |  SELECT trades.*, ts + INTERVAL 1 SECOND AS ingested_at FROM trades
+       |  UNION ALL
+       |  SELECT trades.*, ts + INTERVAL 2 SECOND AS ingested_at FROM trades
+       |),
+       |deduped AS (
+       |  SELECT * FROM replayed
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY ts, symbol, trade_id ORDER BY ingested_at DESC) = 1
+       |)
+       |SELECT symbol, count(*) AS n_trades, ${dsum("qty")} AS total_qty
+       |FROM deduped
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val t = trades(s, d)
+    val replayed =
+      t.withColumn("ingested_at", col("ts") + expr("INTERVAL 1 SECOND"))
+        .unionByName(
+          t.withColumn("ingested_at", col("ts") + expr("INTERVAL 2 SECOND")))
+    Ops.dedupLatest(replayed, Seq("ts", "symbol", "trade_id"), "ingested_at")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_trades"), Ops.dsum(col("qty")).as("total_qty"))
+      .orderBy("symbol")
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
+    countAll, latest10, top10Prewhere, minuteTrend, candleMerge, dedupLatest)
+}
