@@ -39,18 +39,20 @@ def main():
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
-            spark_rel = con.execute(
+            rel = con.sql(
                 f"SELECT * FROM read_parquet('{OUTDIR}/{name}/*.parquet')")
-            spark_cols = [c[0] for c in spark_rel.description]
-            spark_rows = spark_rel.fetchall()
+            spark_cols = list(rel.columns)
+            spark_types = [str(t) for t in rel.types]
+            spark_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark result: {e}")
             failures += 1
             continue
         try:
-            oracle_rel = con.execute(sql)
-            oracle_cols = [c[0] for c in oracle_rel.description]
-            oracle_rows = oracle_rel.fetchall()
+            rel = con.sql(sql)
+            oracle_cols = list(rel.columns)
+            oracle_types = [str(t) for t in rel.types]
+            oracle_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
             failures += 1
@@ -58,6 +60,17 @@ def main():
 
         if sorted(spark_cols) != sorted(oracle_cols):
             print(f"FAIL {name}: columns differ\n  spark:  {sorted(spark_cols)}\n  oracle: {sorted(oracle_cols)}")
+            failures += 1
+            continue
+
+        # The driver's hash-compare is type-sensitive (e.g. DuckDB HUGEINT
+        # vs Spark int64) — compare the DuckDB logical types too.
+        stypes = dict(zip(spark_cols, spark_types))
+        otypes = dict(zip(oracle_cols, oracle_types))
+        mismatched = {c: (stypes[c], otypes[c]) for c in stypes
+                      if stypes[c] != otypes[c]}
+        if mismatched:
+            print(f"FAIL {name}: column types differ: {mismatched}")
             failures += 1
             continue
         if len(spark_rows) != len(oracle_rows):

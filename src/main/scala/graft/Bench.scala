@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: wall-seconds per registered query at the given SF.
+  *
+  * Methodology: queries run in fixed `SparkEntry.registry` order (a Map
+  * iteration order would shuffle which query absorbs warmup); a separate
+  * un-timed warmup pass runs the flagship first so session/codegen startup
+  * is excluded; results materialize through the `noop` sink, which executes
+  * the full plan (including top-k ordering that `.count()` would let the
+  * optimizer drop) without write-path cost.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +17,26 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def exec(q: NamedQuery): Unit =
+      q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+
+    val registry = SparkEntry.registry
+    try exec(registry.head) catch { case _: Throwable => () } // warmup
+
+    val results = registry.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try exec(q) catch { case _: Throwable => () }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,7 +1,10 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Corpus table loaders plus the `trades` role-cast.
   *
@@ -31,31 +34,58 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default. `nanosAsLong` reads it as epoch-nanos
-    * (LongType); the loader converts back to TimestampType via integer
-    * division (a double division would lose precision above 2^53 ns).
-    * DuckDB oracles apply the matching `CAST(ts AS TIMESTAMP)` truncation.
-    */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects by default; `nanosAsLong` reads it as epoch-nanos
+    * (LongType). The conf is also set in the Verify/Bench session builders;
+    * it is (idempotently) re-set here because the driver smoke-calls
+    * `SparkEntry.entry(spark)` with a session it owns, where no bootstrap
+    * of ours has run.
+    */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+
+  /** Events with `ts` as TimestampType (microseconds, floor-truncated from
+    * nanos — matching the DuckDB oracles' `CAST(ts AS TIMESTAMP)`).
+    *
+    * `sinceMicros` is THE scan-pruning hook: the predicate is applied to
+    * the *raw epoch-nano long column before conversion*, so it reaches the
+    * parquet scan as a pushed filter (row-group min/max skipping now,
+    * partition pruning on a partitioned layout). A filter on the converted
+    * timestamp would sit above a projection and never push down — the
+    * round-1 scale-killer. `floor(ns/1000) >= us ⟺ ns >= us*1000` for the
+    * positive epochs in play, so pre- and post-conversion filtering agree.
+    */
+  def events(spark: SparkSession, dir: String,
+             sinceMicros: Option[Long] = None): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        val pruned = sinceMicros
+          .map(us => raw.where(col("ts") >= lit(us * 1000L)))
+          .getOrElse(raw)
+        // integer division: a double division would lose precision above 2^53 ns
+        pruned.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        sinceMicros
+          .map(us => raw.where(col("ts") >=
+            lit(java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))))
+          .getOrElse(raw)
+    }
+  }
 
   /** `events` role-cast as the reference's `crypto.trades` fact table
     * (reference: sql/V1__create_trades_table.sql:3-16). Column-for-column
     * mirror of the oracle CTE in [[graft.queries.Sql.tradesCte]] — the two
     * must stay in lockstep for the DuckDB hash-compare.
     */
-  def trades(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
+  def trades(spark: SparkSession, dir: String,
+             sinceMicros: Option[Long] = None): DataFrame =
+    events(spark, dir, sinceMicros).select(
       col("event_type").as("symbol"),
       col("event_id").as("trade_id"),
       col("value").as("price"),
@@ -63,12 +93,29 @@ object Tables {
       col("ts"),
       (col("event_id") % 2).cast("int").as("is_buyer_maker"))
 
-  /** One-row frame holding the deterministic "query time" anchor: the max
-    * event timestamp. The reference anchors every lookback window at
-    * `now()` (reference: api/server.py:73,98,122,153,190); wall-clock can
-    * never hash-match an oracle, so all windows anchor here instead
-    * (SURVEY.md §5.1). Broadcast-joined, so it adds no shuffle.
+  private val anchorCache = new ConcurrentHashMap[(String, String), Long]()
+
+  /** Deterministic "query time" anchor: max event ts, in epoch-micros.
+    * The reference anchors every lookback window at `now()` (reference:
+    * api/server.py:73,98,122,153,190); wall-clock can never hash-match an
+    * oracle, so windows anchor at max(ts) instead (SURVEY.md §5.1).
+    *
+    * Resolved ONCE per (session, dir) with a single ts-column scan and
+    * memoized — a 1-row driver-side action, not a hot-path collect. Round 1
+    * instead broadcast a 1-row anchor frame and compared two columns, which
+    * (a) rescanned events per query and (b) kept the time predicate off the
+    * parquet scan entirely (runtime filters apply to join keys, not range
+    * predicates vs a broadcast scalar). A literal predicate is the
+    * 100 TB-safe formulation: it prunes row groups and partitions.
     */
-  def asOf(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).agg(max(col("ts")).as("_asof"))
+  def anchorMicros(spark: SparkSession, dir: String): Long =
+    anchorCache.computeIfAbsent((System.identityHashCode(spark).toString, dir), { _ =>
+      val raw = eventsRaw(spark, dir)
+      raw.schema("ts").dataType match {
+        case LongType => raw.agg(max(col("ts"))).head().getLong(0) / 1000L
+        case _ =>
+          val t = raw.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+          t.getEpochSecond * 1000000L + t.getNano / 1000L
+      }
+    })
 }

@@ -72,18 +72,6 @@ object Ops {
              cols: Seq[Column]): DataFrame =
     g.agg(cols.head, cols.tail: _*)
 
-  /** Sliding lookback window `ts >= asOf - INTERVAL n unit`
-    * (reference: api/server.py:73 et al.), anchored at a deterministic
-    * 1-row `anchor` frame (column `_asof`) instead of wall clock.
-    * The anchor is broadcast — a BroadcastNestedLoopJoin of a single row,
-    * no shuffle, and the time predicate still reaches the parquet scan as
-    * a runtime filter under AQE. */
-  def lastWindow(df: DataFrame, anchor: DataFrame, interval: String,
-                 tsCol: String = "ts"): DataFrame =
-    df.crossJoin(broadcast(anchor))
-      .where(col(tsCol) >= col("_asof") - expr(s"INTERVAL $interval"))
-      .drop("_asof")
-
   /** ReplacingMergeTree(ingested_at) read semantics
     * (reference: sql/V1__create_trades_table.sql:13-15): keep, per sort
     * key, the row with the greatest ingested_at. Implemented as the

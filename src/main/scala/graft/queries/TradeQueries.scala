@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{NamedQuery, Tables}
@@ -24,8 +24,14 @@ object TradeQueries {
   import Sql.{tradesWith, dsum, sumIf, vwap, avgExact, ohlcvSelect}
 
   private def trades(s: SparkSession, d: String): DataFrame = Tables.trades(s, d)
-  private def windowed(s: SparkSession, d: String, interval: String): DataFrame =
-    Ops.lastWindow(trades(s, d), Tables.asOf(s, d), interval)
+
+  /** Sliding lookback `ts >= anchor - minutes` with the cutoff resolved to
+    * a driver-side literal ([[graft.Tables.anchorMicros]], memoized), so the
+    * predicate lands in the parquet scan's PushedFilters — row-group
+    * skipping now, partition pruning on a partitioned layout. Matches the
+    * oracle's `ts >= t_anchor - INTERVAL n MINUTE` exactly (micros math). */
+  private def windowed(s: SparkSession, d: String, minutes: Long): DataFrame =
+    Tables.trades(s, d, Some(Tables.anchorMicros(s, d) - minutes * 60L * 1000000L))
 
   /** Q1 `/ohlcv` (reference: api/server.py:57-84): per-minute OHLCV candles
     * for one symbol over a lookback window. */
@@ -39,7 +45,7 @@ object TradeQueries {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, d) =>
     Ops.aggSeq(
-      windowed(s, d, "1440 MINUTE")
+      windowed(s, d, 1440)
         .where(col("symbol") === "click")
         .groupBy(Ops.minuteOf(col("ts")).as("minute")),
       Ops.ohlcvAggs(col("price"), col("qty"), col("ts")))
@@ -58,7 +64,7 @@ object TradeQueries {
        |GROUP BY 1
        |ORDER BY volume DESC, symbol
        |LIMIT 10""".stripMargin) { (s, d) =>
-    windowed(s, d, "10080 MINUTE")
+    windowed(s, d, 10080)
       .groupBy("symbol")
       .agg(Ops.dsum(col("qty")).as("volume"), count(lit(1)).as("trades"))
       .orderBy(col("volume").desc, col("symbol"))
@@ -76,7 +82,7 @@ object TradeQueries {
        |WHERE symbol = 'view' AND ts >= t_anchor - INTERVAL 240 MINUTE
        |ORDER BY ts DESC, trade_id DESC
        |LIMIT 500""".stripMargin) { (s, d) =>
-    windowed(s, d, "240 MINUTE")
+    windowed(s, d, 240)
       .where(col("symbol") === "view")
       .select("ts", "symbol", "trade_id", "price", "qty", "is_buyer_maker")
       .orderBy(col("ts").desc, col("trade_id").desc)
@@ -110,7 +116,7 @@ object TradeQueries {
        |LIMIT 5""".stripMargin) { (s, d) =>
     val isBuy  = col("is_buyer_maker") === 0
     val isSell = col("is_buyer_maker") === 1
-    windowed(s, d, "1440 MINUTE")
+    windowed(s, d, 1440)
       .groupBy("symbol")
       .agg(
         Ops.sumIf(col("qty"), isBuy).as("buy_volume"),
@@ -141,7 +147,7 @@ object TradeQueries {
        |ORDER BY 1""".stripMargin) { (s, d) =>
     val isBuy  = col("is_buyer_maker") === 0
     val isSell = col("is_buyer_maker") === 1
-    windowed(s, d, "2880 MINUTE")
+    windowed(s, d, 2880)
       .where(col("symbol") === "purchase")
       .groupBy(Ops.minuteOf(col("ts")).as("minute"))
       .agg(
@@ -160,7 +166,7 @@ object TradeQueries {
        |SELECT count(*) AS n_trades
        |FROM trades, anchor
        |WHERE ts >= t_anchor - INTERVAL 10080 MINUTE""".stripMargin) { (s, d) =>
-    windowed(s, d, "10080 MINUTE").agg(count(lit(1)).as("n_trades"))
+    windowed(s, d, 10080).agg(count(lit(1)).as("n_trades"))
   }
 
   /** Latest-10 raw trades across all symbols (reference: src/queries.sql:5). */
@@ -190,7 +196,7 @@ object TradeQueries {
        |GROUP BY 1
        |ORDER BY volume DESC, symbol
        |LIMIT 10""".stripMargin) { (s, d) =>
-    windowed(s, d, "360 MINUTE")
+    windowed(s, d, 360)
       .groupBy("symbol")
       .agg(Ops.dsum(col("qty")).as("volume"), count(lit(1)).as("trades"))
       .orderBy(col("volume").desc, col("symbol"))
@@ -209,7 +215,7 @@ object TradeQueries {
        |WHERE symbol = 'error' AND ts >= t_anchor - INTERVAL 720 MINUTE
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, d) =>
-    windowed(s, d, "720 MINUTE")
+    windowed(s, d, 720)
       .where(col("symbol") === "error")
       .groupBy(Ops.minuteOf(col("ts")).as("minute"))
       .agg(
@@ -226,7 +232,17 @@ object TradeQueries {
     * floor(trade_id / 500) — the reference's 500-row ingest batches.
     * Merge rules: open = open of the partial with min open_ts, close =
     * close of the partial with max close_ts, high/low = max/min,
-    * volume/trades = sums (SURVEY.md §7.5-5). */
+    * volume/trades = sums (SURVEY.md §7.5-5).
+    *
+    * Two determinism guards: (1) the merge keys are zero-padded
+    * `(epoch_us, block)` strings, so equal open_ts/close_ts across blocks
+    * break ties on block id identically in both engines (`min_by` on equal
+    * scalar keys is engine-arbitrary — DuckDB rejects struct keys, and
+    * fixed-width lexicographic order == numeric order); (2) the oracle's
+    * outer `sum(trades)` is cast back to BIGINT — DuckDB widens sum(BIGINT)
+    * to HUGEINT (int128), which hash-mismatches Spark's int64. The key
+    * strings are built on *partials* (blocks × minutes rows), never on raw
+    * trades, so the per-row cost is off the hot path at scale. */
   val candleMerge: NamedQuery = NamedQuery(
     "trades_candle_merge",
     s"""$tradesWith,
@@ -242,17 +258,17 @@ object TradeQueries {
        |  GROUP BY 1, 2, 3
        |)
        |SELECT minute, symbol,
-       |       min_by(open, open_ts) AS open,
+       |       min_by(open, printf('%019d-%019d', epoch_us(open_ts), block)) AS open,
        |       max(high) AS high,
        |       min(low) AS low,
-       |       max_by(close, close_ts) AS close,
+       |       max_by(close, printf('%019d-%019d', epoch_us(close_ts), block)) AS close,
        |       ${dsum("volume")} AS volume,
-       |       sum(trades) AS trades
+       |       CAST(sum(trades) AS BIGINT) AS trades
        |FROM partials
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val partials = Ops.aggSeq(
-      windowed(s, d, "2880 MINUTE")
+      windowed(s, d, 2880)
         .groupBy(
           Ops.minuteOf(col("ts")).as("minute"),
           col("symbol"),
@@ -260,13 +276,15 @@ object TradeQueries {
       min(col("ts")).as("open_ts") +:
         max(col("ts")).as("close_ts") +:
         Ops.ohlcvAggs(col("price"), col("qty"), col("ts")))
+    def key(ts: Column): Column =
+      format_string("%019d-%019d", unix_micros(ts), col("block"))
     partials
       .groupBy("minute", "symbol")
       .agg(
-        min_by(col("open"), col("open_ts")).as("open"),
+        min_by(col("open"), key(col("open_ts"))).as("open"),
         max(col("high")).as("high"),
         min(col("low")).as("low"),
-        max_by(col("close"), col("close_ts")).as("close"),
+        max_by(col("close"), key(col("close_ts"))).as("close"),
         Ops.dsum(col("volume")).as("volume"),
         sum(col("trades")).as("trades"))
       .orderBy("minute", "symbol")
