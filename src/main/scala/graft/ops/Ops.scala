@@ -24,6 +24,29 @@ object Ops {
     * like SQL SUM). */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
 
+  /** Narrow money decimal for PRODUCTS of columns. Multiplying two
+    * `Dec`(38,10) operands would force Spark to shrink the result scale
+    * (precision cap) and lose exactness; (18,6) operands give an exact
+    * decimal(37,12) product within the 38-digit cap. Source doubles are
+    * ≤2-dp decimals < 1e6, so the double→decimal conversion is exact and
+    * engine-independent — unlike quantizing a double *product*, whose
+    * binary garbage at the 10th decimal rounds differently in Spark
+    * (shortest-repr) vs DuckDB (full binary expansion). */
+  val Money: DecimalType = DecimalType(18, 6)
+
+  /** Exact, order-insensitive `sum(a * b)` over double columns holding
+    * ≤2-dp decimal values (prices, quantities, discounts). The multiply
+    * happens in decimal so no per-row double rounding can drift from the
+    * oracle ([[graft.queries.Sql.dsumProd]] is the lockstep twin). The
+    * scale-4 hop before the double cast matters: products are exact 4-dp
+    * values, and at scale 4 the decimal's backing integer stays below
+    * 2^53, so the final decimal→double conversion rounds once and
+    * identically in both engines (DuckDB's int128-at-scale-12 → double
+    * path double-rounds and can land 1 ulp away from Java's exact
+    * BigDecimal conversion). */
+  def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast(Money) * b.cast(Money)).cast(DecimalType(38, 4)).cast("double")
+
   /** Exact sum that is 0 (not null) on an empty group — ClickHouse `sum`
     * over zero rows semantics (SURVEY.md §7.5-4). */
   def dsum0(c: Column): Column =

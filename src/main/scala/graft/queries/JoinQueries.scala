@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{NamedQuery, Tables}
+import graft.ops.Ops
+
+/** Star-schema join queries over the TPC-H-ish driver corpus
+  * (SURVEY.md §7.2-6). The reference itself has no joins (SURVEY §2.5/C2);
+  * these extend the same operator discipline to the corpus star schema.
+  *
+  * Broadcast discipline (the 100 TB rule): only dimensions whose
+  * cardinality is FIXED by the schema — `region` (5 rows) and `nation`
+  * (25 rows) — carry an explicit `broadcast` hint. `customer`, `supplier`
+  * and `part` grow with scale factor: at 100 TB they are multi-GB and must
+  * shuffle (sort-merge / shuffled-hash); AQE upgrades them to broadcast
+  * joins at small SF on its own, so a hint would only bake in an
+  * assumption that breaks at scale.
+  *
+  * All float sums go through the decimal-exact [[graft.ops.Ops.dsum]] /
+  * [[Sql.dsum]] pair so partial/final aggregation order cannot drift from
+  * the oracle.
+  */
+object JoinQueries {
+
+  /** Revenue per (region, order month) through the full 5-table star:
+    * lineitem ⋈ orders ⋈ customer ⋈ nation(bcast) ⋈ region(bcast).
+    * The two fact-side joins shuffle on their keys; the partial aggregate
+    * collapses to (5 regions × months) rows before the final exchange. */
+  val revenueRegionMonth: NamedQuery = NamedQuery(
+    "joins_revenue_region_month",
+    s"""SELECT r_name AS region,
+       |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       |       ${Sql.dsumProd("l_extendedprice", "1 - l_discount")} AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(
+        col("r_name").as("region"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(
+        Ops.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("region", "month")
+  }
+
+  /** Top-10 suppliers by lineitem revenue — fact ⋈ growing dim (no hint;
+    * AQE broadcasts at small SF, shuffles at scale), then top-k
+    * (`TakeOrderedAndProject`, no full sort). */
+  val topSuppliers: NamedQuery = NamedQuery(
+    "joins_top_suppliers",
+    s"""SELECT s_name,
+       |       ${Sql.dsumProd("l_extendedprice", "1 - l_discount")} AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY 1
+       |ORDER BY revenue DESC, s_name
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(
+        Ops.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** Order count + exact average price per (market segment, priority):
+    * big-big shuffle join, two-key group-by. */
+  val segmentPriority: NamedQuery = NamedQuery(
+    "joins_segment_priority",
+    s"""SELECT c_mktsegment AS segment,
+       |       o_orderpriority AS priority,
+       |       count(*) AS n_orders,
+       |       ${Sql.avgExact("o_totalprice")} AS avg_price
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Ops.avgExact(col("o_totalprice")).as("avg_price"))
+      .orderBy("segment", "priority")
+  }
+
+  /** Top-10 part brands by revenue with shipped quantity. */
+  val brandVolume: NamedQuery = NamedQuery(
+    "joins_brand_volume",
+    s"""SELECT p_brand AS brand,
+       |       ${Sql.dsum("l_quantity")} AS qty,
+       |       ${Sql.dsumProd("l_extendedprice", "1 - l_discount")} AS revenue
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1
+       |ORDER BY revenue DESC, brand
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        Ops.dsum(col("l_quantity")).as("qty"),
+        Ops.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("brand"))
+      .limit(10)
+  }
+
+  /** Customers with no orders, per segment — left-anti join (the shape
+    * behind NOT EXISTS; hash-partitioned on the join key, no skew risk on
+    * a near-unique key). */
+  val customersNoOrders: NamedQuery = NamedQuery(
+    "joins_customers_no_orders",
+    """SELECT c_mktsegment AS segment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("segment")
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    revenueRegionMonth, topSuppliers, segmentPriority, brandVolume,
+    customersNoOrders)
+}

@@ -31,6 +31,11 @@ object Sql {
   def dsum(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(38,10))) AS DOUBLE)"
 
+  /** Exact `sum(a * b)` with the multiply in decimal — see
+    * [[graft.ops.Ops.dsumProd]]. */
+  def dsumProd(a: String, b: String): String =
+    s"CAST(CAST(sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE)"
+
   /** ClickHouse sumIf (0 on empty match set) — see [[graft.ops.Ops.sumIf]]. */
   def sumIf(expr: String, cond: String): String =
     s"CAST(coalesce(sum(CAST($expr AS DECIMAL(38,10))) FILTER (WHERE $cond), 0) AS DOUBLE)"
