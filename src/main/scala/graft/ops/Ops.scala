@@ -62,6 +62,21 @@ object Ops {
     * order-sensitive like `sum`. */
   def avgExact(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** Exact mean for doubles with FULL-precision binary garbage (e.g.
+    * float embedding components): quantizing such a value at scale 10
+    * rounds the shortest decimal repr in Spark but the exact binary
+    * expansion in DuckDB, which can straddle a boundary and drift. Going
+    * through the shortest-repr STRING makes both engines parse the same
+    * ≤17-significant-digit decimal exactly at scale 25 (no rounding at
+    * all), so the sums are identical; the explicit `round(_, 12)` before
+    * the double cast (NOT a decimal downcast — DuckDB truncates those
+    * while Spark rounds) keeps the backing int128 under 2^53 for a
+    * single, identical final rounding
+    * ([[graft.queries.Sql.avgFloat]] is the twin). */
+  def avgFloat(c: Column): Column =
+    round(sum(c.cast("string").cast(DecimalType(38, 25))), 12)
+      .cast("double") / count(lit(1))
+
   /** Volume-weighted average price for the rows matching `p`
     * (reference: api/server.py:148-149):
     * `sumIf(price*qty, p) / nullIf(sumIf(qty, p), 0)` — null when the

@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{NamedQuery, Tables}
+import graft.ops.Ops
+
+/** Training-data text-pipeline operators over the `documents` corpus table
+  * (builder brief; SURVEY.md §7.2-6). The reference has no document
+  * processing — these are the LLM-data extensions, built with the same
+  * zero-UDF discipline: tokenization, hashing, minhash and simhash are all
+  * codegen'd built-ins / higher-order functions, so they scale as flat
+  * per-row work plus ordinary hash shuffles.
+  *
+  * Cross-engine determinism notes:
+  *  - `md5` produces identical lowercase hex in Spark and DuckDB, so every
+  *    hash-derived value (dedup keys, minhash signatures, LSH buckets,
+  *    simhash bits) matches bit-for-bit.
+  *  - hex digit → int is `strpos('0123456789abcdef', digit) - 1` in both.
+  *  - All double averages go through the decimal-exact [[graft.ops.Ops]]
+  *    helpers; per-row double arithmetic (ratios, scores) is identical
+  *    IEEE evaluation order in both engines.
+  *
+  * The corpus vocabulary is IDENTICAL across the synthetic `lang` values
+  * (31 shared words), so the language-ID query demonstrates the
+  * train/classify pipeline shape deterministically rather than real
+  * linguistic discrimination.
+  */
+object DocQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** Whitespace tokenization, lockstep: Spark `split(trim(text),'\s+')`
+    * == DuckDB `string_split_regex(trim(text),'\s+')`. */
+  private val tokSpark = "split(trim(text), '\\\\s+')"
+  private val tokDuck = "string_split_regex(trim(text), '\\s+')"
+
+  /** Per-(lang, source) corpus statistics: doc counts, char totals, and
+    * token counts under two tokenizers (whitespace + a BPE-ish
+    * `[a-z0-9]+` regex). Pure map-side work + one low-cardinality hash
+    * aggregation — the 100 TB shape for corpus profiling. */
+  val textStats: NamedQuery = NamedQuery(
+    "docs_text_stats",
+    s"""SELECT lang, source,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       |       CAST(sum(len($tokDuck)) AS BIGINT) AS total_tokens,
+       |       CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+       |         AS total_tokens_re
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(expr(s"size($tokSpark)").cast("long")).as("total_tokens"),
+        sum(expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long"))
+          .as("total_tokens_re"))
+      .orderBy("lang", "source")
+  }
+
+  /** Exact + prefix dedup cardinalities per lang: distinct full-text
+    * hashes and distinct first-5-token-prefix hashes vs raw doc count.
+    * The groupBy(hash) dedup shape shuffles on a near-unique key — no
+    * skew, the standard 100 TB formulation. */
+  val exactDedup: NamedQuery = NamedQuery(
+    "docs_exact_dedup",
+    s"""SELECT lang,
+       |       count(*) AS n_docs,
+       |       count(DISTINCT md5(text)) AS n_unique,
+       |       count(DISTINCT md5(array_to_string(($tokDuck)[1:5], ' ')))
+       |         AS n_prefix_unique
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        countDistinct(
+          md5(expr(s"array_join(slice($tokSpark, 1, 5), ' ')")))
+          .as("n_prefix_unique"))
+      .orderBy("lang")
+  }
+
+  /** MinHash + LSH near-duplicate detection — the scale path for corpus
+    * dedup: word-3-gram shingles → 8 minhash signatures → 4 bands of 2 →
+    * band-bucket self-join for candidates → exact shingle-Jaccard
+    * verification → top-20 pairs. Never all-pairs: the only join is on
+    * (band, bucket), so candidate generation is bucket-local at any
+    * scale. */
+  val minhashPairs: NamedQuery = NamedQuery(
+    "docs_minhash_pairs",
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(t)-1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM (SELECT doc_id, $tokDuck AS t FROM documents)
+       |),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(range(0, 8),
+       |           k -> list_min(list_transform(shingles,
+       |                  s -> md5(k || '|' || s)))) AS sig
+       |  FROM sh
+       |),
+       |bands AS (
+       |  SELECT doc_id, j AS band, md5(sig[2*j+1] || sig[2*j+2]) AS bucket
+       |  FROM sig, unnest(range(0, 4)) AS u(j)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_distinct(list_intersect(x.shingles, y.shingles)))
+       |            AS DOUBLE)
+       |       / len(list_distinct(x.shingles || y.shingles)) AS jaccard
+       |FROM cand
+       |JOIN sh x ON x.doc_id = doc_a
+       |JOIN sh y ON y.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val sh = docs(s, d).select(
+      col("doc_id"),
+      expr(
+        s"""array_distinct(CASE WHEN size($tokSpark) < 3 THEN array()
+           |ELSE transform(sequence(1, size($tokSpark) - 2),
+           |  i -> concat(element_at($tokSpark, i), ' ',
+           |              element_at($tokSpark, i + 1), ' ',
+           |              element_at($tokSpark, i + 2))) END)""".stripMargin
+          .replace("\n", " ")).as("shingles"))
+    val sig = sh.select(
+      col("doc_id"), col("shingles"),
+      expr(
+        """transform(sequence(0, 7),
+          |  k -> array_min(transform(shingles,
+          |         s -> md5(concat(cast(k AS string), '|', s)))))"""
+          .stripMargin.replace("\n", " ")).as("sig"))
+    val bands = sig
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"),
+        col("sig"))
+      .select(col("doc_id"), col("band"),
+        md5(concat(
+          expr("element_at(sig, 2*band + 1)"),
+          expr("element_at(sig, 2*band + 2)"))).as("bucket"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_distinct(
+          array_intersect(col("x.shingles"), col("y.shingles"))))
+          .cast("double") /
+          size(array_distinct(
+            concat(col("x.shingles"), col("y.shingles"))))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** 32-bit SimHash per document: each token votes ±1 per bit position of
+    * its md5; bit = 1 where the vote sum is positive. Implemented as
+    * explode → two-level hash aggregation (partial map-side combine makes
+    * the shuffle tiny) rather than any array-summing UDF. */
+  val simhash: NamedQuery = NamedQuery(
+    "docs_simhash",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($tokDuck) AS tok FROM documents
+       |),
+       |bits AS (
+       |  SELECT doc_id, i AS pos,
+       |         CASE WHEN ((strpos('0123456789abcdef',
+       |                            substr(md5(tok), 1 + i // 4, 1)) - 1)
+       |                    >> (3 - i % 4)) & 1 = 1
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM tok, unnest(range(0, 32)) AS u(i)
+       |),
+       |sums AS (SELECT doc_id, pos, sum(sgn) AS s FROM bits GROUP BY 1, 2)
+       |SELECT doc_id,
+       |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+       |                  '' ORDER BY pos) AS simhash
+       |FROM sums
+       |GROUP BY 1
+       |ORDER BY doc_id
+       |LIMIT 50""".stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(expr(tokSpark)).as("tok"))
+    val bits = tok
+      .select(col("doc_id"), md5(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(31))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        when(expr(
+          "((instr('0123456789abcdef', substr(h, 1 + cast(pos / 4 AS int), 1)) - 1)" +
+            " div cast(pow(2, 3 - pos % 4) AS int)) % 2 = 1"),
+          lit(1)).otherwise(lit(-1)).as("sgn"))
+    bits
+      .groupBy("doc_id", "pos")
+      .agg(sum(col("sgn")).as("s"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"),
+            when(col("s") > 0, "1").otherwise("0").as("bit")))),
+          x => x.getField("bit")),
+        "").as("simhash"))
+      .orderBy("doc_id")
+      .limit(50)
+  }
+
+  /** Language-ID train/classify pipeline: learn top-20 tokens per lang
+    * (window rank), score every document's distinct tokens against each
+    * profile (bucket join on token), predict the best-scoring lang with a
+    * deterministic fixed-width tie-break key, and emit the confusion
+    * matrix. (Vocab is shared across synthetic langs — see object doc.) */
+  val langIdConfusion: NamedQuery = NamedQuery(
+    "docs_langid_confusion",
+    s"""WITH tok AS (
+       |  SELECT lang, doc_id, unnest($tokDuck) AS tok FROM documents
+       |),
+       |tf AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+       |prof AS (
+       |  SELECT lang, tok FROM (
+       |    SELECT lang, tok,
+       |           row_number() OVER (PARTITION BY lang
+       |                              ORDER BY c DESC, tok) AS rk
+       |    FROM tf) WHERE rk <= 20
+       |),
+       |doctok AS (SELECT DISTINCT doc_id, tok FROM tok),
+       |scores AS (
+       |  SELECT d.doc_id, p.lang AS cand, count(*) AS score
+       |  FROM doctok d JOIN prof p ON d.tok = p.tok GROUP BY 1, 2
+       |),
+       |pred AS (
+       |  SELECT doc_id,
+       |         min_by(cand, printf('%05d-%s', 99999 - score, cand))
+       |           AS predicted
+       |  FROM scores GROUP BY 1
+       |)
+       |SELECT d.lang, p.predicted, count(*) AS n
+       |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("lang"), col("doc_id"), explode(expr(tokSpark)).as("tok"))
+    val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("tok"))
+    val prof = tf.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 20).select(col("lang"), col("tok"))
+    val doctok = tok.select("doc_id", "tok").distinct()
+    val scores = doctok.as("d")
+      .join(prof.as("p"), col("d.tok") === col("p.tok"))
+      .groupBy(col("d.doc_id").as("doc_id"), col("p.lang").as("cand"))
+      .agg(count(lit(1)).as("score"))
+    val pred = scores.groupBy("doc_id")
+      .agg(min_by(col("cand"),
+        format_string("%05d-%s", lit(99999) - col("score"), col("cand")))
+        .as("predicted"))
+    docs(s, d).as("d")
+      .join(pred.as("p"), col("d.doc_id") === col("p.doc_id"))
+      .groupBy(col("d.lang").as("lang"), col("p.predicted").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Heuristic quality scoring per document, aggregated per lang:
+    * length score (chars/500 capped at 1), stopword ratio, alphabetic
+    * ratio, and a weighted composite. Per-row double arithmetic is
+    * identical IEEE order in both engines; averages are decimal-exact. */
+  val quality: NamedQuery = NamedQuery(
+    "docs_quality",
+    s"""WITH q AS (
+       |  SELECT lang,
+       |         least(CAST(n_chars AS DOUBLE) / 500, CAST(1 AS DOUBLE))
+       |           AS len_score,
+       |         CAST(len(list_filter($tokDuck,
+       |                t -> list_contains(['the','a','of','to','and','in',
+       |                                    'is','for','on','with'], t)))
+       |              AS DOUBLE) / len($tokDuck) AS stop_ratio,
+       |         CAST(len(regexp_extract_all(text, '[a-z]+')) AS DOUBLE)
+       |           / len($tokDuck) AS alpha_ratio
+       |  FROM documents
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |       ${Sql.avgExact("len_score")} AS avg_len_score,
+       |       ${Sql.avgExact("stop_ratio")} AS avg_stop_ratio,
+       |       ${Sql.avgExact(
+           "0.4 * len_score + 0.3 * stop_ratio + 0.3 * alpha_ratio")}
+       |         AS avg_quality
+       |FROM q
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val q = docs(s, d).select(
+      col("lang"),
+      least(col("n_chars").cast("double") / 500, lit(1.0)).as("len_score"),
+      (expr(
+        s"""size(filter($tokSpark,
+           |  t -> array_contains(array('the','a','of','to','and','in',
+           |                            'is','for','on','with'), t)))"""
+          .stripMargin.replace("\n", " ")).cast("double") /
+        expr(s"size($tokSpark)")).as("stop_ratio"),
+      (expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("double") /
+        expr(s"size($tokSpark)")).as("alpha_ratio"))
+    q.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Ops.avgExact(col("len_score")).as("avg_len_score"),
+        Ops.avgExact(col("stop_ratio")).as("avg_stop_ratio"),
+        Ops.avgExact(lit(0.4) * col("len_score") +
+          lit(0.3) * col("stop_ratio") + lit(0.3) * col("alpha_ratio"))
+          .as("avg_quality"))
+      .orderBy("lang")
+  }
+
+  /** Bottom-8 sketch fingerprint per document: md5 over every char
+    * 8-gram, keep the 8 lexicographically smallest, concatenated (first 8
+    * hex chars each). A deterministic rolling-fingerprint analogue —
+    * linear per-row work, no shuffle beyond the final sort. */
+  val fingerprint: NamedQuery = NamedQuery(
+    "docs_fingerprint",
+    """SELECT doc_id,
+      |       array_to_string(list_transform(
+      |         (list_sort(list_transform(range(1, len(text) - 6),
+      |            i -> md5(substr(text, i, 8)))))[1:8],
+      |         h -> substr(h, 1, 8)), '') AS fp
+      |FROM documents
+      |WHERE doc_id < 50
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        expr(
+          """array_join(transform(
+            |  slice(array_sort(transform(sequence(1, char_length(text) - 7),
+            |    i -> md5(substring(text, i, 8)))), 1, 8),
+            |  h -> substring(h, 1, 8)), '')""".stripMargin.replace("\n", " "))
+          .as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
+    fingerprint)
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{NamedQuery, Tables}
+import graft.ops.Ops
+
+/** Similarity-search operators over the `embeddings` corpus table
+  * (`embedding: array<float>`, 64-dim; builder brief / SURVEY.md §7.2-6).
+  *
+  * All vector math uses higher-order functions (`zip_with` + `aggregate`)
+  * — zero UDFs, fully codegen'd. Cross-engine determinism: both Spark's
+  * `aggregate` and DuckDB's `list_sum` fold the list sequentially in index
+  * order over doubles (each float is exactly representable as double), so
+  * dot products and norms match bit-for-bit.
+  *
+  * Scale discipline: the only all-pairs-shaped work is bucket-local
+  * (LSH bucket self-join); the brute-force query compares against ONE
+  * query vector (a 1-row broadcast), never vector×vector.
+  */
+object EmbQueries {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  /** Sequential-fold dot product of two array<float> columns, in double. */
+  private def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), " +
+      "cast(0.0 AS double), (acc, v) -> acc + v)"
+
+  private def dotDuck(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSpark(a: String, b: String): String =
+    s"${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))"
+
+  private def cosDuck(a: String, b: String): String =
+    s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
+
+  /** Brute-force cosine top-10 against a single query vector (vec_id 0).
+    * The query vector joins as a 1-row broadcast; every other vector is
+    * scored map-side and the top-k is `TakeOrderedAndProject` — linear
+    * scan, no shuffle of the fact side, the correct baseline at any
+    * scale. */
+  val cosineTopK: NamedQuery = NamedQuery(
+    "emb_cosine_topk",
+    s"""SELECT b.vec_id, b.label,
+       |       ${cosDuck("q.qv", "b.embedding")} AS sim
+       |FROM embeddings b
+       |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |WHERE b.vec_id <> 0
+       |ORDER BY sim DESC, b.vec_id
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val q = emb(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    emb(s, d).where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        expr(cosSpark("qv", "embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** LSH-bucketed approximate near-neighbor pairs — the scale path for
+    * embedding near-dup: 8 deterministic sign-projection bits (hyperplane
+    * signs derived from md5, identical in both engines) form a bucket
+    * key; candidates are generated ONLY within buckets (self-join on the
+    * key), then ranked by exact cosine. At 100 TB the bucket join is an
+    * ordinary hash shuffle on the key; nothing is all-pairs. (In a real
+    * deployment the 8×64 hyperplane signs would be precomputed once and
+    * broadcast; here they fold into codegen as constants-per-row.) */
+  val lshPairs: NamedQuery = {
+    def projDuck(v: String, j: String): String =
+      s"list_sum(list_transform(range(1, 65), d -> " +
+        s"(CASE WHEN strpos('0123456789abcdef', substr(md5($j || '-' || d), 1, 1)) - 1 >= 8 " +
+        s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) * CAST($v[d] AS DOUBLE)))"
+    def projSpark(v: String, j: String): String =
+      s"aggregate(sequence(1, 64), cast(0.0 AS double), (acc, d) -> acc + " +
+        s"(CASE WHEN instr('0123456789abcdef', substr(md5(concat(cast($j AS string), '-', cast(d AS string))), 1, 1)) - 1 >= 8 " +
+        s"THEN cast(1.0 AS double) ELSE cast(-1.0 AS double) END) * cast(element_at($v, d) AS double))"
+    NamedQuery(
+      "emb_lsh_pairs",
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, label, embedding,
+         |         array_to_string(list_transform(range(0, 8),
+         |           j -> CASE WHEN ${projDuck("embedding", "j")} > 0
+         |                THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         |       ${cosDuck("a.embedding", "b.embedding")} AS sim
+         |FROM bucketed a
+         |JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY sim DESC, vec_a, vec_b
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val bucketed = emb(s, d).select(
+        col("vec_id"), col("label"), col("embedding"),
+        expr(
+          s"array_join(transform(sequence(0, 7), j -> CASE WHEN " +
+            s"${projSpark("embedding", "j")} > 0 THEN '1' ELSE '0' END), '')")
+          .as("bucket"))
+      bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.bucket").as("bucket"),
+          expr(cosSpark("a.embedding", "b.embedding")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+        .limit(20)
+    }
+  }
+
+  /** Per-(label, dimension) centroid components — posexplode → two-key
+    * hash aggregation with decimal-exact means. Partial aggregation
+    * collapses to (10 labels × 64 dims) rows before the shuffle, so the
+    * exchange is O(1) regardless of input size. */
+  val labelCentroids: NamedQuery = NamedQuery(
+    "emb_label_centroids",
+    s"""SELECT label, i AS dim,
+       |       ${Sql.avgFloat("CAST(embedding[i] AS DOUBLE)")} AS mean_val,
+       |       count(*) AS n
+       |FROM embeddings, unnest(range(1, 65)) AS u(i)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy("label", "dim")
+      .agg(
+        Ops.avgFloat(col("v")).as("mean_val"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+  }
+
+  val all: Seq[NamedQuery] = Seq(cosineTopK, lshPairs, labelCentroids)
+}

@@ -47,6 +47,11 @@ object Sql {
   /** Exact mean — see [[graft.ops.Ops.avgExact]]. */
   def avgExact(expr: String): String = s"${dsum(expr)} / count(*)"
 
+  /** Exact mean for full-precision doubles (shortest-repr-string route) —
+    * see [[graft.ops.Ops.avgFloat]]. */
+  def avgFloat(expr: String): String =
+    s"CAST(round(sum(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,25))), 12) AS DOUBLE) / count(*)"
+
   /** The OHLCV candle select list — see [[graft.ops.Ops.ohlcvAggs]]. */
   val ohlcvSelect: String =
     s"""min_by(price, ts) AS open,
