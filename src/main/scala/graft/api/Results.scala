@@ -1,0 +1,33 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** S10 + F8: result serialization — the reference API's row-dict JSON
+  * shaping with ISO-8601 timestamps
+  * (reference: api/server.py:31-37,81-83,129-131,197-199).
+  *
+  * `collect()` here is the API edge, not a query operator: every
+  * serialized result is the bounded output of an ORDER BY'd/LIMIT'd
+  * query (≤ a few hundred rows by construction), so driver-side
+  * materialization is O(result), never O(data).
+  */
+object Results {
+
+  /** Render every timestamp column as an ISO-8601 string, preserving all
+    * other columns and the column order. */
+  def isoTimestamps(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType =>
+          date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss").as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+
+  /** Rows → JSON object strings in the query's row order (the reference
+    * preserves ORDER BY order through `rows_to_dicts`). */
+  def toJsonRows(df: DataFrame): Seq[String] =
+    isoTimestamps(df).toJSON.collect().toIndexedSeq
+}

@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder brief): image/audio/video payloads
+  * travel as opaque `binary` columns with typed metadata; decode and
+  * feature extraction run per-partition so a real codec would be
+  * initialized once per task, not per row.
+  *
+  * The container has no image/audio libraries, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (dims/features derived from a
+  * SHA-256 of the payload). Everything around it — the typed schema, the
+  * partition-preserving batch iteration, the per-partition "codec" init,
+  * the feature-vector shape — is the real Spark-side contract a codec
+  * would drop into.
+  */
+object Media {
+
+  /** One media object: payload + routing metadata. */
+  final case class MediaRow(doc_id: Long, media_type: String,
+                            payload: Array[Byte])
+
+  /** Decoded metadata + extracted feature vector. */
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+                                 n_bytes: Int, width: Int, height: Int,
+                                 checksum: String, features: Array[Float])
+
+  /** Synthesize an opaque binary media column from the documents table
+    * (the corpus ships no real media; payloads are the utf-8 text
+    * bytes). At 100 TB payloads would live in parquet binary columns or
+    * object-store pointers — the schema is identical either way. */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id"),
+      lit("image/stub").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Decode + feature-extract, batch-shaped: `mapPartitions` so the codec
+    * (here: a MessageDigest standing in for a JPEG/audio decoder —
+    * STUB, see object doc) is constructed once per partition and rows
+    * stream through it. Replace the body of `decodeOne` with a real
+    * codec call to productionize; nothing else changes. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition "codec" init — a real decoder would open here
+      val codec = MessageDigest.getInstance("SHA-256")
+      rows.map(r => decodeOne(codec, r))
+    }
+  }
+
+  /** STUB decode: a real implementation would parse the image header for
+    * (width, height) and run a feature extractor over decoded pixels.
+    * The deterministic fake derives both from the payload digest so
+    * tests are stable and the full pipeline shape is exercised. */
+  private def decodeOne(codec: MessageDigest, r: MediaRow): MediaFeatures = {
+    val digest = codec.digest(r.payload)
+    def u(i: Int): Int = digest(i) & 0xff
+    MediaFeatures(
+      doc_id = r.doc_id,
+      media_type = r.media_type,
+      n_bytes = r.payload.length,
+      width = 64 + u(0) * 16 + u(1),    // "parsed" header dims
+      height = 64 + u(2) * 16 + u(3),
+      checksum = digest.map("%02x".format(_)).mkString,
+      features = (0 until 8).map(i => u(i + 4) / 255.0f).toArray)
+  }
+
+  /** Aggregate decoded-media statistics per source — the downstream
+    * query a training pipeline runs over extracted metadata. */
+  def decodeStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val features = decodeFeatures(mediaFromDocuments(docs)).toDF()
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    features
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"))
+      .orderBy("source")
+  }
+}

@@ -33,8 +33,23 @@ object TradeQueries {
   private def windowed(s: SparkSession, d: String, minutes: Long): DataFrame =
     Tables.trades(s, d, Some(Tables.anchorMicros(s, d) - minutes * 60L * 1000000L))
 
+  // ---- S9: parameterized query builders ----------------------------------
+  // The reference binds (symbol, minutes, limit) server-side per request
+  // (reference: api/server.py:78,104,127,168,195). Each API query below is
+  // a parameterized builder; the registered NamedQuery applies the default
+  // constants so CORRECTNESS keys stay stable across rounds.
+
   /** Q1 `/ohlcv` (reference: api/server.py:57-84): per-minute OHLCV candles
     * for one symbol over a lookback window. */
+  def ohlcv(symbol: String, minutes: Long)(
+      s: SparkSession, d: String): DataFrame =
+    Ops.aggSeq(
+      windowed(s, d, minutes)
+        .where(col("symbol") === symbol)
+        .groupBy(Ops.minuteOf(col("ts")).as("minute")),
+      Ops.ohlcvAggs(col("price"), col("qty"), col("ts")))
+      .orderBy("minute")
+
   val ohlcv1m: NamedQuery = NamedQuery(
     "trades_ohlcv_1m",
     s"""$tradesWith
@@ -43,18 +58,19 @@ object TradeQueries {
        |FROM trades, anchor
        |WHERE symbol = 'click' AND ts >= t_anchor - INTERVAL 1440 MINUTE
        |GROUP BY 1
-       |ORDER BY 1""".stripMargin) { (s, d) =>
-    Ops.aggSeq(
-      windowed(s, d, 1440)
-        .where(col("symbol") === "click")
-        .groupBy(Ops.minuteOf(col("ts")).as("minute")),
-      Ops.ohlcvAggs(col("price"), col("qty"), col("ts")))
-      .orderBy("minute")
-  }
+       |ORDER BY 1""".stripMargin)(ohlcv("click", 1440))
 
   /** Q2 `/top_symbols` (reference: api/server.py:87-105): top symbols by
     * traded volume over a lookback window. Plans as partial agg → 1 shuffle
     * → TakeOrderedAndProject (true top-k, never a full sort). */
+  def topSymbolsBy(minutes: Long, limit: Int)(
+      s: SparkSession, d: String): DataFrame =
+    windowed(s, d, minutes)
+      .groupBy("symbol")
+      .agg(Ops.dsum(col("qty")).as("volume"), count(lit(1)).as("trades"))
+      .orderBy(col("volume").desc, col("symbol"))
+      .limit(limit)
+
   val topSymbols: NamedQuery = NamedQuery(
     "trades_top_symbols",
     s"""$tradesWith
@@ -63,17 +79,19 @@ object TradeQueries {
        |WHERE ts >= t_anchor - INTERVAL 10080 MINUTE
        |GROUP BY 1
        |ORDER BY volume DESC, symbol
-       |LIMIT 10""".stripMargin) { (s, d) =>
-    windowed(s, d, 10080)
-      .groupBy("symbol")
-      .agg(Ops.dsum(col("qty")).as("volume"), count(lit(1)).as("trades"))
-      .orderBy(col("volume").desc, col("symbol"))
-      .limit(10)
-  }
+       |LIMIT 10""".stripMargin)(topSymbolsBy(10080, 10))
 
   /** Q3 `/live_trades` (reference: api/server.py:108-132): the newest ≤500
     * raw trades for a symbol. trade_id joins the sort for a deterministic
     * tie-break at the LIMIT boundary. */
+  def liveTradesFor(symbol: String, minutes: Long, limit: Int)(
+      s: SparkSession, d: String): DataFrame =
+    windowed(s, d, minutes)
+      .where(col("symbol") === symbol)
+      .select("ts", "symbol", "trade_id", "price", "qty", "is_buyer_maker")
+      .orderBy(col("ts").desc, col("trade_id").desc)
+      .limit(limit)
+
   val liveTrades: NamedQuery = NamedQuery(
     "trades_live_trades",
     s"""$tradesWith
@@ -81,13 +99,7 @@ object TradeQueries {
        |FROM trades, anchor
        |WHERE symbol = 'view' AND ts >= t_anchor - INTERVAL 240 MINUTE
        |ORDER BY ts DESC, trade_id DESC
-       |LIMIT 500""".stripMargin) { (s, d) =>
-    windowed(s, d, 240)
-      .where(col("symbol") === "view")
-      .select("ts", "symbol", "trade_id", "price", "qty", "is_buyer_maker")
-      .orderBy(col("ts").desc, col("trade_id").desc)
-      .limit(500)
-  }
+       |LIMIT 500""".stripMargin)(liveTradesFor("view", 240, 500))
 
   /** Q4 `/live_buy_sell` (reference: api/server.py:135-169): per-symbol
     * buy/sell volume split, VWAPs, trade rate; top-k by total volume.
@@ -113,10 +125,13 @@ object TradeQueries {
        |       trades_per_min, buy_volume + sell_volume AS total_volume
        |FROM base
        |ORDER BY total_volume DESC, symbol
-       |LIMIT 5""".stripMargin) { (s, d) =>
+       |LIMIT 5""".stripMargin)(liveBuySellFor(1440, 5))
+
+  def liveBuySellFor(minutes: Long, top: Int)(
+      s: SparkSession, d: String): DataFrame = {
     val isBuy  = col("is_buyer_maker") === 0
     val isSell = col("is_buyer_maker") === 1
-    windowed(s, d, 1440)
+    windowed(s, d, minutes)
       .groupBy("symbol")
       .agg(
         Ops.sumIf(col("qty"), isBuy).as("buy_volume"),
@@ -124,10 +139,10 @@ object TradeQueries {
         Ops.vwap(col("price"), col("qty"), isBuy).as("buy_vwap"),
         Ops.vwap(col("price"), col("qty"), isSell).as("sell_vwap"),
         count(lit(1)).as("trades"),
-        (count(lit(1)) / lit(1440.0d)).as("trades_per_min"))
+        (count(lit(1)) / lit(minutes.toDouble)).as("trades_per_min"))
       .withColumn("total_volume", col("buy_volume") + col("sell_volume"))
       .orderBy(col("total_volume").desc, col("symbol"))
-      .limit(5)
+      .limit(top)
   }
 
   /** Q5 `/hist_buy_sell` (reference: api/server.py:172-200): per-minute
@@ -144,11 +159,14 @@ object TradeQueries {
        |FROM trades, anchor
        |WHERE symbol = 'purchase' AND ts >= t_anchor - INTERVAL 2880 MINUTE
        |GROUP BY 1
-       |ORDER BY 1""".stripMargin) { (s, d) =>
+       |ORDER BY 1""".stripMargin)(histBuySellFor("purchase", 2880))
+
+  def histBuySellFor(symbol: String, minutes: Long)(
+      s: SparkSession, d: String): DataFrame = {
     val isBuy  = col("is_buyer_maker") === 0
     val isSell = col("is_buyer_maker") === 1
-    windowed(s, d, 2880)
-      .where(col("symbol") === "purchase")
+    windowed(s, d, minutes)
+      .where(col("symbol") === symbol)
       .groupBy(Ops.minuteOf(col("ts")).as("minute"))
       .agg(
         Ops.sumIf(col("qty"), isBuy).as("buy_volume"),

@@ -1,0 +1,144 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ops
+
+/** Storage layout & lifecycle: the engine-side equivalents of the
+  * reference's table DDL, partitioning, sort key, TTL and migration
+  * runner (reference: sql/V1__create_trades_table.sql, src/migrate.py).
+  *
+  * Layout contract (SURVEY.md §1.1):
+  *  - monthly partitions: `PARTITION BY toYYYYMM(ts)` →
+  *    `partitionBy("month")` with `month = date_format(ts,'yyyyMM')`;
+  *    Catalyst prunes partitions for free when queries filter on `month`.
+  *  - sorted-within-partition layout: `ORDER BY (ts, symbol, trade_id)` →
+  *    `sortWithinPartitions` before write; Parquet row-group min/max
+  *    stats then give the sparse-index granule-skipping effect.
+  *  - TTL 90 days → [[retention]], a partition-drop maintenance job
+  *    (cheap metadata deletes, never a row-level scan).
+  */
+object Store {
+
+  /** T5 + S4: partitioned, sorted trades writer. `repartition` by month
+    * keeps one shuffle partition per month-partition so each output
+    * partition is written by one task as a few large, fully sorted files
+    * (many small sorted files would dilute row-group stats). At 100 TB
+    * add a bucket column to the repartition to spread a hot month over
+    * more writers. */
+  def writeTrades(trades: DataFrame, path: String,
+                  mode: SaveMode = SaveMode.Append): Unit =
+    trades
+      .withColumn("month", Ops.monthKey(col("ts")))
+      .repartition(col("month"))
+      // month MUST lead the sort: FileFormatWriter requires its input
+      // ordered by the partition columns and would otherwise insert its
+      // own sort-by-month, destroying the (ts, symbol, trade_id) order.
+      .sortWithinPartitions("month", "ts", "symbol", "trade_id")
+      .write
+      .mode(mode)
+      .partitionBy("month")
+      .parquet(path)
+
+  /** Read back a partitioned trades table. Filters on `month` (which
+    * [[graft.ops.Ops.monthKey]] derives from any ts predicate's bounds)
+    * prune whole directories before the scan. The partition column comes
+    * back as the same yyyyMM STRING that was written (Spark's partition
+    * type inference would otherwise surface it as int). */
+  def readTrades(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).withColumn("month", col("month").cast("string"))
+
+  /** Month keys covering `[from, until]`, for query-side partition
+    * pruning: `readTrades(...).where(col("month").isin(monthsBetween(a,b):_*))`. */
+  def monthsBetween(fromMicros: Long, untilMicros: Long): Seq[String] = {
+    def ym(us: Long) = {
+      val d = java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC)
+      d.getYear * 12 + (d.getMonthValue - 1)
+    }
+    (ym(fromMicros) to ym(untilMicros))
+      .map(m => f"${m / 12}%04d${m % 12 + 1}%02d")
+  }
+
+  /** S6: TTL retention — drop month partitions strictly older than
+    * `retainDays` before `asOfMicros` (reference:
+    * sql/V1__create_trades_table.sql:19-20, `TTL ts + INTERVAL 90 DAY`).
+    * Month-granular like the reference's partition-level TTL drops:
+    * a partition is removed only when its entire month is expired. */
+  def retention(spark: SparkSession, path: String, asOfMicros: Long,
+                retainDays: Int = 90): Seq[String] = {
+    val cutoffUs = asOfMicros - retainDays.toLong * 86400L * 1000000L
+    val cutoffMonth = monthsBetween(cutoffUs, cutoffUs).head
+    val root = Paths.get(path)
+    if (!Files.exists(root)) Seq.empty
+    else {
+      val dropped = Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("month="))
+        .filter(p => p.getFileName.toString.stripPrefix("month=") < cutoffMonth)
+        .toSeq
+      dropped.foreach { p =>
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+      dropped.map(_.getFileName.toString)
+    }
+  }
+
+  /** S8: catalog probe (reference: src/migrate.py:34-45 probes
+    * `system.tables`). */
+  def tableExists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name)
+
+  /** S7: versioned, checksummed, idempotent bootstrap — the migration
+    * runner's semantics (reference: src/migrate.py:74-150): steps run in
+    * version order exactly once; a step whose recorded checksum no longer
+    * matches its definition is refused; applied versions are recorded in
+    * a manifest (the `_migrations` table analogue).
+    */
+  final case class Migration(version: Int, name: String, body: String,
+                             apply: SparkSession => Unit) {
+    def checksum: String =
+      MessageDigest.getInstance("SHA-256")
+        .digest(body.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+  }
+
+  /** Run pending migrations; returns versions applied this call.
+    * Manifest lines: `version<TAB>name<TAB>sha256`
+    * (reference: src/migrate.py:47-59,103-112). */
+  def migrate(spark: SparkSession, warehouse: String,
+              migrations: Seq[Migration]): Seq[Int] = {
+    val manifest = Paths.get(warehouse, "_migrations.tsv")
+    Files.createDirectories(manifest.getParent)
+    val applied: Map[Int, String] =
+      if (Files.exists(manifest))
+        Files.readAllLines(manifest).asScala.filter(_.nonEmpty).map { l =>
+          val Array(v, _, sum) = l.split("\t", 3)
+          v.toInt -> sum
+        }.toMap
+      else Map.empty
+
+    migrations.sortBy(_.version).flatMap { m =>
+      applied.get(m.version) match {
+        case Some(sum) if sum == m.checksum => None // already applied, skip
+        case Some(_) =>
+          // checksum-refusal (reference: src/migrate.py:138-146)
+          throw new IllegalStateException(
+            s"migration V${m.version} (${m.name}) changed after being applied")
+        case None =>
+          m.apply(spark)
+          Files.writeString(manifest,
+            s"${m.version}\t${m.name}\t${m.checksum}\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+          Some(m.version)
+      }
+    }
+  }
+}

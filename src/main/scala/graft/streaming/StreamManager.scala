@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** ST6: stream lifecycle control — the collector's
+  * idle→starting→running→stopping state machine with inserted-row
+  * counters and last-error surfacing
+  * (reference: api/collector.py:20-66; api/server.py:41-53).
+  *
+  * Wraps a [[StreamingQuery]]: `status()` is the JSON-shaped snapshot the
+  * reference's `/collector/status` endpoint returns; counters come from
+  * the query's progress stream rather than hand-maintained tallies.
+  */
+final class StreamManager(name: String) {
+
+  sealed trait State { def label: String }
+  case object Idle extends State { val label = "idle" }
+  case object Starting extends State { val label = "starting" }
+  case object Running extends State { val label = "running" }
+  case object Stopping extends State { val label = "stopping" }
+
+  private val state = new AtomicReference[State](Idle)
+  private val query = new AtomicReference[Option[StreamingQuery]](None)
+  private val lastError = new AtomicReference[Option[String]](None)
+
+  /** Start via the supplied launcher (reference: collector start endpoint,
+    * api/collector.py:20-41). No-op if already running. */
+  def start(launch: () => StreamingQuery): this.type = synchronized {
+    if (state.get() == Idle) {
+      state.set(Starting)
+      try {
+        query.set(Some(launch()))
+        state.set(Running)
+        lastError.set(None)
+      } catch {
+        case e: Exception =>
+          lastError.set(Some(e.toString))
+          state.set(Idle)
+      }
+    }
+    this
+  }
+
+  /** Graceful stop — processes the in-flight batch first (the reference's
+    * shutdown flush, src/stream_binance.py:116-119). */
+  def stop(): this.type = synchronized {
+    query.get().foreach { q =>
+      state.set(Stopping)
+      try q.stop()
+      catch { case e: Exception => lastError.set(Some(e.toString)) }
+      query.set(None)
+      state.set(Idle)
+    }
+    this
+  }
+
+  /** Total input rows across the query's lifetime (reference's
+    * `inserted_rows` counter, api/collector.py:30-41). */
+  def insertedRows: Long =
+    query.get().map(_.recentProgress.map(_.numInputRows).sum).getOrElse(0L)
+
+  def currentState: String = {
+    // A query that died on its own (source failure) surfaces as idle +
+    // error, matching the reference's error path (api/collector.py:120-126).
+    query.get().foreach { q =>
+      if (!q.isActive && state.get() == Running) {
+        Option(q.exception).flatten.foreach(e => lastError.set(Some(e.toString)))
+        state.set(Idle)
+        query.set(None)
+      }
+    }
+    state.get().label
+  }
+
+  /** Status snapshot (reference: api/server.py:41-53). */
+  def status: Map[String, Any] = Map(
+    "name" -> name,
+    "state" -> currentState,
+    "inserted_rows" -> insertedRows,
+    "last_flush" -> query.get().flatMap(q =>
+      Option(q.lastProgress).map(_.timestamp)).orNull,
+    "last_error" -> lastError.get().orNull)
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming trade ingest: JSON envelope decode + normalization and the
+  * size/time-batched append sink.
+  *
+  * Mirrors the reference's write path (reference: src/stream_binance.py):
+  * the WS envelope `{"stream": ..., "data": {s,t,p,q,T,m}}` is decoded
+  * and normalized (`:99-110` — string→double casts, epoch-millis→UTC
+  * timestamp, bool→0/1, defaults for missing keys), buffered, and flushed
+  * every `FLUSH_EVERY_SEC` = 5 s (`:20-22,67-74`). Structured Streaming's
+  * `Trigger.ProcessingTime("5 seconds")` IS that contract — a micro-batch
+  * per flush interval — with exactly-once file-sink semantics via
+  * checkpointing where the reference is at-least-once.
+  *
+  * The live WebSocket endpoint itself is an external-system concern; any
+  * streaming source with `value: STRING` rows (socket, file, Kafka-style,
+  * or `MemoryStream[String]` in tests) plugs into [[normalize]].
+  */
+object TradeIngest {
+
+  /** Wire schema of one Binance-style combined-stream message
+    * (reference: src/stream_binance.py:34-42,97-110). Explicit StructType
+    * — never schema inference (SURVEY.md §1.2). */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("stream", StringType),
+    StructField("data", StructType(Seq(
+      StructField("s", StringType),   // symbol
+      StructField("t", LongType),     // trade id
+      StructField("p", StringType),   // price (string on the wire)
+      StructField("q", StringType),   // qty (string on the wire)
+      StructField("T", LongType),     // event time, epoch millis
+      StructField("m", BooleanType)   // buyer-is-maker
+    )))))
+
+  /** The normalized trade row produced by ingest — the engine's
+    * `crypto.trades` schema (reference: sql/V1__create_trades_table.sql:3-16)
+    * minus `ingested_at`, which the sink stamps at write time. */
+  val tradeSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType),
+    StructField("trade_id", LongType),
+    StructField("price", DoubleType),
+    StructField("qty", DoubleType),
+    StructField("ts", TimestampType),
+    StructField("is_buyer_maker", IntegerType)))
+
+  /** S2: decode + normalize a stream (or batch) of raw JSON envelope
+    * strings in `valueCol`. Defaults mirror the reference's
+    * `ev.get("s","")` / `ev.get("p","0")` fallbacks
+    * (reference: src/stream_binance.py:103-110). Malformed JSON yields a
+    * null struct → null fields → the same defaults; rows with no event
+    * time are dropped (the reference would insert epoch-0 rows; a null
+    * event time is useless downstream and poisons watermarks). */
+  def normalize(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw
+      .select(from_json(col(valueCol), envelopeSchema).getField("data").as("d"))
+      // `t` (trade id) and `T` (event time) collide under Spark's default
+      // case-insensitive field resolution — expand the struct positionally
+      // and rename, never reference the fields by name.
+      .select(col("d.*"))
+      .toDF("w_sym", "w_tid", "w_price", "w_qty", "w_tms", "w_maker")
+      .select(
+        coalesce(col("w_sym"), lit("")).as("symbol"),
+        coalesce(col("w_tid"), lit(0L)).as("trade_id"),
+        coalesce(col("w_price").cast("double"), lit(0.0)).as("price"),
+        coalesce(col("w_qty").cast("double"), lit(0.0)).as("qty"),
+        timestamp_millis(col("w_tms")).as("ts"),
+        when(coalesce(col("w_maker"), lit(false)), 1).otherwise(0)
+          .as("is_buyer_maker"))
+      .where(col("ts").isNotNull)
+
+  /** S3: the batched bulk-append sink. One micro-batch per 5-s trigger ≈
+    * one buffer flush (reference: src/stream_binance.py:51-74); each
+    * batch appends to the trades table with a processing-time
+    * `ingested_at` stamp (ST2; reference column default
+    * sql/V1__create_trades_table.sql:11). `coalesce(1)` per batch avoids
+    * the small-file explosion a 5-s trigger would otherwise cause
+    * (SURVEY.md §7.5-7); graceful stop after the last batch = the
+    * reference's shutdown flush. */
+  def ingestSink(normalized: DataFrame, tradesPath: String,
+                 checkpointPath: String,
+                 trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : StreamingQuery =
+    normalized.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("ingested_at", current_timestamp())
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("append").parquet(tradesPath)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.store.Store
+
+/** Storage layout & lifecycle (SURVEY.md §7.2-5): partitioned+sorted
+  * round trip with visible partition pruning, month-granular TTL
+  * retention, and the checksummed idempotent migration runner. */
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTrades(months: Seq[String]) = {
+    val rows = months.zipWithIndex.flatMap { case (m, mi) =>
+      (1 to 10).map(i =>
+        ("BTC", (mi * 100 + i).toLong, 100.0 + i, 1.0,
+          java.sql.Timestamp.valueOf(s"$m-15 00:0${i % 6}:0${i % 10}")))
+    }
+    rows.toDF("symbol", "trade_id", "price", "qty", "ts")
+  }
+
+  test("partitioned+sorted write → month dirs exist, data round-trips") {
+    val path = tmpDir("store-rt")
+    val trades = mkTrades(Seq("2024-01", "2024-02", "2024-03"))
+    Store.writeTrades(trades, path, SaveMode.Overwrite)
+
+    val dirs = Files.list(Paths.get(path)).iterator()
+    val partDirs = Iterator.continually(dirs)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .filter(_.startsWith("month=")).toSet
+    assert(partDirs == Set("month=202401", "month=202402", "month=202403"))
+
+    val back = Store.readTrades(spark, path)
+    assert(back.count() == 30)
+    assert(back.select("month").distinct().count() == 3)
+  }
+
+  test("month filter prunes partitions down to one directory's files") {
+    val path = tmpDir("store-prune")
+    Store.writeTrades(mkTrades(Seq("2024-01", "2024-02", "2024-03")), path,
+      SaveMode.Overwrite)
+    val pruned = Store.readTrades(spark, path)
+      .where(col("month") === "202402")
+    // partition pruning: only files under month=202402 feed the scan
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("month=202402")))
+    assert(pruned.count() == 10)
+  }
+
+  test("every physical file is sorted on ts (row-group stats stay sparse)") {
+    val path = tmpDir("store-sorted")
+    Store.writeTrades(mkTrades(Seq("2024-01")), path, SaveMode.Overwrite)
+    // each writer task emits a sorted run → every FILE must be internally
+    // sorted (that per-file order is what makes parquet min/max stats
+    // selective; cross-file order is irrelevant to skipping)
+    val perFile = spark.read.parquet(path + "/month=202401")
+      .select(input_file_name().as("f"), col("ts"))
+      .collect()
+      .groupBy(_.getString(0))
+      .values.map(_.map(_.getTimestamp(1).getTime).toSeq)
+    assert(perFile.nonEmpty)
+    perFile.foreach(tss => assert(tss == tss.sorted))
+  }
+
+  test("monthsBetween spans calendar months inclusively") {
+    def us(s: String) =
+      java.sql.Timestamp.valueOf(s).getTime * 1000L
+    assert(Store.monthsBetween(us("2023-11-03 00:00:00"),
+      us("2024-02-10 00:00:00")) ==
+      Seq("202311", "202312", "202401", "202402"))
+  }
+
+  test("retention drops only fully-expired month partitions") {
+    val path = tmpDir("store-ttl")
+    Store.writeTrades(mkTrades(Seq("2023-10", "2023-11", "2024-02")), path,
+      SaveMode.Overwrite)
+    val asOf = java.sql.Timestamp.valueOf("2024-02-20 00:00:00").getTime * 1000L
+    val dropped = Store.retention(spark, path, asOf, retainDays = 90)
+    // cutoff = 2023-11-22 → month 202311 is NOT fully expired, only 202310 is
+    assert(dropped == Seq("month=202310"))
+    val left = Store.readTrades(spark, path)
+    assert(left.select("month").distinct().collect()
+      .map(_.getString(0)).toSet == Set("202311", "202402"))
+  }
+
+  test("migrate applies in order once, records manifest, refuses drift") {
+    val wh = tmpDir("store-mig")
+    var log = List.empty[Int]
+    def mig(v: Int, body: String) =
+      Store.Migration(v, s"v$v", body, _ => log = log :+ v)
+
+    val ms = Seq(mig(2, "create b"), mig(1, "create a"))
+    assert(Store.migrate(spark, wh, ms) == Seq(1, 2)) // version order
+    assert(log == List(1, 2))
+    assert(Store.migrate(spark, wh, ms).isEmpty)      // idempotent
+    assert(log == List(1, 2))
+
+    // drifted body for an applied version → refusal
+    val drifted = Seq(mig(1, "create a CHANGED"))
+    intercept[IllegalStateException] {
+      Store.migrate(spark, wh, drifted)
+    }
+  }
+
+  test("catalog probe sees registered views") {
+    mkTrades(Seq("2024-01")).createOrReplaceTempView("probe_trades")
+    assert(Store.tableExists(spark, "probe_trades"))
+    assert(!Store.tableExists(spark, "no_such_table"))
+  }
+}

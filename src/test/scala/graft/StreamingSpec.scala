@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{CandlePipeline, StreamManager, TradeIngest}
+
+/** Streaming-path coverage (SURVEY.md §5-4): ingest normalization golden
+  * cases, the batched sink round trip, the incremental candle pipeline
+  * equaling batch recomputation on the same input, late-data handling,
+  * and lifecycle control. File sources + `Trigger.AvailableNow` keep
+  * everything on public APIs and deterministic. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def envelope(sym: String, id: Long, p: String, q: String,
+                       tMillis: Long, m: Boolean): String =
+    s"""{"stream":"${sym.toLowerCase}@trade","data":{"s":"$sym","t":$id,"p":"$p","q":"$q","T":$tMillis,"m":$m}}"""
+
+  test("normalize decodes the Binance envelope with casts and defaults") {
+    val raw = Seq(
+      envelope("BTCUSDT", 7, "42000.5", "0.25", 1700000000000L, true),
+      // missing optional fields → reference defaults (0 / "0" / false)
+      """{"stream":"x@trade","data":{"T":1700000060000}}""",
+      // malformed JSON → null struct → defaults; no event time → dropped
+      """not json at all"""
+    ).toDF("value")
+    val rows = TradeIngest.normalize(raw).orderBy("trade_id").collect()
+    assert(rows.length == 2)
+    val full = rows.find(_.getAs[Long]("trade_id") == 7L).get
+    assert(full.getAs[String]("symbol") == "BTCUSDT")
+    assert(full.getAs[Double]("price") == 42000.5)
+    assert(full.getAs[Double]("qty") == 0.25)
+    assert(full.getAs[Int]("is_buyer_maker") == 1)
+    assert(full.getAs[java.sql.Timestamp]("ts").getTime == 1700000000000L)
+    val defaulted = rows.find(_.getAs[Long]("trade_id") == 0L).get
+    assert(defaulted.getAs[String]("symbol") == "")
+    assert(defaulted.getAs[Double]("price") == 0.0)
+    assert(defaulted.getAs[Int]("is_buyer_maker") == 0)
+  }
+
+  test("ingest sink round trip: stream of envelopes → parquet trades") {
+    val src = tmpDir("ingest-src")
+    val out = tmpDir("ingest-out")
+    val ckpt = tmpDir("ingest-ckpt")
+    Files.writeString(Paths.get(src, "batch1.json"),
+      (1 to 20).map(i =>
+        envelope("BTCUSDT", i, s"$i.0", "1.0", 1700000000000L + i * 1000L,
+          i % 2 == 0)).mkString("\n"))
+
+    val raw = spark.readStream.format("text").load(src)
+    val q = TradeIngest.ingestSink(
+      TradeIngest.normalize(raw), out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val written = spark.read.parquet(out)
+    assert(written.count() == 20)
+    assert(written.columns.toSet ==
+      Set("symbol", "trade_id", "price", "qty", "ts", "is_buyer_maker",
+        "ingested_at", "batch_id"))
+    assert(written.agg(sum("qty")).collect()(0).getDouble(0) == 20.0)
+  }
+
+  private def tradeJson(sym: String, id: Long, price: Double, qty: Double,
+                        epochSec: Long): String =
+    s"""{"symbol":"$sym","trade_id":$id,"price":$price,"qty":$qty,"ts":${epochSec * 1000000L}}"""
+
+  /** File-source trades stream with `ts` as epoch-micros converted to a
+    * timestamp — same shape the ingest sink writes. */
+  private def tradeStream(dir: String) =
+    spark.readStream
+      .schema("symbol STRING, trade_id LONG, price DOUBLE, qty DOUBLE, ts LONG")
+      .json(dir)
+      .withColumn("ts", timestamp_micros(col("ts")))
+
+  test("incremental partial-candle pipeline == batch candles, including late rows") {
+    val src = tmpDir("candle-src")
+    val partials = tmpDir("candle-partials")
+    val ckpt = tmpDir("candle-ckpt")
+
+    // first delivery: minutes 0 and 1
+    Files.writeString(Paths.get(src, "b1.json"), Seq(
+      tradeJson("BTC", 1, 100.0, 1.0, 10),
+      tradeJson("BTC", 2, 110.0, 2.0, 50),
+      tradeJson("BTC", 3, 90.0, 1.0, 70),
+      tradeJson("ETH", 4, 10.0, 5.0, 20)).mkString("\n"))
+    val q1 = CandlePipeline.partialSink(
+      tradeStream(src), partials, ckpt, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+
+    // second delivery: minute 2 AND a LATE row for minute 0 — lands as
+    // another partial for the old minute, like the reference MV (ST4).
+    Files.writeString(Paths.get(src, "b2.json"), Seq(
+      tradeJson("BTC", 5, 120.0, 1.0, 130),
+      tradeJson("BTC", 6, 95.0, 4.0, 5)).mkString("\n"))
+    val q2 = CandlePipeline.partialSink(
+      tradeStream(src), partials, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+
+    val allTrades = spark.read
+      .schema("symbol STRING, trade_id LONG, price DOUBLE, qty DOUBLE, ts LONG")
+      .json(src)
+      .withColumn("ts", timestamp_micros(col("ts")))
+
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("minute", "symbol").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("minute").getTime,
+          r.getAs[String]("symbol"), r.getAs[Double]("open"),
+          r.getAs[Double]("high"), r.getAs[Double]("low"),
+          r.getAs[Double]("close"), r.getAs[Double]("volume"),
+          r.getAs[Long]("trades"))).toSeq
+
+    val merged = snap(CandlePipeline.readCandles(spark.read.parquet(partials)))
+    val direct = snap(CandlePipeline.candles(allTrades))
+    assert(merged == direct)
+    // the late trade (id 6, epoch 5s, price 95) must have become minute-0's open
+    assert(merged.find(c => c._2 == "BTC" && c._1 == 0L).get._3 == 95.0)
+    // and multiple partials genuinely existed for that minute
+    val p = spark.read.parquet(partials)
+    assert(p.where(col("symbol") === "BTC" &&
+      col("minute") === timestamp_seconds(lit(0))).count() >= 2)
+  }
+
+  test("watermarked streaming candles match batch on closed windows") {
+    val src = tmpDir("wm-src")
+    val out = tmpDir("wm-out")
+    val ckpt = tmpDir("wm-ckpt")
+    Files.writeString(Paths.get(src, "b1.json"), Seq(
+      tradeJson("BTC", 1, 100.0, 1.0, 10),
+      tradeJson("BTC", 2, 105.0, 2.0, 55),
+      tradeJson("BTC", 3, 120.0, 1.0, 70)).mkString("\n"))
+    // sentinel far in the future advances the watermark past minutes 0-1
+    Files.writeString(Paths.get(src, "b2.json"), Seq(
+      tradeJson("ZZZ", 99, 1.0, 1.0, 3600)).mkString("\n"))
+
+    val q = CandlePipeline.candleSink(
+      tradeStream(src), out, ckpt, "2 minutes", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val emitted = spark.read.parquet(out).where(col("symbol") === "BTC")
+      .orderBy("minute").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("minute").getTime,
+        r.getAs[Double]("open"), r.getAs[Double]("close"),
+        r.getAs[Double]("volume"), r.getAs[Long]("trades"))).toSeq
+    assert(emitted == Seq(
+      (0L, 100.0, 105.0, 3.0, 2L),
+      (60000L, 120.0, 120.0, 1.0, 1L)))
+  }
+
+  test("StreamManager lifecycle: idle → running → idle, with row counters") {
+    val src = tmpDir("mgr-src")
+    val out = tmpDir("mgr-out")
+    val ckpt = tmpDir("mgr-ckpt")
+    Files.writeString(Paths.get(src, "b1.json"),
+      (1 to 5).map(i => tradeJson("BTC", i, 1.0, 1.0, i * 10)).mkString("\n"))
+
+    val mgr = new StreamManager("collector")
+    assert(mgr.currentState == "idle")
+    mgr.start(() => CandlePipeline.partialSink(
+      tradeStream(src), out, ckpt, Trigger.AvailableNow()))
+    assert(mgr.currentState == "running" || mgr.currentState == "idle")
+    // AvailableNow terminates on its own; wait for it, then observe idle
+    spark.streams.active.foreach(_.awaitTermination(60000))
+    assert(mgr.currentState == "idle")
+    assert(mgr.status("last_error") == null)
+    mgr.stop()
+    assert(mgr.currentState == "idle")
+  }
+}
