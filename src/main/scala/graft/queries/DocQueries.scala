@@ -130,15 +130,20 @@ object DocQueries {
        |JOIN sh y ON y.doc_id = doc_b
        |ORDER BY jaccard DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin) { (s, d) =>
-    val sh = docs(s, d).select(
-      col("doc_id"),
-      expr(
-        s"""array_distinct(CASE WHEN size($tokSpark) < 3 THEN array()
-           |ELSE transform(sequence(1, size($tokSpark) - 2),
-           |  i -> concat(element_at($tokSpark, i), ' ',
-           |              element_at($tokSpark, i + 1), ' ',
-           |              element_at($tokSpark, i + 2))) END)""".stripMargin
-          .replace("\n", " ")).as("shingles"))
+    // Tokenize into a bound column FIRST: `element_at(split(...), i)`
+    // inside the lambda would re-run the regex split once per array
+    // element — O(tokens²) splits per document, ~30× this query's cost.
+    val sh = docs(s, d)
+      .select(col("doc_id"), expr(tokSpark).as("t"))
+      .select(
+        col("doc_id"),
+        expr(
+          """array_distinct(CASE WHEN size(t) < 3 THEN array()
+            |ELSE transform(sequence(1, size(t) - 2),
+            |  i -> concat(element_at(t, i), ' ',
+            |              element_at(t, i + 1), ' ',
+            |              element_at(t, i + 2))) END)""".stripMargin
+            .replace("\n", " ")).as("shingles"))
     val sig = sh.select(
       col("doc_id"), col("shingles"),
       expr(
@@ -153,12 +158,22 @@ object DocQueries {
         md5(concat(
           expr("element_at(sig, 2*band + 1)"),
           expr("element_at(sig, 2*band + 2)"))).as("bucket"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Pairs are generated INSIDE each bucket (collect_list + index-lambda
+    // cross of the bucket's ids) instead of a bands⋈bands self-join: the
+    // signature lineage (the md5-heavy part) then executes once, where a
+    // self-join would re-execute it per side — 100× wall-clock at sf0.1.
+    // Bucket membership stays the scale bound either way; a bucket too
+    // big to pair in memory means the band config is too coarse.
+    val cand = bands
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
     cand
       .join(sh.as("x"), col("x.doc_id") === col("doc_a"))
@@ -198,16 +213,22 @@ object DocQueries {
        |GROUP BY 1
        |ORDER BY doc_id
        |LIMIT 50""".stripMargin) { (s, d) =>
-    val tok = docs(s, d)
+    // Hash DISTINCT (doc, token) pairs weighted by occurrence count —
+    // identical vote sums, but the md5 + 32-way bit explode runs once per
+    // distinct term instead of once per token instance (the dedup-before-
+    // expensive-op rule; term-frequency-weighted simhash is the standard
+    // formulation anyway).
+    val tf = docs(s, d)
       .select(col("doc_id"), explode(expr(tokSpark)).as("tok"))
-    val bits = tok
-      .select(col("doc_id"), md5(col("tok")).as("h"),
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val bits = tf
+      .select(col("doc_id"), col("cnt"), md5(col("tok")).as("h"),
         explode(sequence(lit(0), lit(31))).as("pos"))
       .select(col("doc_id"), col("pos"),
-        when(expr(
+        (when(expr(
           "((instr('0123456789abcdef', substr(h, 1 + cast(pos / 4 AS int), 1)) - 1)" +
             " div cast(pow(2, 3 - pos % 4) AS int)) % 2 = 1"),
-          lit(1)).otherwise(lit(-1)).as("sgn"))
+          lit(1)).otherwise(lit(-1)) * col("cnt")).as("sgn"))
     bits
       .groupBy("doc_id", "pos")
       .agg(sum(col("sgn")).as("s"))
