@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocQueries, EmbQueries, JoinQueries, MediaQueries, TradeQueries}
+import graft.queries.{DocQueries, EmbQueries, EventQueries, JoinQueries, MediaQueries, TradeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   /** All registered queries, in registration order. */
   def registry: Seq[NamedQuery] =
     TradeQueries.all ++ JoinQueries.all ++ DocQueries.all ++
-      EmbQueries.all ++ MediaQueries.all
+      EmbQueries.all ++ MediaQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape: per-minute OHLCV over the full trades

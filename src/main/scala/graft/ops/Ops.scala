@@ -105,6 +105,27 @@ object Ops {
     dsum(qty).as("volume"),
     count(lit(1)).as("trades"))
 
+  /** Two-stage salted aggregation for SKEWED group keys: stage 1
+    * aggregates on (key, salt) — spreading one hot key over `buckets`
+    * reducers — stage 2 merges the partials. Worth it only when a key's
+    * row share overwhelms one reducer even after map-side partial
+    * aggregation (e.g. high-cardinality payload prevents combine); for
+    * ordinary skew AQE's runtime skew handling usually suffices. Sums and
+    * counts compose exactly; the pattern extends to any commutative
+    * monoid (min/max/sum/count). */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                buckets: Int): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(col(valueCol), monotonically_increasing_id()), lit(buckets)))
+    salted
+      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .agg(sum(col(valueCol).cast(Dec)).as("_psum"),
+        count(lit(1)).as("_pcnt"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_psum")).cast("double").as("sum"),
+        sum(col("_pcnt")).as("count"))
+  }
+
   /** `agg` over a Seq of columns (Spark's vararg signature needs head/tail). */
   def aggSeq(g: org.apache.spark.sql.RelationalGroupedDataset,
              cols: Seq[Column]): DataFrame =

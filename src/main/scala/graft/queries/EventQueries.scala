@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{NamedQuery, Tables}
+import graft.ops.Ops
+
+/** Event-stream analytics over the raw `events` table (SURVEY.md §7.2-6
+  * "events sessionization-lite"): sessionization with a gap rule,
+  * per-day active users, and a forward-filled (as-of) per-minute price
+  * series — the time-series operators a trading/analytics engine needs
+  * beyond plain windowed aggregation.
+  *
+  * Determinism notes: interval logic runs on integer epoch-micros (no
+  * engine interval-type coercions); session ids come from a running sum
+  * whose default RANGE frame treats tied timestamps identically in both
+  * engines.
+  */
+object EventQueries {
+
+  /** Sessionization: split each user's event stream at >30-minute gaps
+    * (lag + running-sum session ids — the standard single-shuffle
+    * formulation: everything is windowed by user_id, so it scales as one
+    * hash shuffle on a high-cardinality unskewed key). Output: session
+    * size histogram with exact average duration. */
+  val sessionization: NamedQuery = NamedQuery(
+    "events_sessionization",
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+      |),
+      |flagged AS (
+      |  SELECT user_id, us,
+      |         CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w > 1800000000 THEN 1
+      |              ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+      |),
+      |sessions AS (
+      |  SELECT user_id,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid,
+      |         us
+      |  FROM flagged
+      |),
+      |per_session AS (
+      |  SELECT user_id, sid, count(*) AS n_events,
+      |         (max(us) - min(us)) / 1000000.0 AS duration_sec
+      |  FROM sessions GROUP BY 1, 2
+      |)
+      |SELECT n_events,
+      |       count(*) AS n_sessions,
+      |       ${Sql.avgFloat("duration_sec")} AS avg_duration_sec
+      |FROM per_session
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("us")
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val flagged = e.withColumn("new_s",
+      when(lag(col("us"), 1).over(byUser).isNull ||
+        col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1)
+        .otherwise(0))
+    val sessions = flagged.withColumn("sid", sum(col("new_s")).over(byUser))
+    sessions
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_sec"))
+      .groupBy("n_events")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        // duration doubles carry division garbage near the decimal
+        // quantization grain — string-route exact mean (see Ops.avgFloat)
+        Ops.avgFloat(col("duration_sec")).as("avg_duration_sec"))
+      .orderBy("n_events")
+  }
+
+  /** Daily active users + event volume per event type — count_distinct
+    * at the partial-agg level (Spark expands it to a two-phase
+    * aggregation; the shuffle carries (type, day, user) partials, still
+    * bounded by distinct triples, not input rows). */
+  val userActivity: NamedQuery = NamedQuery(
+    "events_user_activity",
+    """SELECT event_type,
+      |       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |       count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "day")
+  }
+
+  /** As-of / gap-filled price series: a complete per-minute grid over the
+    * last 6 h per symbol, each grid point carrying the close of the last
+    * candle AT OR BEFORE it (forward fill = as-of join of the grid
+    * against the candle table). Single shuffle on symbol; the grid is
+    * minutes×symbols — O(window), independent of trade volume. */
+  val gapfillAsof: NamedQuery = NamedQuery(
+    "trades_gapfill_asof",
+    s"""${Sql.tradesWith},
+       |bounds AS (
+       |  SELECT t_anchor - INTERVAL 360 MINUTE AS t0, t_anchor AS t1
+       |  FROM anchor
+       |),
+       |candles AS (
+       |  SELECT symbol, date_trunc('minute', ts) AS minute,
+       |         max_by(price, ts) AS close
+       |  FROM trades, bounds
+       |  WHERE ts >= t0
+       |  GROUP BY 1, 2
+       |),
+       |grid AS (
+       |  SELECT s.symbol, g.minute
+       |  FROM (SELECT DISTINCT symbol FROM candles) s
+       |  CROSS JOIN (
+       |    SELECT unnest(generate_series(date_trunc('minute', t0),
+       |                                  date_trunc('minute', t1),
+       |                                  INTERVAL 1 MINUTE)) AS minute
+       |    FROM bounds) g
+       |)
+       |SELECT grid.symbol, grid.minute,
+       |       last_value(candles.close IGNORE NULLS) OVER (
+       |         PARTITION BY grid.symbol ORDER BY grid.minute
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff
+       |FROM grid
+       |LEFT JOIN candles
+       |  ON candles.symbol = grid.symbol AND candles.minute = grid.minute
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val anchorUs = Tables.anchorMicros(s, d)
+    val t0Us = anchorUs - 360L * 60L * 1000000L
+    val candles = Tables.trades(s, d, Some(t0Us))
+      .groupBy(col("symbol"), Ops.minuteOf(col("ts")).as("minute"))
+      .agg(max_by(col("price"), col("ts")).as("close"))
+    val grid = candles.select("symbol").distinct()
+      .crossJoin(
+        candles.sparkSession.range(1).select(explode(sequence(
+          lit(floorMinuteTs(t0Us)), lit(floorMinuteTs(anchorUs)),
+          expr("INTERVAL 1 MINUTE"))).as("minute")))
+    val ff = Window.partitionBy(col("symbol")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(candles, Seq("symbol", "minute"), "left")
+      .select(col("symbol"), col("minute"),
+        last(col("close"), ignoreNulls = true).over(ff).as("close_ff"))
+      .orderBy("symbol", "minute")
+  }
+
+  /** Epoch-micros floored to the minute, as a literal-friendly Timestamp. */
+  private def floorMinuteTs(us: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(us / 60000000L * 60000L)
+
+  val all: Seq[NamedQuery] = Seq(sessionization, userActivity, gapfillAsof)
+}

@@ -73,6 +73,21 @@ object TradeIngest {
           .as("is_buyer_maker"))
       .where(col("ts").isNotNull)
 
+  /** S1: a live line-delimited source — the socket analogue of the
+    * reference's WebSocket subscription (reference:
+    * src/stream_binance.py:34-42,94-100; TLS/keepalive/reconnect are the
+    * transport's concern — Structured Streaming restarts from the
+    * checkpoint on failure, ST7). Any process bridging the exchange WS to
+    * a socket (or a Kafka-style topic swapped in here) feeds the same
+    * [[normalize]] → [[ingestSink]] chain. */
+  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    normalize(
+      spark.readStream
+        .format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load())
+
   /** S3: the batched bulk-append sink. One micro-batch per 5-s trigger ≈
     * one buffer flush (reference: src/stream_binance.py:51-74); each
     * batch appends to the trades table with a processing-time
