@@ -1,0 +1,52 @@
+package graft.store
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
+
+import graft.streaming.TradeIngest
+
+/** Concrete engine bootstrap — the analogue of the reference's versioned
+  * SQL migrations, run through the checksummed [[Store.migrate]] runner:
+  *
+  *  - V1 creates the partitioned trades table layout + registers the view
+  *    (reference: sql/V1__create_trades_table.sql — engine/order/partition
+  *    settings become directory layout + sort discipline here).
+  *  - V2 creates the 1-minute candle partials table the streaming MV
+  *    appends to (reference: sql/V2__create_trades_1m_view.sql).
+  *
+  * Idempotent: re-running is a no-op; editing an applied step throws
+  * (checksum refusal, reference: src/migrate.py:138-146).
+  */
+object Bootstrap {
+
+  /** Full trades-at-rest schema: ingest row + sink stamps + partition key. */
+  val tradesAtRest: StructType = StructType(
+    TradeIngest.tradeSchema.fields ++ Seq(
+      StructField("ingested_at", TimestampType),
+      StructField("month", StringType)))
+
+  def migrations(warehouse: String): Seq[Store.Migration] = Seq(
+    Store.Migration(1, "create_trades_table",
+      "trades: parquet, partitioned by month=yyyyMM(ts), " +
+        "sorted within partitions by (ts, symbol, trade_id)",
+      { spark =>
+        val path = s"$warehouse/trades"
+        // empty seed write materializes the directory + schema
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), tradesAtRest)
+          .write.mode(SaveMode.Ignore).partitionBy("month").parquet(path)
+        ()
+      }),
+    Store.Migration(2, "create_trades_1m",
+      "trades_1m: parquet partial candles (minute, symbol, block, " +
+        "open_ts, close_ts, ohlcv), appended per micro-batch",
+      { spark =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$warehouse/trades_1m"))
+        ()
+      }))
+
+  /** Run all pending migrations against the warehouse. */
+  def apply(spark: SparkSession, warehouse: String): Seq[Int] =
+    Store.migrate(spark, warehouse, migrations(warehouse))
+}

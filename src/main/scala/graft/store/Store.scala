@@ -90,6 +90,27 @@ object Store {
     }
   }
 
+  /** Compact a month partition: micro-batch sinks append one small file
+    * per trigger (SURVEY.md §7.5-7); this rewrites a partition's files
+    * into one sorted file so row-group stats stay selective. Run as a
+    * periodic maintenance job over recent months; at 100 TB, compact per
+    * partition (bounded work) and swap directories atomically at the
+    * orchestration layer. */
+  def compactMonth(spark: SparkSession, path: String, month: String): Unit = {
+    val dir = s"$path/month=$month"
+    if (Files.exists(Paths.get(dir))) {
+      val tmp = s"$path/.compact_month=$month"
+      spark.read.parquet(dir)
+        .repartition(1)
+        .sortWithinPartitions("ts", "symbol", "trade_id")
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val target = Paths.get(dir)
+      Files.walk(target).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+      Files.move(Paths.get(tmp), target)
+    }
+  }
+
   /** S8: catalog probe (reference: src/migrate.py:34-45 probes
     * `system.tables`). */
   def tableExists(spark: SparkSession, name: String): Boolean =

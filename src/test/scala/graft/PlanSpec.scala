@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.{JoinQueries, TradeQueries}
+
+/** Plan-shape regression tests — the 100 TB properties the queries rely
+  * on, asserted from the physical plan so they can't silently rot:
+  * time predicates must reach the parquet scan as pushed filters, fixed
+  * dims must broadcast, and nothing may plan a cartesian product. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: NamedQuery): String =
+    q.run(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("windowed trade queries push the ts range down to the scan") {
+    Seq(TradeQueries.ohlcv1m, TradeQueries.topSymbols,
+      TradeQueries.candleMerge, TradeQueries.countAll).foreach { q =>
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,")
+        || p.contains("GreaterThanOrEqual(ts,"),
+        s"${q.name}: ts range not pushed to parquet scan")
+    }
+  }
+
+  test("symbol equality is pushed alongside the time range") {
+    val p = plan(TradeQueries.ohlcv1m)
+    assert(p.contains("EqualTo(event_type,click)"),
+      "symbol filter not pushed to scan")
+  }
+
+  test("star join broadcasts the fixed dims, never a cartesian") {
+    val p = plan(JoinQueries.revenueRegionMonth)
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join in star plan")
+    assert(!p.contains("CartesianProduct"), "cartesian product in star plan")
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
+    Seq(TradeQueries.latest10, TradeQueries.topSymbols,
+      JoinQueries.topSuppliers).foreach { q =>
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"${q.name}: top-k did not plan TakeOrderedAndProject")
+    }
+  }
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.registry.foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"),
+        s"${q.name}: cartesian product in plan")
+    }
+  }
+
+  test("scans read only the projected columns (column pruning)") {
+    val p = plan(TradeQueries.countAll)
+    // count over the time window needs ts only — the ReadSchema must not
+    // drag the full events row through the scan
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no ReadSchema in plan"))
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
+      s"count query reads unneeded columns: $readSchema")
+  }
+}

@@ -106,6 +106,35 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("compactMonth rewrites a partition to one sorted file") {
+    val path = tmpDir("store-compact")
+    // two appends → ≥2 files in the month dir
+    Store.writeTrades(mkTrades(Seq("2024-01")), path)
+    Store.writeTrades(mkTrades(Seq("2024-01")), path)
+    val before = Files.list(Paths.get(path + "/month=202401")).iterator()
+    val nBefore = Iterator.continually(before).takeWhile(_.hasNext)
+      .map(_.next()).count(_.getFileName.toString.endsWith(".parquet"))
+    assert(nBefore >= 2)
+
+    Store.compactMonth(spark, path, "202401")
+    val after = Files.list(Paths.get(path + "/month=202401")).iterator()
+    val nAfter = Iterator.continually(after).takeWhile(_.hasNext)
+      .map(_.next()).count(_.getFileName.toString.endsWith(".parquet"))
+    assert(nAfter == 1)
+    val back = spark.read.parquet(path + "/month=202401")
+    assert(back.count() == 20)
+    val tss = back.select("ts").collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(tss == tss.sorted)
+  }
+
+  test("bootstrap migrations create the warehouse layout idempotently") {
+    val wh = tmpDir("store-boot")
+    assert(graft.store.Bootstrap(spark, wh) == Seq(1, 2))
+    assert(Files.exists(Paths.get(s"$wh/trades")))
+    assert(Files.exists(Paths.get(s"$wh/trades_1m")))
+    assert(graft.store.Bootstrap(spark, wh).isEmpty) // second run: no-op
+  }
+
   test("catalog probe sees registered views") {
     mkTrades(Seq("2024-01")).createOrReplaceTempView("probe_trades")
     assert(Store.tableExists(spark, "probe_trades"))
