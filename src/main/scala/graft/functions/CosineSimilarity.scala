@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native codegen'd cosine similarity over two `array<float>` columns.
+  *
+  * The composed form (`aggregate(zip_with(...))`) is semantically
+  * identical but runs as *interpreted* higher-order lambdas — one virtual
+  * call per element per row. This expression stays inside whole-stage
+  * codegen: one fused loop, no per-element allocation, ~an order of
+  * magnitude faster on 64-dim embeddings. This is the (b)-tier extension
+  * path from the builder brief: a scalar `Expression` with `doGenCode`,
+  * reached only because the built-in formulation measurably can't keep
+  * up — everything else in the engine remains built-ins.
+  *
+  * Numerics are bit-identical to the composed form (and to the DuckDB
+  * oracle's `list_sum(list_transform(...))`): floats promote to double
+  * and accumulate sequentially in index order; `dot/(√na·√nb)` evaluates
+  * in the same IEEE order. Zero vectors yield NaN in both forms.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+
+  private val cosineInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, "graft_cosine")
+
+  private val cosineBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_cosine expects 2 arguments, got ${children.length}")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  /** Register `graft_cosine` on an already-built session (idempotent) —
+    * the path for driver-owned sessions that can't opt into
+    * [[GraftExtensions]] at build time. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+
+  private[functions] def injection =
+    (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+}
+
+/** `SparkSessionExtensions` entry point: sessions built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) get
+  * `graft_cosine` natively. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.injection)
+}

@@ -21,20 +21,21 @@ import graft.ops.Ops
   */
 object EmbQueries {
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
-
-  /** Sequential-fold dot product of two array<float> columns, in double. */
-  private def dotSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), " +
-      "cast(0.0 AS double), (acc, v) -> acc + v)"
+  }
 
   private def dotDuck(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Spark side: the native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]]) — bit-identical to the
+    * composed `aggregate(zip_with(...))` form and to [[cosDuck]], one
+    * fused loop instead of interpreted per-element lambdas. */
   private def cosSpark(a: String, b: String): String =
-    s"${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))"
+    s"graft_cosine($a, $b)"
 
   private def cosDuck(a: String, b: String): String =
     s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
@@ -76,10 +77,24 @@ object EmbQueries {
       s"list_sum(list_transform(range(1, 65), d -> " +
         s"(CASE WHEN strpos('0123456789abcdef', substr(md5($j || '-' || d), 1, 1)) - 1 >= 8 " +
         s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) * CAST($v[d] AS DOUBLE)))"
-    def projSpark(v: String, j: String): String =
-      s"aggregate(sequence(1, 64), cast(0.0 AS double), (acc, d) -> acc + " +
-        s"(CASE WHEN instr('0123456789abcdef', substr(md5(concat(cast($j AS string), '-', cast(d AS string))), 1, 1)) - 1 >= 8 " +
-        s"THEN cast(1.0 AS double) ELSE cast(-1.0 AS double) END) * cast(element_at($v, d) AS double))"
+    // The 8×64 hyperplane signs are CONSTANTS — resolve the md5s once on
+    // the driver (what a production deployment would precompute and
+    // broadcast) and inline them as a fused ±element_at sum that
+    // whole-stage codegen compiles flat. The oracle re-derives the same
+    // signs from md5 per row; values are identical because 0.0 - x ==
+    // (-1.0)*x exactly and the addition order is the same d=1..64 fold.
+    lazy val signs: Array[Array[Int]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(8, 64) { (j, d0) =>
+        val hex = md.digest(s"$j-${d0 + 1}".getBytes("UTF-8"))
+        if (((hex(0) >> 4) & 0xf) >= 8) 1 else -1
+      }
+    }
+    def projSpark(v: String, j: Int): String =
+      "(0.0D " + (1 to 64).map { d =>
+        val op = if (signs(j)(d - 1) > 0) "+" else "-"
+        s"$op cast(element_at($v, $d) AS double)"
+      }.mkString(" ") + ")"
     NamedQuery(
       "emb_lsh_pairs",
       s"""WITH bucketed AS (
@@ -97,9 +112,9 @@ object EmbQueries {
          |LIMIT 20""".stripMargin) { (s, d) =>
       val bucketed = emb(s, d).select(
         col("vec_id"), col("label"), col("embedding"),
-        expr(
-          s"array_join(transform(sequence(0, 7), j -> CASE WHEN " +
-            s"${projSpark("embedding", "j")} > 0 THEN '1' ELSE '0' END), '')")
+        expr("concat(" + (0 until 8).map(j =>
+          s"CASE WHEN ${projSpark("embedding", j)} > 0 THEN '1' ELSE '0' END")
+          .mkString(", ") + ")")
           .as("bucket"))
       bucketed.as("a")
         .join(bucketed.as("b"),
