@@ -158,5 +158,35 @@ object EventQueries {
   private def floorMinuteTs(us: Long): java.sql.Timestamp =
     new java.sql.Timestamp(us / 60000000L * 60000L)
 
-  val all: Seq[NamedQuery] = Seq(sessionization, userActivity, gapfillAsof)
+  /** Semi-structured props: JSON-path extraction in the batch path (the
+    * streaming path's `from_json` sibling, S2) — parse `props.k`, then
+    * ordinary typed aggregation. JSON parsing is per-row map work; the
+    * aggregation shuffles only (event_type) partials. */
+  val propsStats: NamedQuery = NamedQuery(
+    "events_props_stats",
+    """SELECT event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |            AS BIGINT) AS sum_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |            AS DOUBLE) / count(*) AS avg_k,
+      |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(k).as("sum_k"),
+        (sum(k).cast("double") / count(lit(1))).as("avg_k"),
+        min(k).as("min_k"),
+        max(k).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    sessionization, userActivity, gapfillAsof, propsStats)
 }

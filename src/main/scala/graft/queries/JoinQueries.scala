@@ -144,7 +144,37 @@ object JoinQueries {
       .orderBy("segment")
   }
 
+  /** Hierarchical totals via ROLLUP (region → nation → grand total):
+    * grouping-set aggregation — one pass, partial aggs per grouping set,
+    * same single-shuffle cost profile as a flat group-by. */
+  val revenueRollup: NamedQuery = NamedQuery(
+    "joins_revenue_rollup",
+    s"""SELECT r_name AS region, n_name AS nation,
+       |       ${Sql.dsumProd("l_extendedprice", "1 - l_discount")} AS revenue,
+       |       count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        Ops.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     revenueRegionMonth, topSuppliers, segmentPriority, brandVolume,
-    customersNoOrders)
+    customersNoOrders, revenueRollup)
 }
