@@ -152,5 +152,175 @@ object EmbQueries {
       .orderBy("label", "dim")
   }
 
-  val all: Seq[NamedQuery] = Seq(cosineTopK, lshPairs, labelCentroids)
+  /** kNN label classification within LSH buckets: each vector's 5
+    * nearest in-bucket neighbors vote; majority (fixed-width tie-break
+    * key) vs. the vector's own label → per-label accuracy. Rank windows
+    * partition by vec_id — bucket-local candidate generation keeps this
+    * off the all-pairs path at any scale. */
+  val knnAccuracy: NamedQuery = {
+    NamedQuery(
+      "emb_knn_accuracy",
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, label, embedding,
+         |         array_to_string(list_transform(range(0, 8),
+         |           j -> CASE WHEN list_sum(list_transform(range(1, 65), d ->
+         |                  (CASE WHEN strpos('0123456789abcdef',
+         |                               substr(md5(j || '-' || d), 1, 1)) - 1 >= 8
+         |                        THEN CAST(1 AS DOUBLE)
+         |                        ELSE CAST(-1 AS DOUBLE) END)
+         |                  * CAST(embedding[d] AS DOUBLE))) > 0
+         |                THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings
+         |),
+         |neigh AS (
+         |  SELECT a.vec_id, a.label AS true_label, b.label AS cand_label,
+         |         row_number() OVER (
+         |           PARTITION BY a.vec_id
+         |           ORDER BY ${cosDuck("a.embedding", "b.embedding")} DESC,
+         |                    b.vec_id) AS rk
+         |  FROM bucketed a
+         |  JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |),
+         |votes AS (
+         |  SELECT vec_id, true_label, cand_label, count(*) AS c
+         |  FROM neigh WHERE rk <= 5 GROUP BY 1, 2, 3
+         |),
+         |pred AS (
+         |  SELECT vec_id, true_label,
+         |         min_by(cand_label,
+         |                printf('%05d-%05d', 99999 - c, cand_label)) AS p
+         |  FROM votes GROUP BY 1, 2
+         |)
+         |SELECT true_label AS label,
+         |       count(*) AS n_vecs,
+         |       CAST(sum(CASE WHEN p = true_label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct
+         |FROM pred
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      // reuse the precomputed hyperplane signs from lshPairs' builder by
+      // rebuilding the same literal expression
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val signs = Array.tabulate(8, 64) { (j, d0) =>
+        val hex = md.digest(s"$j-${d0 + 1}".getBytes("UTF-8"))
+        if (((hex(0) >> 4) & 0xf) >= 8) 1 else -1
+      }
+      def proj(j: Int): String =
+        "(0.0D " + (1 to 64).map { dd =>
+          val op = if (signs(j)(dd - 1) > 0) "+" else "-"
+          s"$op cast(element_at(embedding, $dd) AS double)"
+        }.mkString(" ") + ")"
+      val bucketed = e.select(col("vec_id"), col("label"), col("embedding"),
+        expr("concat(" + (0 until 8).map(j =>
+          s"CASE WHEN ${proj(j)} > 0 THEN '1' ELSE '0' END").mkString(", ") +
+          ")").as("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a.vec_id"))
+        .orderBy(expr(cosSpark("a.embedding", "b.embedding")).desc,
+          col("b.vec_id"))
+      val neigh = bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("a.label").as("true_label"),
+          col("b.label").as("cand_label"),
+          row_number().over(w).as("rk"))
+      val votes = neigh.where(col("rk") <= 5)
+        .groupBy("vec_id", "true_label", "cand_label")
+        .agg(count(lit(1)).as("c"))
+      val pred = votes.groupBy("vec_id", "true_label")
+        .agg(min_by(col("cand_label"),
+          format_string("%05d-%05d", lit(99999) - col("c"),
+            col("cand_label"))).as("p"))
+      pred.groupBy(col("true_label").as("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(when(col("p") === col("true_label"), 1).otherwise(0))
+            .as("n_correct"))
+        .orderBy("label")
+    }
+  }
+
+  /** IVF-style top-k: per-label centroids act as the coarse quantizer;
+    * the query probes its nearest centroid's cell only, then ranks that
+    * cell's vectors by exact cosine. The centroid table is O(cells) —
+    * broadcastable at any corpus size; only one cell's vectors are
+    * scored. (A production IVF would train cells with k-means; the cell
+    * *mechanics* — coarse probe then cell-local exact search — are
+    * identical.) */
+  val ivfTopK: NamedQuery = {
+    val dotD = "aggregate(zip_with(%A, %B, (x, y) -> x * y), " +
+      "cast(0.0 AS double), (acc, v) -> acc + v)"
+    def dotSparkD(a: String, b: String) =
+      dotD.replace("%A", a).replace("%B", b)
+    def cosSparkD(a: String, b: String) =
+      s"${dotSparkD(a, b)} / (sqrt(${dotSparkD(a, a)}) * sqrt(${dotSparkD(b, b)}))"
+    def dotDuckD(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+    def cosDuckD(a: String, b: String) =
+      s"${dotDuckD(a, b)} / (sqrt(${dotDuckD(a, a)}) * sqrt(${dotDuckD(b, b)}))"
+    NamedQuery(
+      "emb_ivf_topk",
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0
+         |),
+         |comp AS (
+         |  SELECT label, i AS dim,
+         |         ${Sql.avgFloat("CAST(embedding[i] AS DOUBLE)")} AS m
+         |  FROM embeddings, unnest(range(1, 65)) AS u(i)
+         |  GROUP BY 1, 2
+         |),
+         |cents AS (
+         |  SELECT label, list(m ORDER BY dim) AS centroid
+         |  FROM comp GROUP BY 1
+         |),
+         |best AS (
+         |  SELECT label AS cell
+         |  FROM cents, q
+         |  ORDER BY ${cosDuckD("centroid", "qv")} DESC, label
+         |  LIMIT 1
+         |)
+         |SELECT e.vec_id, e.label,
+         |       ${cosDuck("q.qv2", "e.embedding")} AS sim
+         |FROM embeddings e
+         |JOIN best ON e.label = best.cell
+         |CROSS JOIN (SELECT embedding AS qv2 FROM embeddings
+         |            WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val q = e.where(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
+      val comp = e
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          col("v").cast("double").as("v"))
+        .groupBy("label", "dim")
+        .agg(Ops.avgFloat(col("v")).as("m"))
+      val cents = comp.groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
+          .as("centroid"))
+      val best = cents.crossJoin(broadcast(q))
+        .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("label"))
+        .limit(1)
+        .select(col("label").as("cell"))
+      val q2 = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv2"))
+      e.where(col("vec_id") =!= 0)
+        .join(broadcast(best), col("label") === col("cell"))
+        .crossJoin(broadcast(q2))
+        .select(col("vec_id"), col("label"),
+          expr(cosSpark("qv2", "embedding")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    cosineTopK, lshPairs, labelCentroids, knnAccuracy, ivfTopK)
 }

@@ -149,6 +149,41 @@ class StreamingSpec extends SparkSpec {
       (60000L, 120.0, 120.0, 1.0, 1L)))
   }
 
+  test("streaming replay dedup: dropDuplicatesWithinWatermark absorbs redelivery") {
+    // the in-flight analogue of the ReplacingMergeTree/dedup-view
+    // semantics (ST1): a reconnect redelivers trades; keyed dedup within
+    // the watermark drops them before they reach the sink
+    val src = tmpDir("dedup-src")
+    val out = tmpDir("dedup-out")
+    val ckpt = tmpDir("dedup-ckpt")
+    val batch = Seq(
+      tradeJson("BTC", 1, 100.0, 1.0, 10),
+      tradeJson("BTC", 2, 101.0, 1.0, 20),
+      tradeJson("BTC", 1, 100.0, 1.0, 10), // same-file duplicate
+      tradeJson("BTC", 3, 102.0, 1.0, 30))
+    Files.writeString(Paths.get(src, "b1.json"), batch.mkString("\n"))
+    // redelivered batch (reconnect replay)
+    Files.writeString(Paths.get(src, "b2.json"),
+      Seq(tradeJson("BTC", 2, 101.0, 1.0, 20),
+        tradeJson("BTC", 4, 103.0, 1.0, 40)).mkString("\n"))
+
+    val deduped = tradeStream(src)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("ts", "symbol", "trade_id")
+    val q = deduped.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("append").parquet(out); ()
+      }
+      .start()
+    q.awaitTermination(60000)
+
+    val written = spark.read.parquet(out)
+    assert(written.count() == 4) // ids 1..4 exactly once
+    assert(written.select("trade_id").distinct().count() == 4)
+  }
+
   test("StreamManager lifecycle: idle → running → idle, with row counters") {
     val src = tmpDir("mgr-src")
     val out = tmpDir("mgr-out")
