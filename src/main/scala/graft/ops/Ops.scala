@@ -20,9 +20,19 @@ object Ops {
     */
   val Dec: DecimalType = DecimalType(38, 10)
 
+  /** Decimal → double through the decimal's exact digit string. A direct
+    * decimal→double cast is correctly rounded in Spark (BigDecimal) but
+    * DOUBLE-ROUNDS in DuckDB when the backing int128 exceeds 2^53 (it
+    * converts the integer then divides), landing 1 ulp off for large
+    * sums. Both engines parse numeric strings correctly rounded at any
+    * magnitude, so the string hop makes the conversion identical — the
+    * oracle twins apply the same `CAST(CAST(x AS VARCHAR) AS DOUBLE)`. */
+  private def decToDouble(c: Column): Column =
+    c.cast("string").cast("double")
+
   /** Order-insensitive exact sum of a double column (null on empty group,
     * like SQL SUM). */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+  def dsum(c: Column): Column = decToDouble(sum(c.cast(Dec)))
 
   /** Narrow money decimal for PRODUCTS of columns. Multiplying two
     * `Dec`(38,10) operands would force Spark to shrink the result scale
@@ -45,18 +55,18 @@ object Ops {
     * path double-rounds and can land 1 ulp away from Java's exact
     * BigDecimal conversion). */
   def dsumProd(a: Column, b: Column): Column =
-    sum(a.cast(Money) * b.cast(Money)).cast(DecimalType(38, 4)).cast("double")
+    decToDouble(sum(a.cast(Money) * b.cast(Money)))
 
   /** Exact sum that is 0 (not null) on an empty group — ClickHouse `sum`
     * over zero rows semantics (SURVEY.md §7.5-4). */
   def dsum0(c: Column): Column =
-    coalesce(sum(c.cast(Dec)), lit(0).cast(Dec)).cast("double")
+    decToDouble(coalesce(sum(c.cast(Dec)), lit(0).cast(Dec)))
 
   /** ClickHouse `sumIf(expr, cond)` (reference: api/server.py:146-147):
     * conditional sum, 0 on empty match set. `when` without `otherwise`
     * yields null, which `sum` skips; `coalesce` restores CH's 0. */
   def sumIf(c: Column, p: Column): Column =
-    coalesce(sum(when(p, c).cast(Dec)), lit(0).cast(Dec)).cast("double")
+    decToDouble(coalesce(sum(when(p, c).cast(Dec)), lit(0).cast(Dec)))
 
   /** Exact mean: exact sum / count. Plain `avg` over doubles is
     * order-sensitive like `sum`. */
@@ -68,14 +78,13 @@ object Ops {
     * expansion in DuckDB, which can straddle a boundary and drift. Going
     * through the shortest-repr STRING makes both engines parse the same
     * ≤17-significant-digit decimal exactly at scale 25 (no rounding at
-    * all), so the sums are identical; the explicit `round(_, 12)` before
-    * the double cast (NOT a decimal downcast — DuckDB truncates those
-    * while Spark rounds) keeps the backing int128 under 2^53 for a
-    * single, identical final rounding
-    * ([[graft.queries.Sql.avgFloat]] is the twin). */
+    * all), so the sums are identical; `round(_, 12)` (NOT a decimal
+    * downcast — DuckDB truncates those while Spark rounds) then the
+    * string-hop double conversion make the final value identical at any
+    * magnitude ([[graft.queries.Sql.avgFloat]] is the twin). */
   def avgFloat(c: Column): Column =
-    round(sum(c.cast("string").cast(DecimalType(38, 25))), 12)
-      .cast("double") / count(lit(1))
+    decToDouble(round(sum(c.cast("string").cast(DecimalType(38, 25))), 12)) /
+      count(lit(1))
 
   /** Volume-weighted average price for the rows matching `p`
     * (reference: api/server.py:148-149):

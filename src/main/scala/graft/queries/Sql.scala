@@ -27,18 +27,23 @@ object Sql {
   /** `WITH trades AS (…), anchor AS (…)` prelude for the trade queries. */
   val tradesWith: String = s"WITH $tradesCte,\n$anchorCte"
 
+  /** Decimal → double via the exact digit string (DuckDB's direct cast
+    * double-rounds above 2^53) — see [[graft.ops.Ops]] `decToDouble`. */
+  private def d2d(expr: String): String =
+    s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
+
   /** Order-insensitive exact double sum — see [[graft.ops.Ops.dsum]]. */
   def dsum(expr: String): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(38,10))) AS DOUBLE)"
+    d2d(s"sum(CAST($expr AS DECIMAL(38,10)))")
 
   /** Exact `sum(a * b)` with the multiply in decimal — see
     * [[graft.ops.Ops.dsumProd]]. */
   def dsumProd(a: String, b: String): String =
-    s"CAST(CAST(sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE)"
+    d2d(s"sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6)))")
 
   /** ClickHouse sumIf (0 on empty match set) — see [[graft.ops.Ops.sumIf]]. */
   def sumIf(expr: String, cond: String): String =
-    s"CAST(coalesce(sum(CAST($expr AS DECIMAL(38,10))) FILTER (WHERE $cond), 0) AS DOUBLE)"
+    d2d(s"coalesce(sum(CAST($expr AS DECIMAL(38,10))) FILTER (WHERE $cond), 0)")
 
   /** VWAP over the rows matching `cond` — see [[graft.ops.Ops.vwap]]. */
   def vwap(price: String, qty: String, cond: String): String =
@@ -50,7 +55,8 @@ object Sql {
   /** Exact mean for full-precision doubles (shortest-repr-string route) —
     * see [[graft.ops.Ops.avgFloat]]. */
   def avgFloat(expr: String): String =
-    s"CAST(round(sum(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,25))), 12) AS DOUBLE) / count(*)"
+    d2d(s"round(sum(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,25))), 12)") +
+      " / count(*)"
 
   /** The OHLCV candle select list — see [[graft.ops.Ops.ohlcvAggs]]. */
   val ohlcvSelect: String =
