@@ -37,7 +37,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // r1 subset total keeps round-over-round comparison meaningful as the
+    // registry grows (round-1's 24.08s baseline covered these 11 only)
+    val r1Names = Set("trades_ohlcv_1m", "trades_top_symbols",
+      "trades_live_trades", "trades_live_buy_sell", "trades_hist_buy_sell",
+      "trades_count", "trades_latest10", "trades_top10_6h",
+      "trades_minute_trend", "trades_candle_merge", "trades_dedup_replay")
+    val r1Total = results.filter(r => r1Names(r._1)).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"r1_subset_total":$r1Total}""")
     spark.stop()
   }
 }
