@@ -54,6 +54,22 @@ object Store {
   def readTrades(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).withColumn("month", col("month").cast("string"))
 
+  /** The 100 TB windowed read path over a partitioned store: a `month`
+    * predicate prunes whole partition directories BEFORE listing/scanning
+    * (yyyyMM strings compare correctly lexicographically), and the `ts`
+    * literal reaches the surviving files as a pushed filter for
+    * row-group skipping — the engine-side equivalent of ClickHouse's
+    * partition prune + sparse-index granule skip. */
+  def readTradesSince(spark: SparkSession, path: String,
+                      sinceMicros: Long): DataFrame = {
+    val sinceMonth = monthsBetween(sinceMicros, sinceMicros).head
+    val sinceTs = java.time.Instant.ofEpochSecond(
+      sinceMicros / 1000000L, (sinceMicros % 1000000L) * 1000L)
+    readTrades(spark, path)
+      .where(col("month") >= sinceMonth &&
+        col("ts") >= lit(java.sql.Timestamp.from(sinceTs)))
+  }
+
   /** Month keys covering `[from, until]`, for query-side partition
     * pruning: `readTrades(...).where(col("month").isin(monthsBetween(a,b):_*))`. */
   def monthsBetween(fromMicros: Long, untilMicros: Long): Seq[String] = {

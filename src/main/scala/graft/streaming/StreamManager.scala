@@ -43,6 +43,23 @@ final class StreamManager(name: String) {
     this
   }
 
+  /** ST7: start with bounded restart-on-failure. The reference's WS loop
+    * surfaces errors to status with no auto-retry
+    * (api/collector.py:120-126); Structured Streaming does better — a
+    * relaunched query resumes from its checkpoint, so restarts are safe
+    * and lossless. Retries launch failures up to `maxRetries` times,
+    * recording each error; gives up to Idle + last_error after that. */
+  def startWithRetry(launch: () => StreamingQuery,
+                     maxRetries: Int = 3): this.type = synchronized {
+    var attempts = 0
+    start(launch)
+    while (currentState == "idle" && attempts < maxRetries) {
+      attempts += 1
+      start(launch)
+    }
+    this
+  }
+
   /** Graceful stop — processes the in-flight batch first (the reference's
     * shutdown flush, src/stream_binance.py:116-119). */
   def stop(): this.type = synchronized {

@@ -135,6 +135,38 @@ class StoreSpec extends SparkSpec {
     assert(graft.store.Bootstrap(spark, wh).isEmpty) // second run: no-op
   }
 
+  test("windowed read prunes partitions AND pushes the ts filter") {
+    val path = tmpDir("store-window")
+    Store.writeTrades(mkTrades(Seq("2024-01", "2024-02", "2024-03")), path,
+      SaveMode.Overwrite)
+    val sinceUs =
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime * 1000L
+    val df = Store.readTradesSince(spark, path, sinceUs)
+    // only Feb+Mar files feed the scan
+    val files = df.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("month=202402") || f.contains("month=202403")))
+    assert(df.count() == 20)
+    // and the ts literal is a pushed filter on the surviving files
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(ts,"))
+  }
+
+  test("candles over the partitioned store match candles over the source") {
+    val path = tmpDir("store-roundtrip-q")
+    val src = Tables.trades(spark, "/root/testdata/sf0.001")
+    Store.writeTrades(src, path, SaveMode.Overwrite)
+    val fromStore = graft.streaming.CandlePipeline
+      .candles(Store.readTrades(spark, path).drop("month", "ingested_at"))
+      .orderBy("minute", "symbol").collect().map(_.toString).toSeq
+    val direct = graft.streaming.CandlePipeline
+      .candles(src)
+      .orderBy("minute", "symbol").collect().map(_.toString).toSeq
+    assert(fromStore == direct && fromStore.nonEmpty)
+  }
+
   test("catalog probe sees registered views") {
     mkTrades(Seq("2024-01")).createOrReplaceTempView("probe_trades")
     assert(Store.tableExists(spark, "probe_trades"))

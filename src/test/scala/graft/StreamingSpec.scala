@@ -184,6 +184,18 @@ class StreamingSpec extends SparkSpec {
     assert(written.select("trade_id").distinct().count() == 4)
   }
 
+  test("startWithRetry retries failed launches and surfaces the error") {
+    val mgr = new StreamManager("flaky")
+    var attempts = 0
+    mgr.startWithRetry(() => {
+      attempts += 1
+      throw new RuntimeException(s"boom $attempts")
+    }, maxRetries = 2)
+    assert(attempts == 3) // initial + 2 retries
+    assert(mgr.currentState == "idle")
+    assert(mgr.status("last_error").asInstanceOf[String].contains("boom"))
+  }
+
   test("StreamManager lifecycle: idle → running → idle, with row counters") {
     val src = tmpDir("mgr-src")
     val out = tmpDir("mgr-out")
