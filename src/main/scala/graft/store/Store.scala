@@ -43,6 +43,7 @@ object Store {
       .sortWithinPartitions("month", "ts", "symbol", "trade_id")
       .write
       .mode(mode)
+      .option("compression", "zstd")
       .partitionBy("month")
       .parquet(path)
 
@@ -119,7 +120,9 @@ object Store {
       spark.read.parquet(dir)
         .repartition(1)
         .sortWithinPartitions("ts", "symbol", "trade_id")
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .parquet(tmp)
       val target = Paths.get(dir)
       Files.walk(target).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))

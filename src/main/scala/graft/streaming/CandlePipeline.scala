@@ -72,23 +72,91 @@ object CandlePipeline {
       }
       .start()
 
-  /** Merge partial candles back into final per-(minute,symbol) candles —
-    * the correct-readback query over the partials table (ST4). The
-    * fixed-width `(epoch_us, block)` tie-break key makes `min_by`/`max_by`
-    * deterministic when equal timestamps span blocks. */
-  def readCandles(partials: DataFrame): DataFrame = {
-    def key(ts: org.apache.spark.sql.Column) =
-      format_string("%019d-%019d", unix_micros(ts), col("block"))
+  private def tieKey(ts: org.apache.spark.sql.Column) =
+    format_string("%019d-%019d", unix_micros(ts), col("block"))
+
+  /** Merge partial candles into one combined PARTIAL per (minute,symbol),
+    * keeping the open_ts/close_ts anchors so the result can merge again
+    * later. The fixed-width `(epoch_us, block)` tie-break key makes
+    * `min_by`/`max_by` deterministic when equal timestamps span blocks. */
+  def mergePartials(partials: DataFrame): DataFrame =
     partials
       .groupBy("minute", "symbol")
       .agg(
-        min_by(col("open"), key(col("open_ts"))).as("open"),
+        min(col("open_ts")).as("open_ts"),
+        max(col("close_ts")).as("close_ts"),
+        min_by(col("open"), tieKey(col("open_ts"))).as("open"),
         max(col("high")).as("high"),
         min(col("low")).as("low"),
-        max_by(col("close"), key(col("close_ts"))).as("close"),
+        max_by(col("close"), tieKey(col("close_ts"))).as("close"),
         Ops.dsum(col("volume")).as("volume"),
         sum(col("trades")).as("trades"))
-  }
+
+  /** Merge partial candles back into final per-(minute,symbol) candles —
+    * the correct-readback query over the partials table (ST4). */
+  def readCandles(partials: DataFrame): DataFrame =
+    partials
+      .groupBy("minute", "symbol")
+      .agg(
+        min_by(col("open"), tieKey(col("open_ts"))).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), tieKey(col("close_ts"))).as("close"),
+        Ops.dsum(col("volume")).as("volume"),
+        sum(col("trades")).as("trades"))
+
+  /** Third maintenance variant: an UPSERT candle store on plain parquet.
+    * Each micro-batch merges its partial candles into the stored final
+    * candles for ONLY the (minute, symbol) keys it touched — read the
+    * affected keys' current rows, re-merge, rewrite. Readers see final
+    * candles directly (no read-side merge), late data still lands
+    * correctly. This is the merge-on-write point in the design space
+    * between [[partialSink]] (write-cheap, merge-on-read — the reference)
+    * and [[candleSink]] (watermark-final, drops very-late rows); at
+    * 100 TB the rewrite amortizes because a micro-batch touches O(active
+    * minutes × symbols) keys, not the table. Plain-parquet caveat: the
+    * overwrite is not transactional — production would use a table
+    * format's MERGE (Delta/Iceberg) for atomicity; the merge algebra is
+    * identical. */
+  def upsertSink(trades: DataFrame, candlesPath: String,
+                 checkpointPath: String,
+                 trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : StreamingQuery =
+    trades.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val incoming = partialCandles(batch, batchId)
+        val dir = java.nio.file.Paths.get(candlesPath, "data")
+        val existing =
+          if (java.nio.file.Files.exists(dir))
+            spark.read.parquet(dir.toString)
+          else incoming.limit(0)
+        // only partials for keys touched by this batch join the merge;
+        // everything else is carried over untouched
+        val touched = incoming.select("minute", "symbol").distinct()
+        val affected = existing.join(touched, Seq("minute", "symbol"),
+          "left_semi")
+        val untouched = existing.join(touched, Seq("minute", "symbol"),
+          "left_anti")
+        // merged rows keep open_ts/close_ts so they remain mergeable
+        // when later batches touch the same minute again
+        val restate = mergePartials(affected.unionByName(incoming))
+          .withColumn("block", lit(batchId))
+          .select(untouched.columns.map(col).toIndexedSeq: _*)
+        val tmp = s"$candlesPath/.next"
+        untouched.unionByName(restate)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir)
+        ()
+      }
+      .start()
 
   /** ST4 option (a): the Spark-native incremental candle stream —
     * watermarked tumbling-window OHLCV with bounded state. Append mode

@@ -123,6 +123,43 @@ class StreamingSpec extends SparkSpec {
       col("minute") === timestamp_seconds(lit(0))).count() >= 2)
   }
 
+  test("upsert candle store: merge-on-write equals batch, late rows included") {
+    val src = tmpDir("upsert-src")
+    val store = tmpDir("upsert-store")
+    val ckpt = tmpDir("upsert-ckpt")
+    Files.writeString(Paths.get(src, "b1.json"), Seq(
+      tradeJson("BTC", 1, 100.0, 1.0, 10),
+      tradeJson("BTC", 2, 110.0, 2.0, 50),
+      tradeJson("ETH", 3, 10.0, 1.0, 65)).mkString("\n"))
+    val q1 = CandlePipeline.upsertSink(
+      tradeStream(src), store, ckpt, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    // second batch: a LATE row for BTC minute 0 (earlier than the stored
+    // open) plus a new minute — the merge must restate minute 0's open
+    Files.writeString(Paths.get(src, "b2.json"), Seq(
+      tradeJson("BTC", 4, 95.0, 1.0, 5),
+      tradeJson("BTC", 5, 120.0, 1.0, 70)).mkString("\n"))
+    val q2 = CandlePipeline.upsertSink(
+      tradeStream(src), store, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+
+    val allTrades = spark.read
+      .schema("symbol STRING, trade_id LONG, price DOUBLE, qty DOUBLE, ts LONG")
+      .json(src)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("minute", "symbol", "open", "high", "low", "close",
+        "volume", "trades")
+        .orderBy("minute", "symbol").collect().map(_.toString).toSeq
+    val stored = snap(spark.read.parquet(s"$store/data"))
+    val direct = snap(CandlePipeline.candles(allTrades))
+    assert(stored == direct)
+    // exactly one stored row per key — reader needs no merge
+    val dup = spark.read.parquet(s"$store/data")
+      .groupBy("minute", "symbol").count().where(col("count") > 1).count()
+    assert(dup == 0)
+  }
+
   test("watermarked streaming candles match batch on closed windows") {
     val src = tmpDir("wm-src")
     val out = tmpDir("wm-out")
