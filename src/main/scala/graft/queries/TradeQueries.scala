@@ -343,7 +343,84 @@ object TradeQueries {
       .orderBy("symbol")
   }
 
+  /** 10-minute trailing moving volume per minute (RANGE window frame
+    * over epoch-micros). Two-level: per-minute partial aggregation first
+    * (so the window runs over O(minutes) rows, not raw trades), then the
+    * moving sum. Windowed per symbol in practice — here one symbol, so
+    * the single-partition window is O(lookback minutes). */
+  val movingVolume: NamedQuery = NamedQuery(
+    "trades_moving_volume",
+    s"""$tradesWith,
+       |per_min AS (
+       |  SELECT date_trunc('minute', ts) AS minute,
+       |         sum(CAST(qty AS DECIMAL(38,10))) AS vol_dec,
+       |         count(*) AS n
+       |  FROM trades, anchor
+       |  WHERE symbol = 'click' AND ts >= t_anchor - INTERVAL 720 MINUTE
+       |  GROUP BY 1
+       |)
+       |SELECT minute,
+       |       CAST(CAST(sum(vol_dec) OVER w AS VARCHAR) AS DOUBLE)
+       |         AS vol_10m,
+       |       CAST(sum(n) OVER w AS BIGINT) AS trades_10m
+       |FROM per_min
+       |WINDOW w AS (ORDER BY epoch_us(minute)
+       |             RANGE BETWEEN 540000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY minute""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val perMin = windowed(s, d, 720)
+      .where(col("symbol") === "click")
+      .groupBy(Ops.minuteOf(col("ts")).as("minute"))
+      .agg(sum(col("qty").cast(Ops.Dec)).as("vol_dec"),
+        count(lit(1)).as("n"))
+    val w = Window.orderBy(col("mus"))
+      .rangeBetween(-540000000L, Window.currentRow)
+    perMin
+      .withColumn("mus", unix_micros(col("minute")))
+      .select(col("minute"),
+        sum(col("vol_dec")).over(w).cast("string").cast("double")
+          .as("vol_10m"),
+        sum(col("n")).over(w).as("trades_10m"))
+      .orderBy("minute")
+  }
+
+  /** Volume share per symbol: percent-of-total via an unbounded window
+    * over the aggregated per-symbol rows (O(symbols), shuffle-free after
+    * the partial agg). */
+  val volumeShare: NamedQuery = NamedQuery(
+    "trades_volume_share",
+    s"""$tradesWith,
+       |base AS (
+       |  SELECT symbol, sum(CAST(qty AS DECIMAL(38,10))) AS vd,
+       |         count(*) AS trades
+       |  FROM trades, anchor
+       |  WHERE ts >= t_anchor - INTERVAL 1440 MINUTE
+       |  GROUP BY 1
+       |)
+       |SELECT symbol,
+       |       CAST(CAST(vd AS VARCHAR) AS DOUBLE) AS volume,
+       |       CAST(CAST(vd AS VARCHAR) AS DOUBLE)
+       |         / CAST(CAST(sum(vd) OVER () AS VARCHAR) AS DOUBLE) AS share,
+       |       trades
+       |FROM base
+       |ORDER BY volume DESC, symbol""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = windowed(s, d, 1440)
+      .groupBy("symbol")
+      .agg(sum(col("qty").cast(Ops.Dec)).as("vd"),
+        count(lit(1)).as("trades"))
+    base.select(
+      col("symbol"),
+      col("vd").cast("string").cast("double").as("volume"),
+      (col("vd").cast("string").cast("double") /
+        sum(col("vd")).over(Window.partitionBy())
+          .cast("string").cast("double")).as("share"),
+      col("trades"))
+      .orderBy(col("volume").desc, col("symbol"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
-    countAll, latest10, top10Prewhere, minuteTrend, candleMerge, dedupLatest)
+    countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
+    dedupLatest, movingVolume, volumeShare)
 }
