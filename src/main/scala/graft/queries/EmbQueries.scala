@@ -40,6 +40,44 @@ object EmbQueries {
   private def cosDuck(a: String, b: String): String =
     s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
 
+  /** The 8×64 LSH hyperplane signs — constants, resolved once driver-side
+    * (the precompute-and-broadcast shape). The oracle re-derives the same
+    * signs from md5 per row. */
+  private lazy val hyperplaneSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(8, 64) { (j, d0) =>
+      val hex = md.digest(s"$j-${d0 + 1}".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) >= 8) 1 else -1
+    }
+  }
+
+  /** Sign projection of `v` onto hyperplane `j` as a fused ±element_at
+    * sum (codegen-flat; identical to the oracle's md5-derived fold:
+    * 0.0 - x == (-1.0)*x exactly, same d=1..64 order). */
+  private def projExpr(v: String, j: Int): String =
+    "(0.0D " + (1 to 64).map { d =>
+      val op = if (hyperplaneSigns(j)(d - 1) > 0) "+" else "-"
+      s"$op cast(element_at($v, $d) AS double)"
+    }.mkString(" ") + ")"
+
+  /** 8-bit LSH bucket key of `v`. */
+  private def bucketExpr(v: String): String =
+    "concat(" + (0 until 8).map(j =>
+      s"CASE WHEN ${projExpr(v, j)} > 0 THEN '1' ELSE '0' END")
+      .mkString(", ") + ")"
+
+  /** Oracle twin of [[bucketExpr]]'s per-hyperplane projection. */
+  private def projDuckExpr(v: String, j: String): String =
+    s"list_sum(list_transform(range(1, 65), d -> " +
+      s"(CASE WHEN strpos('0123456789abcdef', substr(md5($j || '-' || d), 1, 1)) - 1 >= 8 " +
+      s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) * CAST($v[d] AS DOUBLE)))"
+
+  /** Oracle twin of [[bucketExpr]]. */
+  private def bucketDuckExpr(v: String): String =
+    s"""array_to_string(list_transform(range(0, 8),
+       |  j -> CASE WHEN ${projDuckExpr(v, "j")} > 0
+       |       THEN '1' ELSE '0' END), '')""".stripMargin
+
   /** Brute-force cosine top-10 against a single query vector (vec_id 0).
     * The query vector joins as a 1-row broadcast; every other vector is
     * scored map-side and the top-k is `TakeOrderedAndProject` — linear
@@ -73,35 +111,11 @@ object EmbQueries {
     * deployment the 8×64 hyperplane signs would be precomputed once and
     * broadcast; here they fold into codegen as constants-per-row.) */
   val lshPairs: NamedQuery = {
-    def projDuck(v: String, j: String): String =
-      s"list_sum(list_transform(range(1, 65), d -> " +
-        s"(CASE WHEN strpos('0123456789abcdef', substr(md5($j || '-' || d), 1, 1)) - 1 >= 8 " +
-        s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) * CAST($v[d] AS DOUBLE)))"
-    // The 8×64 hyperplane signs are CONSTANTS — resolve the md5s once on
-    // the driver (what a production deployment would precompute and
-    // broadcast) and inline them as a fused ±element_at sum that
-    // whole-stage codegen compiles flat. The oracle re-derives the same
-    // signs from md5 per row; values are identical because 0.0 - x ==
-    // (-1.0)*x exactly and the addition order is the same d=1..64 fold.
-    lazy val signs: Array[Array[Int]] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      Array.tabulate(8, 64) { (j, d0) =>
-        val hex = md.digest(s"$j-${d0 + 1}".getBytes("UTF-8"))
-        if (((hex(0) >> 4) & 0xf) >= 8) 1 else -1
-      }
-    }
-    def projSpark(v: String, j: Int): String =
-      "(0.0D " + (1 to 64).map { d =>
-        val op = if (signs(j)(d - 1) > 0) "+" else "-"
-        s"$op cast(element_at($v, $d) AS double)"
-      }.mkString(" ") + ")"
     NamedQuery(
       "emb_lsh_pairs",
       s"""WITH bucketed AS (
          |  SELECT vec_id, label, embedding,
-         |         array_to_string(list_transform(range(0, 8),
-         |           j -> CASE WHEN ${projDuck("embedding", "j")} > 0
-         |                THEN '1' ELSE '0' END), '') AS bucket
+         |         ${bucketDuckExpr("embedding")} AS bucket
          |  FROM embeddings
          |)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
@@ -112,10 +126,7 @@ object EmbQueries {
          |LIMIT 20""".stripMargin) { (s, d) =>
       val bucketed = emb(s, d).select(
         col("vec_id"), col("label"), col("embedding"),
-        expr("concat(" + (0 until 8).map(j =>
-          s"CASE WHEN ${projSpark("embedding", j)} > 0 THEN '1' ELSE '0' END")
-          .mkString(", ") + ")")
-          .as("bucket"))
+        expr(bucketExpr("embedding")).as("bucket"))
       bucketed.as("a")
         .join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") &&
@@ -162,14 +173,7 @@ object EmbQueries {
       "emb_knn_accuracy",
       s"""WITH bucketed AS (
          |  SELECT vec_id, label, embedding,
-         |         array_to_string(list_transform(range(0, 8),
-         |           j -> CASE WHEN list_sum(list_transform(range(1, 65), d ->
-         |                  (CASE WHEN strpos('0123456789abcdef',
-         |                               substr(md5(j || '-' || d), 1, 1)) - 1 >= 8
-         |                        THEN CAST(1 AS DOUBLE)
-         |                        ELSE CAST(-1 AS DOUBLE) END)
-         |                  * CAST(embedding[d] AS DOUBLE))) > 0
-         |                THEN '1' ELSE '0' END), '') AS bucket
+         |         ${bucketDuckExpr("embedding")} AS bucket
          |  FROM embeddings
          |),
          |neigh AS (
@@ -198,23 +202,9 @@ object EmbQueries {
          |FROM pred
          |GROUP BY 1
          |ORDER BY 1""".stripMargin) { (s, d) =>
-      val e = emb(s, d)
-      // reuse the precomputed hyperplane signs from lshPairs' builder by
-      // rebuilding the same literal expression
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val signs = Array.tabulate(8, 64) { (j, d0) =>
-        val hex = md.digest(s"$j-${d0 + 1}".getBytes("UTF-8"))
-        if (((hex(0) >> 4) & 0xf) >= 8) 1 else -1
-      }
-      def proj(j: Int): String =
-        "(0.0D " + (1 to 64).map { dd =>
-          val op = if (signs(j)(dd - 1) > 0) "+" else "-"
-          s"$op cast(element_at(embedding, $dd) AS double)"
-        }.mkString(" ") + ")"
-      val bucketed = e.select(col("vec_id"), col("label"), col("embedding"),
-        expr("concat(" + (0 until 8).map(j =>
-          s"CASE WHEN ${proj(j)} > 0 THEN '1' ELSE '0' END").mkString(", ") +
-          ")").as("bucket"))
+      val bucketed = emb(s, d).select(
+        col("vec_id"), col("label"), col("embedding"),
+        expr(bucketExpr("embedding")).as("bucket"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("a.vec_id"))
         .orderBy(expr(cosSpark("a.embedding", "b.embedding")).desc,

@@ -87,6 +87,35 @@ class CandleSpec extends SparkSpec {
     }
   }
 
+  test("sequential restating merge == direct merge, including ts ties across blocks") {
+    // the upsert store's invariant: merging blocks 0..1, restating the
+    // result under a newer block id, then merging block 2 must equal the
+    // direct 3-block merge — ESPECIALLY when open_ts/close_ts tie across
+    // blocks (coarse 10s timestamps force collisions)
+    val rnd = new scala.util.Random(11)
+    (1 to 6).foreach { _ =>
+      val rows = (1 to 40).map { i =>
+        ("S" + rnd.nextInt(2), i.toLong,
+          (1 + rnd.nextInt(500)) / 10.0, 1.0,
+          rnd.nextInt(12).toLong * 10L,   // 0..110s in 10s steps → ties
+          rnd.nextInt(3))                 // 3 blocks
+      }
+      val trades = mkTrades(rows)
+      def partials(b: Int) = CandlePipeline.partialCandles(
+        trades.where(col("block") === b), b.toLong)
+      val direct = CandlePipeline
+        .readCandles(partials(0).unionByName(partials(1)).unionByName(partials(2)))
+        .orderBy("minute", "symbol").collect().map(_.toString).toSeq
+      val restated = CandlePipeline
+        .mergePartials(partials(0).unionByName(partials(1)))
+        .withColumn("block", lit(1L)) // restate under the newest merged id
+      val sequential = CandlePipeline
+        .readCandles(restated.unionByName(partials(2)))
+        .orderBy("minute", "symbol").collect().map(_.toString).toSeq
+      assert(sequential == direct)
+    }
+  }
+
   test("candle invariants: low <= min(open, close) <= max(open, close) <= high") {
     val trades = mkTrades(
       (1 to 200).map(i => ("S" + i % 3, i.toLong, (i * 37 % 100) + 1.0,
