@@ -93,7 +93,18 @@ object Tables {
       col("ts"),
       (col("event_id") % 2).cast("int").as("is_buyer_maker"))
 
-  private val anchorCache = new ConcurrentHashMap[(String, String), Long]()
+  // Weak-keyed by session so entries die with their session (an
+  // identity-hash key could collide after GC and would leak forever);
+  // invalidate(dir) covers data changing under a live session.
+  private val anchorCache =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, Long]]()
+
+  /** Drop memoized anchors for `dir` (all sessions) — call after
+    * appending to / regenerating a corpus a live session already
+    * queried. */
+  def invalidateAnchor(dir: String): Unit = anchorCache.synchronized {
+    anchorCache.values.forEach(m => { m.remove(dir); () })
+  }
 
   /** Deterministic "query time" anchor: max event ts, in epoch-micros.
     * The reference anchors every lookback window at `now()` (reference:
@@ -108,8 +119,13 @@ object Tables {
     * predicates vs a broadcast scalar). A literal predicate is the
     * 100 TB-safe formulation: it prunes row groups and partitions.
     */
-  def anchorMicros(spark: SparkSession, dir: String): Long =
-    anchorCache.computeIfAbsent((System.identityHashCode(spark).toString, dir), { _ =>
+  def anchorMicros(spark: SparkSession, dir: String): Long = {
+    val perSession = anchorCache.synchronized {
+      var m = anchorCache.get(spark)
+      if (m == null) { m = new ConcurrentHashMap[String, Long](); anchorCache.put(spark, m) }
+      m
+    }
+    perSession.computeIfAbsent(dir, { _ =>
       val raw = eventsRaw(spark, dir)
       raw.schema("ts").dataType match {
         case LongType => raw.agg(max(col("ts"))).head().getLong(0) / 1000L
@@ -118,4 +134,5 @@ object Tables {
           t.getEpochSecond * 1000000L + t.getNano / 1000L
       }
     })
+  }
 }

@@ -16,7 +16,12 @@ import org.apache.spark.sql.types.TimestampType
 object Results {
 
   /** Render every timestamp column as an ISO-8601 string, preserving all
-    * other columns and the column order. */
+    * other columns and the column order. Second precision by design —
+    * the reference's `DateTime` is second-granular
+    * (sql/V1__create_trades_table.sql:9), so its isoformat output never
+    * carries fractional seconds; requires the engine's UTC session
+    * (`spark.sql.session.timeZone=UTC`, set by all session builders)
+    * for the rendered wall time to be the UTC event time. */
   def isoTimestamps(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map { f =>
       f.dataType match {

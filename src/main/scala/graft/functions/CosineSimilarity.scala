@@ -24,6 +24,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   * oracle's `list_sum(list_transform(...))`): floats promote to double
   * and accumulate sequentially in index order; `dot/(√na·√nb)` evaluates
   * in the same IEEE order. Zero vectors yield NaN in both forms.
+  *
+  * Precondition (embedding tables): arrays are equal-length with no null
+  * elements. On degenerate input the forms diverge — the composed form
+  * propagates element nulls to a NULL result and zip_with pads a length
+  * mismatch with nulls, while this expression reads a null slot as 0.0f
+  * and iterates min(len) — so validate embeddings upstream rather than
+  * relying on either behavior.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Media {
 
-  /** One media object: payload + routing metadata. */
-  final case class MediaRow(doc_id: Long, media_type: String,
+  /** One media object: payload + routing metadata (`source` rides along
+    * so downstream aggregation needs no join back to the corpus). */
+  final case class MediaRow(doc_id: Long, source: String, media_type: String,
                             payload: Array[Byte])
 
   /** Decoded metadata + extracted feature vector. */
-  final case class MediaFeatures(doc_id: Long, media_type: String,
+  final case class MediaFeatures(doc_id: Long, source: String,
+                                 media_type: String,
                                  n_bytes: Int, width: Int, height: Int,
                                  checksum: String, features: Array[Float])
 
@@ -37,6 +39,7 @@ object Media {
     import spark.implicits._
     docs.select(
       col("doc_id"),
+      col("source"),
       lit("image/stub").as("media_type"),
       encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
@@ -66,6 +69,7 @@ object Media {
     def u(i: Int): Int = digest(i) & 0xff
     MediaFeatures(
       doc_id = r.doc_id,
+      source = r.source,
       media_type = r.media_type,
       n_bytes = r.payload.length,
       width = 64 + u(0) * 16 + u(1),    // "parsed" header dims
@@ -76,11 +80,10 @@ object Media {
 
   /** Aggregate decoded-media statistics per source — the downstream
     * query a training pipeline runs over extracted metadata. */
-  def decodeStats(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val features = decodeFeatures(mediaFromDocuments(docs)).toDF()
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-    features
+  def decodeStats(docs: DataFrame): DataFrame =
+    // single scan: source travels through the typed pipeline, so the
+    // aggregation needs no join back to the corpus
+    decodeFeatures(mediaFromDocuments(docs)).toDF()
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_media"),
@@ -88,5 +91,4 @@ object Media {
         sum(col("width").cast("long")).as("sum_width"),
         sum(col("height").cast("long")).as("sum_height"))
       .orderBy("source")
-  }
 }

@@ -131,7 +131,7 @@ object Ops {
       .agg(sum(col(valueCol).cast(Dec)).as("_psum"),
         count(lit(1)).as("_pcnt"))
       .groupBy(keyCols.map(col): _*)
-      .agg(sum(col("_psum")).cast("double").as("sum"),
+      .agg(decToDouble(sum(col("_psum"))).as("sum"),
         sum(col("_pcnt")).as("count"))
   }
 

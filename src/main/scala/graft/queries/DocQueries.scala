@@ -318,9 +318,9 @@ object DocQueries {
        |  FROM documents
        |)
        |SELECT lang, count(*) AS n_docs,
-       |       ${Sql.avgExact("len_score")} AS avg_len_score,
-       |       ${Sql.avgExact("stop_ratio")} AS avg_stop_ratio,
-       |       ${Sql.avgExact(
+       |       ${Sql.avgFloat("len_score")} AS avg_len_score,
+       |       ${Sql.avgFloat("stop_ratio")} AS avg_stop_ratio,
+       |       ${Sql.avgFloat(
            "0.4 * len_score + 0.3 * stop_ratio + 0.3 * alpha_ratio")}
        |         AS avg_quality
        |FROM q
@@ -340,9 +340,11 @@ object DocQueries {
     q.groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        Ops.avgExact(col("len_score")).as("avg_len_score"),
-        Ops.avgExact(col("stop_ratio")).as("avg_stop_ratio"),
-        Ops.avgExact(lit(0.4) * col("len_score") +
+        // ratios carry division garbage near the scale-10 grain —
+        // string-route exact means (see Ops.avgFloat)
+        Ops.avgFloat(col("len_score")).as("avg_len_score"),
+        Ops.avgFloat(col("stop_ratio")).as("avg_stop_ratio"),
+        Ops.avgFloat(lit(0.4) * col("len_score") +
           lit(0.3) * col("stop_ratio") + lit(0.3) * col("alpha_ratio"))
           .as("avg_quality"))
       .orderBy("lang")
@@ -365,10 +367,13 @@ object DocQueries {
     docs(s, d)
       .where(col("doc_id") < 50)
       .select(col("doc_id"),
+        // the size guard matters: sequence(1, n-7) DESCENDS for n<8 in
+        // Spark while DuckDB's range(1, n-6) is empty
         expr(
           """array_join(transform(
-            |  slice(array_sort(transform(sequence(1, char_length(text) - 7),
-            |    i -> md5(substring(text, i, 8)))), 1, 8),
+            |  slice(array_sort(CASE WHEN char_length(text) < 8 THEN array()
+            |    ELSE transform(sequence(1, char_length(text) - 7),
+            |      i -> md5(substring(text, i, 8))) END), 1, 8),
             |  h -> substring(h, 1, 8)), '')""".stripMargin.replace("\n", " "))
           .as("fp"))
       .orderBy("doc_id")

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
 
 import graft.streaming.TradeIngest
@@ -29,13 +29,12 @@ object Bootstrap {
     Store.Migration(1, "create_trades_table",
       "trades: parquet, partitioned by month=yyyyMM(ts), " +
         "sorted within partitions by (ts, symbol, trade_id)",
-      { spark =>
-        val path = s"$warehouse/trades"
-        // empty seed write materializes the directory + schema
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), tradesAtRest)
-          .write.mode(SaveMode.Ignore).partitionBy("month").parquet(path)
-        ()
+      { _ =>
+        // a zero-row partitioned write would emit NO parquet files (only
+        // _SUCCESS), leaving nothing to infer a schema from — persist
+        // the schema as a manifest instead; Store.readTrades uses it
+        // until the first ingest lands real files
+        Store.writeSchema(s"$warehouse/trades", tradesAtRest)
       }),
     Store.Migration(2, "create_trades_1m",
       "trades_1m: parquet partial candles (minute, symbol, block, " +

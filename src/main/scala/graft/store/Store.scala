@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.ops.Ops
 
@@ -47,13 +48,48 @@ object Store {
       .partitionBy("month")
       .parquet(path)
 
+  /** Stream-safe recursive delete / directory listing (Files.walk/list
+    * hold an open directory fd until closed — leaking one per micro-batch
+    * would exhaust the process fd limit on a long-lived stream). */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq
+    finally s.close()
+  }
+
+  /** Persist the table schema next to the data (`_schema.json`) so an
+    * EMPTY bootstrapped table is readable — a zero-row partitioned write
+    * emits no parquet files, leaving nothing to infer a schema from. */
+  def writeSchema(path: String, schema: StructType): Unit = {
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(path, "_schema.json"), schema.json)
+  }
+
   /** Read back a partitioned trades table. Filters on `month` (which
     * [[graft.ops.Ops.monthKey]] derives from any ts predicate's bounds)
     * prune whole directories before the scan. The partition column comes
     * back as the same yyyyMM STRING that was written (Spark's partition
-    * type inference would otherwise surface it as int). */
-  def readTrades(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).withColumn("month", col("month").cast("string"))
+    * type inference would otherwise surface it as int). An empty
+    * bootstrapped table reads via its `_schema.json` manifest. */
+  def readTrades(spark: SparkSession, path: String): DataFrame = {
+    val manifest = Paths.get(path, "_schema.json")
+    val hasData = Files.exists(Paths.get(path)) &&
+      listDir(Paths.get(path)).exists(
+        _.getFileName.toString.startsWith("month="))
+    val reader =
+      if (!hasData && Files.exists(manifest))
+        spark.read.schema(
+          org.apache.spark.sql.types.DataType.fromJson(
+            Files.readString(manifest)).asInstanceOf[StructType])
+      else spark.read
+    reader.parquet(path).withColumn("month", col("month").cast("string"))
+  }
 
   /** The 100 TB windowed read path over a partitioned store: a `month`
     * predicate prunes whole partition directories BEFORE listing/scanning
@@ -95,14 +131,10 @@ object Store {
     val root = Paths.get(path)
     if (!Files.exists(root)) Seq.empty
     else {
-      val dropped = Files.list(root).iterator().asScala
+      val dropped = listDir(root)
         .filter(p => p.getFileName.toString.startsWith("month="))
         .filter(p => p.getFileName.toString.stripPrefix("month=") < cutoffMonth)
-        .toSeq
-      dropped.foreach { p =>
-        Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
-      }
+      dropped.foreach(deleteRecursively)
       dropped.map(_.getFileName.toString)
     }
   }
@@ -124,8 +156,7 @@ object Store {
         .option("compression", "zstd")
         .parquet(tmp)
       val target = Paths.get(dir)
-      Files.walk(target).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      deleteRecursively(target)
       Files.move(Paths.get(tmp), target)
     }
   }

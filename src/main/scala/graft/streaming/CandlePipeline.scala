@@ -148,11 +148,8 @@ object CandlePipeline {
         val tmp = s"$candlesPath/.next"
         untouched.unionByName(restate)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        if (java.nio.file.Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        if (java.nio.file.Files.exists(dir))
+          graft.store.Store.deleteRecursively(dir)
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir)
         ()
       }

@@ -24,6 +24,22 @@ final class StreamManager(name: String) {
   private val state = new AtomicReference[State](Idle)
   private val query = new AtomicReference[Option[StreamingQuery]](None)
   private val lastError = new AtomicReference[Option[String]](None)
+  // cumulative row counter: recentProgress is a bounded ring buffer
+  // (spark.sql.streaming.numRecentProgressUpdates, default 100), so a
+  // lifetime count must accumulate as entries are observed
+  private val accumulatedRows = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastSeenBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private def accumulate(): Unit =
+    query.get().foreach { q =>
+      q.recentProgress
+        .filter(_.batchId > lastSeenBatch.get())
+        .sortBy(_.batchId)
+        .foreach { p =>
+          accumulatedRows.addAndGet(p.numInputRows)
+          lastSeenBatch.set(p.batchId)
+        }
+    }
 
   /** Start via the supplied launcher (reference: collector start endpoint,
     * api/collector.py:20-41). No-op if already running. */
@@ -65,6 +81,7 @@ final class StreamManager(name: String) {
   def stop(): this.type = synchronized {
     query.get().foreach { q =>
       state.set(Stopping)
+      accumulate()
       try q.stop()
       catch { case e: Exception => lastError.set(Some(e.toString)) }
       query.set(None)
@@ -73,10 +90,13 @@ final class StreamManager(name: String) {
     this
   }
 
-  /** Total input rows across the query's lifetime (reference's
-    * `inserted_rows` counter, api/collector.py:30-41). */
-  def insertedRows: Long =
-    query.get().map(_.recentProgress.map(_.numInputRows).sum).getOrElse(0L)
+  /** Total input rows across the manager's lifetime — survives query
+    * completion and restarts (reference's persistent `inserted_rows`
+    * counter, api/collector.py:30-41). */
+  def insertedRows: Long = {
+    accumulate()
+    accumulatedRows.get()
+  }
 
   def currentState: String = {
     // A query that died on its own (source failure) surfaces as idle +
@@ -84,6 +104,7 @@ final class StreamManager(name: String) {
     query.get().foreach { q =>
       if (!q.isActive && state.get() == Running) {
         Option(q.exception).flatten.foreach(e => lastError.set(Some(e.toString)))
+        accumulate()
         state.set(Idle)
         query.set(None)
       }

@@ -133,6 +133,13 @@ class StoreSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$wh/trades")))
     assert(Files.exists(Paths.get(s"$wh/trades_1m")))
     assert(graft.store.Bootstrap(spark, wh).isEmpty) // second run: no-op
+    // the EMPTY bootstrapped table must be readable (schema manifest) ...
+    val empty = Store.readTrades(spark, s"$wh/trades")
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("symbol") && empty.columns.contains("month"))
+    // ... and stays readable once real data lands
+    Store.writeTrades(mkTrades(Seq("2024-01")), s"$wh/trades")
+    assert(Store.readTrades(spark, s"$wh/trades").count() == 10)
   }
 
   test("windowed read prunes partitions AND pushes the ts filter") {
