@@ -379,7 +379,42 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** Normalization-then-hash dedup — the canonical cleaning stage before
+    * exact dedup: lowercase, strip non-alphanumerics, collapse runs of
+    * whitespace, then compare hash cardinalities against the raw text.
+    * (DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    * replace-all semantics.) */
+  val normalizedDedup: NamedQuery = NamedQuery(
+    "docs_normalized_dedup",
+    """WITH n AS (
+      |  SELECT lang,
+      |         trim(regexp_replace(regexp_replace(lower(text),
+      |              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+      |         text
+      |  FROM documents
+      |)
+      |SELECT lang,
+      |       count(*) AS n_docs,
+      |       count(DISTINCT md5(text)) AS n_raw_unique,
+      |       count(DISTINCT md5(norm)) AS n_norm_unique,
+      |       CAST(sum(len(norm)) AS BIGINT) AS norm_chars
+      |FROM n
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs(s, d)
+      .select(col("lang"), col("text"), norm.as("norm"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_raw_unique"),
+        countDistinct(md5(col("norm"))).as("n_norm_unique"),
+        sum(length(col("norm")).cast("long")).as("norm_chars"))
+      .orderBy("lang")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
-    fingerprint)
+    fingerprint, normalizedDedup)
 }
