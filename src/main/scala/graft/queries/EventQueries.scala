@@ -187,6 +187,45 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** User retention across the two halves of the event range — set
+    * operations (INTERSECT / EXCEPT) over distinct user sets: users
+    * active in both halves, early-only, and late-only. Set ops hash-
+    * partition on the full row (here one near-unique key) — the standard
+    * scalable formulation. */
+  val userRetention: NamedQuery = NamedQuery(
+    "events_user_retention",
+    """WITH b AS (
+      |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+      |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+      |  FROM events
+      |),
+      |early AS (
+      |  SELECT DISTINCT user_id FROM events, b
+      |  WHERE epoch_us(CAST(ts AS TIMESTAMP)) < (t0 + t1) / 2
+      |),
+      |late AS (
+      |  SELECT DISTINCT user_id FROM events, b
+      |  WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= (t0 + t1) / 2
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT * FROM early INTERSECT SELECT * FROM late)) AS n_retained,
+      |  (SELECT count(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)) AS n_churned,
+      |  (SELECT count(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)) AS n_new""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"))
+    val Seq(t0, t1) = e.agg(min(col("us")), max(col("us"))).head()
+      .toSeq.map(_.asInstanceOf[Long])
+    val mid = (t0 + t1) / 2
+    val early = e.where(col("us") < mid).select("user_id").distinct()
+    val late = e.where(col("us") >= mid).select("user_id").distinct()
+    // one distributed plan — three 1-row aggregates cross-joined, no
+    // driver-side counting (the min/max bound resolution above is the
+    // same O(1) anchor pattern as Tables.anchorMicros)
+    early.intersect(late).agg(count(lit(1)).as("n_retained"))
+      .crossJoin(early.except(late).agg(count(lit(1)).as("n_churned")))
+      .crossJoin(late.except(early).agg(count(lit(1)).as("n_new")))
+  }
+
   val all: Seq[NamedQuery] = Seq(
-    sessionization, userActivity, gapfillAsof, propsStats)
+    sessionization, userActivity, gapfillAsof, propsStats, userRetention)
 }
