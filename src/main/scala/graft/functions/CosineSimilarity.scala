@@ -102,15 +102,33 @@ object GraftFunctions {
     CosineSimilarity(children.head, children(1))
   }
 
-  /** Register `graft_cosine` on an already-built session (idempotent) —
-    * the path for driver-owned sessions that can't opt into
-    * [[GraftExtensions]] at build time. */
-  def register(spark: SparkSession): Unit =
+  private val topkInfo = new ExpressionInfo(
+    classOf[TopKByScore].getName, "graft_topk")
+
+  private val topkBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      s"graft_topk expects (score, id, k), got ${children.length} arguments")
+    val k = children(2) match {
+      case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+      case _ => throw new IllegalArgumentException(
+        "graft_topk: k must be a literal")
+    }
+    TopKByScore(children.head, children(1), k).toAggregateExpression()
+  }
+
+  /** Register `graft_cosine` + `graft_topk` on an already-built session
+    * (idempotent) — the path for driver-owned sessions that can't opt
+    * into [[GraftExtensions]] at build time. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_topk"), topkInfo, topkBuilder)
+  }
 
-  private[functions] def injection =
-    (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+  private[functions] def injections = Seq(
+    (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
+    (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder))
 }
 
 /** `SparkSessionExtensions` entry point: sessions built with
@@ -119,5 +137,5 @@ object GraftFunctions {
   * `graft_cosine` natively. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.injection)
+    GraftFunctions.injections.foreach(ext.injectFunction)
 }
