@@ -311,6 +311,44 @@ object EmbQueries {
     }
   }
 
+  /** Top-3 most-similar vectors to the query vector PER LABEL — driven
+    * by the custom bounded-top-k aggregate
+    * ([[graft.functions.TopKByScore]]): the per-group heap keeps 3
+    * entries, so the shuffle carries ≤3 pairs per label no matter how
+    * many candidates score (the window-formulation oracle sorts each
+    * partition instead — same answer, different asymptotics). */
+  val topKPerLabel: NamedQuery = NamedQuery(
+    "emb_topk_per_label",
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT label, vec_id,
+       |         ${cosDuck("q.qv", "b.embedding")} AS sim
+       |  FROM embeddings b, q
+       |  WHERE vec_id <> 0
+       |)
+       |SELECT label, rk AS rank, vec_id, sim
+       |FROM (
+       |  SELECT label, vec_id, sim,
+       |         row_number() OVER (PARTITION BY label
+       |                            ORDER BY sim DESC, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val q = emb(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    emb(s, d).where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("label"), col("vec_id"),
+        expr(cosSpark("qv", "embedding")).as("sim"))
+      .groupBy("label")
+      .agg(expr("graft_topk(sim, vec_id, 3)").as("topk"))
+      .select(col("label"), posexplode(col("topk")).as(Seq("rank0", "p")))
+      .select(col("label"), (col("rank0") + 1).cast("long").as("rank"),
+        col("p.id").as("vec_id"), col("p.score").as("sim"))
+      .orderBy("label", "rank")
+  }
+
   val all: Seq[NamedQuery] = Seq(
-    cosineTopK, lshPairs, labelCentroids, knnAccuracy, ivfTopK)
+    cosineTopK, lshPairs, labelCentroids, knnAccuracy, ivfTopK,
+    topKPerLabel)
 }
