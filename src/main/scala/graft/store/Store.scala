@@ -161,6 +161,25 @@ object Store {
     }
   }
 
+  /** Bucketed table writer — the co-located-join layout for the star
+    * schema's big⋈big joins (SURVEY.md §4 partitioning note): both sides
+    * bucketed on the join key with the same bucket count join WITHOUT a
+    * shuffle exchange (each task reads matching bucket files from both
+    * tables). At 100 TB this converts the fact⋈fact shuffle —
+    * the single largest network cost in the star queries — into local
+    * reads; the price is paid once at write time. Requires a catalog
+    * table (bucket metadata lives there), hence `saveAsTable`. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("compression", "zstd")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S8: catalog probe (reference: src/migrate.py:34-45 probes
     * `system.tables`). */
   def tableExists(spark: SparkSession, name: String): Boolean =

@@ -174,6 +174,30 @@ class StoreSpec extends SparkSpec {
     assert(fromStore == direct && fromStore.nonEmpty)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val li = (1 to 2000).map(i => (i.toLong % 500, i.toLong, i * 1.5))
+      .toDF("l_orderkey", "l_id", "l_price")
+    val o = (1 to 500).map(i => (i.toLong, s"o$i")).toDF("o_orderkey", "o_tag")
+    Store.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    Store.writeBucketed(o, "b_orders", "o_orderkey", 8)
+
+    // disable auto-broadcast so the test exercises the bucketed
+    // sort-merge path (at scale both sides are too big to broadcast)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: neither side may need a hash-partitioning exchange
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 2000 - 4) // key 0 never matches (1..500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("catalog probe sees registered views") {
     mkTrades(Seq("2024-01")).createOrReplaceTempView("probe_trades")
     assert(Store.tableExists(spark, "probe_trades"))
