@@ -13,6 +13,11 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh warehouse per JVM: managed-table LOCATIONS persist on disk
+      // while the in-memory catalog forgets them, so a reused default
+      // warehouse collides on the second run (LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
