@@ -129,13 +129,23 @@ object GraftFunctions {
   private[functions] def injections = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
     (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder))
+
+  /** Install the engine's optimizer rules on a live session (idempotent;
+    * the build-time path is [[GraftExtensions]]). */
+  def installRules(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(MonthPruningRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MonthPruningRule
 }
 
 /** `SparkSessionExtensions` entry point: sessions built with
   * `.withExtensions(new GraftExtensions)` (or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`) get
-  * `graft_cosine` natively. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) get the
+  * native functions (`graft_cosine`, `graft_topk`) and the
+  * [[MonthPruningRule]] optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => MonthPruningRule)
+  }
 }

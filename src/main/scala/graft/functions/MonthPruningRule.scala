@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: derive the `month` partition predicate from a literal
+  * `ts` lower bound over the engine's partitioned-store layout
+  * (`month = yyyyMM(ts)`, [[graft.store.Store.writeTrades]]).
+  *
+  * ClickHouse prunes `PARTITION BY toYYYYMM(ts)` partitions directly
+  * from a `ts` predicate because it knows the partition expression
+  * (reference: sql/V1__create_trades_table.sql:14). Spark's datasource
+  * only prunes on predicates naming the partition column itself — a
+  * query filtering `ts >= X` over the store would list and stat every
+  * month. This rule closes that gap: any Filter whose relation carries
+  * BOTH `ts: timestamp` and `month: string` (the store layout contract)
+  * and whose condition has a literal `ts` lower bound but no `month`
+  * predicate gains `month >= yyyyMM(bound)` — which the file index then
+  * uses to skip whole partition directories before the scan.
+  *
+  * Conservative by construction: fires only on the exact layout
+  * contract, only for lower bounds (a TTL'd table's dominant pattern),
+  * never twice (the added month predicate suppresses re-application),
+  * and the added predicate is implied by `month = yyyyMM(ts) ∧ ts ≥ X`,
+  * so results are unchanged.
+  *
+  * Install at build time via [[GraftExtensions]]
+  * (`injectOptimizerRule`) or on a live session with
+  * [[GraftFunctions.installRules]] (`spark.experimental.extraOptimizations`).
+  */
+object MonthPruningRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val tsAttr = child.output.find(a =>
+        a.name.equalsIgnoreCase("ts") && a.dataType == TimestampType)
+      val monthAttr = child.output.find(a =>
+        a.name.equalsIgnoreCase("month") && a.dataType == StringType)
+      (tsAttr, monthAttr) match {
+        case (Some(ts), Some(month)) if !referencesAttr(cond, month) =>
+          tsLowerBoundMicros(cond, ts) match {
+            case Some(us) =>
+              val key = UTF8String.fromString(yyyymm(us))
+              Filter(And(cond,
+                GreaterThanOrEqual(month, Literal(key, StringType))), child)
+            case None => f
+          }
+        case _ => f
+      }
+  }
+
+  private def referencesAttr(e: Expression, a: Attribute): Boolean =
+    e.references.contains(a)
+
+  /** Largest literal lower bound on `ts` provable from the condition's
+    * top-level conjuncts (timestamp literals are epoch-micros Longs). */
+  private def tsLowerBoundMicros(cond: Expression,
+                                 ts: Attribute): Option[Long] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val bounds = conjuncts(cond).collect {
+      case GreaterThanOrEqual(a: Attribute, Literal(v: Long, TimestampType))
+        if a.semanticEquals(ts) => v
+      case GreaterThan(a: Attribute, Literal(v: Long, TimestampType))
+        if a.semanticEquals(ts) => v
+      case EqualTo(a: Attribute, Literal(v: Long, TimestampType))
+        if a.semanticEquals(ts) => v
+      case LessThanOrEqual(Literal(v: Long, TimestampType), a: Attribute)
+        if a.semanticEquals(ts) => v
+      case LessThan(Literal(v: Long, TimestampType), a: Attribute)
+        if a.semanticEquals(ts) => v
+    }
+    bounds.maxOption
+  }
+
+  private def yyyymm(us: Long): String = {
+    val d = java.time.Instant.ofEpochSecond(
+      math.floorDiv(us, 1000000L)).atZone(java.time.ZoneOffset.UTC)
+    f"${d.getYear}%04d${d.getMonthValue}%02d"
+  }
+}
