@@ -186,6 +186,47 @@ class StreamingSpec extends SparkSpec {
       (60000L, 120.0, 120.0, 1.0, 1L)))
   }
 
+  test("socket source end-to-end: live envelopes → normalized trades") {
+    // a real in-test socket server stands in for the exchange-WS bridge
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val payload = (1 to 8).map(i =>
+      envelope("BTCUSDT", i, s"$i.5", "2.0", 1700000000000L + i * 1000L,
+        i % 2 == 0)).mkString("", "\n", "\n")
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = sock.getOutputStream
+      out.write(payload.getBytes("UTF-8"))
+      out.flush()
+      // keep the connection open until the reader is done
+      Thread.sleep(20000)
+      sock.close(); server.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+
+    val out = tmpDir("socket-out")
+    val ckpt = tmpDir("socket-ckpt")
+    val q = TradeIngest.ingestSink(
+      TradeIngest.socketSource(spark, "localhost", port), out, ckpt,
+      Trigger.ProcessingTime("1 second"))
+    try {
+      // wait until all 8 trades land (bounded)
+      val deadline = System.currentTimeMillis() + 60000
+      def landed(): Long =
+        try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+      while (landed() < 8 && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      assert(landed() == 8)
+      val rows = spark.read.parquet(out)
+      assert(rows.select("symbol").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("BTCUSDT"))
+      assert(rows.agg(sum("qty")).collect()(0).getDouble(0) == 16.0)
+    } finally {
+      q.stop()
+    }
+  }
+
   test("streaming replay dedup: dropDuplicatesWithinWatermark absorbs redelivery") {
     // the in-flight analogue of the ReplacingMergeTree/dedup-view
     // semantics (ST1): a reconnect redelivers trades; keyed dedup within
