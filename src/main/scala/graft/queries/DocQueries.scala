@@ -414,7 +414,61 @@ object DocQueries {
       .orderBy("lang")
   }
 
+  /** TF-IDF-style distinctive tokens per source — the classic IR scoring
+    * pipeline as two aggregations + a broadcastable document-frequency
+    * join + a rank window. Log-free formulation (`tf × N/df` instead of
+    * `tf × log(N/df)`): libm log implementations differ across engines
+    * in the last ulp, while ratios of exact integer counts divide
+    * identically; the ranking it induces is the same. */
+  val tfidfTop: NamedQuery = NamedQuery(
+    "docs_tfidf_top",
+    s"""WITH tok AS (
+       |  SELECT source, unnest($tokDuck) AS tok FROM documents
+       |),
+       |tf AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+       |df AS (SELECT tok, count(DISTINCT source) AS d FROM tok GROUP BY 1),
+       |ns AS (SELECT count(DISTINCT source) AS s FROM documents),
+       |scored AS (
+       |  SELECT tf.source, tf.tok,
+       |         (CAST(c AS DOUBLE) / n) * (CAST(s AS DOUBLE) / d) AS score
+       |  FROM tf
+       |  JOIN tot ON tf.source = tot.source
+       |  JOIN df ON tf.tok = df.tok
+       |  CROSS JOIN ns
+       |)
+       |SELECT source, tok, score
+       |FROM (
+       |  SELECT source, tok, score,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY score DESC, tok) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3
+       |ORDER BY source, tok""".stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("source"), explode(expr(tokSpark)).as("tok"))
+    val tf = tok.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy("source")
+      .agg(sum(col("c")).as("n"))
+    val df = tok.groupBy("tok")
+      .agg(countDistinct(col("source")).as("d"))
+    val ns = docs(s, d).agg(countDistinct(col("source")).as("s"))
+    val scored = tf
+      .join(tot, "source")
+      .join(df, "tok")
+      .crossJoin(broadcast(ns))
+      .select(col("source"), col("tok"),
+        ((col("c").cast("double") / col("n")) *
+          (col("s").cast("double") / col("d"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("source", "tok", "score")
+      .orderBy("source", "tok")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
-    fingerprint, normalizedDedup)
+    fingerprint, normalizedDedup, tfidfTop)
 }
