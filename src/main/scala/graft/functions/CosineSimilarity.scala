@@ -109,7 +109,11 @@ object GraftFunctions {
     require(children.length == 3,
       s"graft_topk expects (score, id, k), got ${children.length} arguments")
     val k = children(2) match {
-      case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+      case e if e.foldable => e.eval() match {
+        case n: Number => n.intValue()
+        case _ => throw new IllegalArgumentException(
+          "graft_topk: k must be a non-null integer literal")
+      }
       case _ => throw new IllegalArgumentException(
         "graft_topk: k must be a literal")
     }

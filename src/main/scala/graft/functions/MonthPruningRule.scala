@@ -1,10 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{StringType, TimestampType}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{IntegerType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Optimizer rule: derive the `month` partition predicate from a literal
@@ -22,11 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * predicate gains `month >= yyyyMM(bound)` — which the file index then
   * uses to skip whole partition directories before the scan.
   *
-  * Conservative by construction: fires only on the exact layout
-  * contract, only for lower bounds (a TTL'd table's dominant pattern),
-  * never twice (the added month predicate suppresses re-application),
-  * and the added predicate is implied by `month = yyyyMM(ts) ∧ ts ≥ X`,
-  * so results are unchanged.
+  * Conservative by construction: fires ONLY on a Filter sitting directly
+  * on a file-source relation whose PARTITION schema is `month: string`
+  * and whose data schema carries `ts: timestamp` — never on join
+  * outputs, views, or other plans that merely happen to expose columns
+  * with those names; only for lower bounds (a TTL'd table's dominant
+  * pattern); never twice (the added month predicate suppresses
+  * re-application). The derived key uses the session timezone — the same
+  * zone `date_format` used when [[graft.store.Store.writeTrades]] wrote
+  * the partition keys — so the added predicate is implied by
+  * `month = yyyyMM(ts) ∧ ts ≥ X` and results are unchanged.
   *
   * Install at build time via [[GraftExtensions]]
   * (`injectOptimizerRule`) or on a live session with
@@ -35,23 +40,41 @@ import org.apache.spark.unsafe.types.UTF8String
 object MonthPruningRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) =>
+    case f @ Filter(cond, child @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _))
+        if isStoreLayout(fs) =>
       val tsAttr = child.output.find(a =>
         a.name.equalsIgnoreCase("ts") && a.dataType == TimestampType)
+      // partition type inference may surface yyyyMM keys as int OR
+      // string (readers often re-cast in a Project above); numeric and
+      // lexicographic order agree for fixed-width yyyyMM, so both work
       val monthAttr = child.output.find(a =>
-        a.name.equalsIgnoreCase("month") && a.dataType == StringType)
+        a.name.equalsIgnoreCase("month") &&
+          (a.dataType == StringType || a.dataType == IntegerType))
       (tsAttr, monthAttr) match {
         case (Some(ts), Some(month)) if !referencesAttr(cond, month) =>
           tsLowerBoundMicros(cond, ts) match {
             case Some(us) =>
-              val key = UTF8String.fromString(yyyymm(us))
-              Filter(And(cond,
-                GreaterThanOrEqual(month, Literal(key, StringType))), child)
+              val key = yyyymm(us)
+              val lit = month.dataType match {
+                case StringType =>
+                  Literal(UTF8String.fromString(key), StringType)
+                case _ => Literal(key.toInt, IntegerType)
+              }
+              Filter(And(cond, GreaterThanOrEqual(month, lit)), child)
             case None => f
           }
         case _ => f
       }
   }
+
+  /** The store layout contract: `month` is a PARTITION column (string or
+    * inferred int) and the data schema carries a `ts` timestamp. */
+  private def isStoreLayout(fs: HadoopFsRelation): Boolean =
+    fs.partitionSchema.fields.exists(f =>
+      f.name.equalsIgnoreCase("month") &&
+        (f.dataType == StringType || f.dataType == IntegerType)) &&
+      fs.dataSchema.fields.exists(f =>
+        f.name.equalsIgnoreCase("ts") && f.dataType == TimestampType)
 
   private def referencesAttr(e: Expression, a: Attribute): Boolean =
     e.references.contains(a)
@@ -79,9 +102,13 @@ object MonthPruningRule extends Rule[LogicalPlan] {
     bounds.maxOption
   }
 
+  /** Month key in the SESSION timezone — the zone `date_format` used
+    * when the store wrote the partition keys (UTC in this engine's
+    * sessions, but the rule must not assume it). */
   private def yyyymm(us: Long): String = {
+    val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
     val d = java.time.Instant.ofEpochSecond(
-      math.floorDiv(us, 1000000L)).atZone(java.time.ZoneOffset.UTC)
+      math.floorDiv(us, 1000000L)).atZone(zone)
     f"${d.getYear}%04d${d.getMonthValue}%02d"
   }
 }

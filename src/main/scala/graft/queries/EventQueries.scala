@@ -213,14 +213,15 @@ object EventQueries {
       |  (SELECT count(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)) AS n_new""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d).select(col("user_id"),
       unix_micros(col("ts")).as("us"))
-    val Seq(t0, t1) = e.agg(min(col("us")), max(col("us"))).head()
-      .toSeq.map(_.asInstanceOf[Long])
-    val mid = (t0 + t1) / 2
-    val early = e.where(col("us") < mid).select("user_id").distinct()
-    val late = e.where(col("us") >= mid).select("user_id").distinct()
-    // one distributed plan — three 1-row aggregates cross-joined, no
-    // driver-side counting (the min/max bound resolution above is the
-    // same O(1) anchor pattern as Tables.anchorMicros)
+    // the midpoint resolves INSIDE the plan (1-row bounds aggregate,
+    // broadcast) — no eager driver action per builder invocation, and
+    // nothing here needs scan pruning since both halves read everything
+    val bounds = e.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+    val tagged = e.crossJoin(broadcast(bounds))
+    val early = tagged.where(col("us") < (col("t0") + col("t1")) / 2)
+      .select("user_id").distinct()
+    val late = tagged.where(col("us") >= (col("t0") + col("t1")) / 2)
+      .select("user_id").distinct()
     early.intersect(late).agg(count(lit(1)).as("n_retained"))
       .crossJoin(early.except(late).agg(count(lit(1)).as("n_churned")))
       .crossJoin(late.except(early).agg(count(lit(1)).as("n_new")))

@@ -30,7 +30,11 @@ final class StreamManager(name: String) {
   private val accumulatedRows = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastSeenBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
 
-  private def accumulate(): Unit =
+  // synchronized: the read-filter-add over two atomics is not atomic on
+  // its own, and status() is exactly the kind of endpoint two threads
+  // poll concurrently — unsynchronized, both would count the same
+  // progress entries
+  private def accumulate(): Unit = synchronized {
     query.get().foreach { q =>
       q.recentProgress
         .filter(_.batchId > lastSeenBatch.get())
@@ -40,6 +44,7 @@ final class StreamManager(name: String) {
           lastSeenBatch.set(p.batchId)
         }
     }
+  }
 
   /** Start via the supplied launcher (reference: collector start endpoint,
     * api/collector.py:20-41). No-op if already running. */
@@ -47,6 +52,9 @@ final class StreamManager(name: String) {
     if (state.get() == Idle) {
       state.set(Starting)
       try {
+        // a fresh launch's batch ids may restart at 0 (new checkpoint);
+        // the previous query's entries were already drained at stop
+        lastSeenBatch.set(-1L)
         query.set(Some(launch()))
         state.set(Running)
         lastError.set(None)
@@ -81,9 +89,11 @@ final class StreamManager(name: String) {
   def stop(): this.type = synchronized {
     query.get().foreach { q =>
       state.set(Stopping)
-      accumulate()
       try q.stop()
       catch { case e: Exception => lastError.set(Some(e.toString)) }
+      // drain AFTER the stop: the in-flight batch completes during the
+      // graceful stop and its rows must make the lifetime counter
+      accumulate()
       query.set(None)
       state.set(Idle)
     }

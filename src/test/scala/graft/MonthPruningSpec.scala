@@ -8,11 +8,17 @@ import graft.store.Store
 
 /** The month-derivation optimizer rule: a bare `ts >=` filter over the
   * partitioned store must prune month partitions (no manual month
-  * predicate), with identical results. */
+  * predicate), with identical results. Runs on an ISOLATED child session
+  * (`newSession` — own session state, shared context) so the installed
+  * rule cannot leak into other suites' plan assertions. */
 class MonthPruningSpec extends SparkSpec {
   import spark.implicits._
 
-  GraftFunctions.installRules(spark)
+  private lazy val ruleSession = {
+    val s = spark.newSession()
+    GraftFunctions.installRules(s)
+    s
+  }
 
   private lazy val storePath = {
     val path = tmpDir("prune-rule")
@@ -29,7 +35,7 @@ class MonthPruningSpec extends SparkSpec {
 
   test("a bare ts filter gains the derived month partition predicate") {
     val cutoff = java.sql.Timestamp.valueOf("2024-02-10 00:00:00")
-    val df = Store.readTrades(spark, storePath).where(col("ts") >= cutoff)
+    val df = Store.readTrades(ruleSession, storePath).where(col("ts") >= cutoff)
     // only month>=202402 files may feed the scan
     val files = df.select(input_file_name()).distinct()
       .collect().map(_.getString(0))
@@ -40,7 +46,7 @@ class MonthPruningSpec extends SparkSpec {
   }
 
   test("rule does not fire without a literal lower bound or on month-filtered plans") {
-    val all = Store.readTrades(spark, storePath)
+    val all = Store.readTrades(ruleSession, storePath)
     assert(all.count() == 30) // no filter → untouched
     val explicit = all.where(col("month") === "202401" &&
       col("ts") >= java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
@@ -49,7 +55,7 @@ class MonthPruningSpec extends SparkSpec {
 
   test("results match the rule-free plan exactly") {
     val cutoff = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
-    val withRule = Store.readTrades(spark, storePath)
+    val withRule = Store.readTrades(ruleSession, storePath)
       .where(col("ts") >= cutoff).orderBy("trade_id")
       .collect().map(_.toString).toSeq
     // equivalent manual formulation (what queries did before the rule)

@@ -6,6 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites — one JVM-wide session (sbt forks
   * a single test JVM), UTC, small shuffle width for speed. */
 object TestSession {
+  private lazy val tempWarehouse: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-wh")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try graft.store.Store.deleteRecursively(p)
+      catch { case _: Exception => () }))
+    p
+  }
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -15,9 +23,9 @@ object TestSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // fresh warehouse per JVM: managed-table LOCATIONS persist on disk
       // while the in-memory catalog forgets them, so a reused default
-      // warehouse collides on the second run (LOCATION_ALREADY_EXISTS)
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      // warehouse collides on the second run (LOCATION_ALREADY_EXISTS);
+      // a shutdown hook removes the temp dir so runs don't litter /tmp
+      .config("spark.sql.warehouse.dir", tempWarehouse.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

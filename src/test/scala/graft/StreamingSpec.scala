@@ -198,8 +198,9 @@ class StreamingSpec extends SparkSpec {
       val out = sock.getOutputStream
       out.write(payload.getBytes("UTF-8"))
       out.flush()
-      // keep the connection open until the reader is done
-      Thread.sleep(20000)
+      // keep the connection open comfortably past the reader's 60s
+      // landing deadline (daemon thread — dies with the JVM)
+      Thread.sleep(120000)
       sock.close(); server.close()
     })
     feeder.setDaemon(true)
