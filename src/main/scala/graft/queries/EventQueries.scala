@@ -227,6 +227,26 @@ object EventQueries {
       .crossJoin(late.except(early).agg(count(lit(1)).as("n_new")))
   }
 
+  /** Approximate distinct users per event type — HyperLogLog++ sketch
+    * (`approx_count_distinct`) beside the exact count. At 100 TB the
+    * sketch is the difference between a fixed-size partial aggregate and
+    * a shuffle carrying every distinct key. Registered rows-only: sketch
+    * estimates are deterministic within Spark but no other engine
+    * reproduces them bit-for-bit, so there is no cross-engine oracle by
+    * construction (the exact column is oracle-covered by
+    * `events_user_activity`). */
+  val approxUsers: NamedQuery = NamedQuery.rowsOnly(
+    "events_approx_users") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[NamedQuery] = Seq(
-    sessionization, userActivity, gapfillAsof, propsStats, userRetention)
+    sessionization, userActivity, gapfillAsof, propsStats, userRetention,
+    approxUsers)
 }
