@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Readers
+
+/** Schema-explicit CSV/JSON readers: same rows through every format,
+  * identical schema, and permissive handling of corrupt input. */
+class ReadersSpec extends SparkSpec {
+
+  private def writeFixtures(): (String, String) = {
+    val csvDir = tmpDir("readers-csv")
+    val jsonDir = tmpDir("readers-json")
+    Files.writeString(Paths.get(csvDir, "t.csv"),
+      """symbol,trade_id,price,qty,ts,is_buyer_maker
+        |BTC,1,100.5,1.0,2024-01-01 00:00:05,0
+        |ETH,2,10.25,2.5,2024-01-01 00:01:10,1
+        |""".stripMargin)
+    Files.writeString(Paths.get(jsonDir, "t.json"),
+      """{"symbol":"BTC","trade_id":1,"price":100.5,"qty":1.0,"ts":"2024-01-01T00:00:05.000Z","is_buyer_maker":0}
+        |{"symbol":"ETH","trade_id":2,"price":10.25,"qty":2.5,"ts":"2024-01-01T00:01:10.000Z","is_buyer_maker":1}
+        |not json at all
+        |""".stripMargin)
+    (csvDir, jsonDir)
+  }
+
+  test("csv and json read the same trades with the declared schema") {
+    val (csvDir, jsonDir) = writeFixtures()
+    val c = Readers.tradesCsv(spark, csvDir)
+    val j = Readers.tradesJson(spark, jsonDir).where(col("symbol").isNotNull)
+    assert(c.schema == j.schema)
+    val snap = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("trade_id").collect().map(_.toString).toSeq
+    assert(snap(c) == snap(j))
+    assert(c.count() == 2)
+    // declared types, not inferred ones
+    assert(c.schema("trade_id").dataType.typeName == "long")
+    assert(c.schema("ts").dataType.typeName == "timestamp")
+  }
+
+  test("corrupt json rows null out instead of aborting (permissive mode)") {
+    val (_, jsonDir) = writeFixtures()
+    val all = Readers.tradesJson(spark, jsonDir)
+    assert(all.count() == 3)
+    assert(all.where(col("symbol").isNull).count() == 1)
+  }
+}
