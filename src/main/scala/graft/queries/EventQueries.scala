@@ -227,6 +227,77 @@ object EventQueries {
       .crossJoin(late.except(early).agg(count(lit(1)).as("n_new")))
   }
 
+  /** True two-table AS-OF join — last-click attribution: every `purchase`
+    * event joins the most recent `click` by the same user at or before its
+    * timestamp, then per-user attribution stats. The reference has no as-of
+    * operator (its forward-fill shape is `trades_gapfill_asof`); this is
+    * the general two-relation form a trading engine needs (trade↔quote).
+    *
+    * Spark has no ASOF JOIN physical operator, and a per-row range join
+    * would be O(n·m) within each user. The scalable formulation is
+    * union-then-window: tag both sides, sort each user's merged timeline
+    * once, and carry the last click forward with `last(..., ignoreNulls)`
+    * — ONE hash shuffle on user_id + one in-partition sort, the same
+    * asymptotics as a sort-merge join, at any scale. Ordering (ts, side)
+    * with clicks first realizes the inclusive `>=` bound; clicks are
+    * pre-deduplicated per (user, ts) so the as-of pick is well-defined in
+    * both engines. The oracle uses DuckDB's native ASOF LEFT JOIN —
+    * an independent implementation of the same semantics. */
+  val asofAttribution: NamedQuery = NamedQuery(
+    "events_asof_attribution",
+    s"""WITH ev AS (
+       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+       |         value
+       |  FROM events
+       |),
+       |c AS (
+       |  SELECT user_id, ts, max_by(value, event_id) AS click_value
+       |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+       |),
+       |p AS (
+       |  SELECT user_id, ts FROM ev WHERE event_type = 'purchase'
+       |),
+       |j AS (
+       |  SELECT p.user_id, p.ts, c.ts AS click_ts, c.click_value
+       |  FROM p ASOF LEFT JOIN c
+       |    ON p.user_id = c.user_id AND p.ts >= c.ts
+       |)
+       |SELECT user_id,
+       |       count(*) AS n_purchases,
+       |       count(click_ts) AS n_attributed,
+       |       CAST(coalesce(sum(epoch_us(ts) - epoch_us(click_ts)), 0)
+       |            AS BIGINT) AS lag_us_total,
+       |       ${Sql.dsum("coalesce(click_value, 0)")} AS attributed_value
+       |FROM j
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("click_value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("double").as("click_value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_ts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("cv",
+        last(when(col("side") === 0, col("click_value")), ignoreNulls = true)
+          .over(w))
+      .where(col("side") === 1)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("click_ts")).as("n_attributed"),
+        coalesce(sum(unix_micros(col("ts")) - unix_micros(col("click_ts"))),
+          lit(0L)).as("lag_us_total"),
+        Ops.dsum(coalesce(col("cv"), lit(0.0))).as("attributed_value"))
+      .orderBy("user_id")
+  }
+
   /** Approximate distinct users per event type — HyperLogLog++ sketch
     * (`approx_count_distinct`) beside the exact count. At 100 TB the
     * sketch is the difference between a fixed-size partial aggregate and
@@ -248,5 +319,5 @@ object EventQueries {
 
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
-    approxUsers)
+    asofAttribution, approxUsers)
 }
