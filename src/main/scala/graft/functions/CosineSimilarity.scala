@@ -120,19 +120,27 @@ object GraftFunctions {
     TopKByScore(children.head, children(1), k).toAggregateExpression()
   }
 
-  /** Register `graft_cosine` + `graft_topk` on an already-built session
-    * (idempotent) — the path for driver-owned sessions that can't opt
-    * into [[GraftExtensions]] at build time. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_topk"), topkInfo, topkBuilder)
+  private val vecSumInfo = new ExpressionInfo(
+    classOf[VectorSum].getName, "graft_vec_sum")
+
+  private val vecSumBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"graft_vec_sum expects 1 argument, got ${children.length}")
+    VectorSum(children.head).toAggregateExpression()
   }
+
+  /** Register `graft_cosine` + `graft_topk` + `graft_vec_sum` on an
+    * already-built session (idempotent) — the path for driver-owned
+    * sessions that can't opt into [[GraftExtensions]] at build time. */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   private[functions] def injections = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
-    (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder))
+    (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder),
+    (FunctionIdentifier("graft_vec_sum"), vecSumInfo, vecSumBuilder))
 
   /** Install the engine's optimizer rules on a live session (idempotent;
     * the build-time path is [[GraftExtensions]]). */

@@ -189,9 +189,14 @@ object DocQueries {
   }
 
   /** 32-bit SimHash per document: each token votes ±1 per bit position of
-    * its md5; bit = 1 where the vote sum is positive. Implemented as
-    * explode → two-level hash aggregation (partial map-side combine makes
-    * the shuffle tiny) rather than any array-summing UDF. */
+    * its md5; bit = 1 where the vote sum is positive. Each distinct term
+    * contributes one 32-long vote vector (weighted by term frequency —
+    * the standard tf-weighted formulation), summed elementwise by the
+    * custom [[graft.functions.VectorSum]] aggregate: ONE shuffle carrying
+    * one 32-long array per (map task, doc) instead of the 32×-exploded
+    * two-shuffle built-in route. The oracle keeps the explode+two-level
+    * aggregation formulation — an independent derivation of the same
+    * bits. */
   val simhash: NamedQuery = NamedQuery(
     "docs_simhash",
     s"""WITH tok AS (
@@ -214,31 +219,29 @@ object DocQueries {
        |ORDER BY doc_id
        |LIMIT 50""".stripMargin) { (s, d) =>
     // Hash DISTINCT (doc, token) pairs weighted by occurrence count —
-    // identical vote sums, but the md5 + 32-way bit explode runs once per
-    // distinct term instead of once per token instance (the dedup-before-
-    // expensive-op rule; term-frequency-weighted simhash is the standard
-    // formulation anyway).
+    // identical vote sums, but the md5 runs once per distinct term
+    // instead of once per token instance (the dedup-before-expensive-op
+    // rule). `h` is bound to a column BEFORE the transform lambda so the
+    // md5 evaluates once per row, not once per lambda element.
+    graft.functions.GraftFunctions.register(s)
     val tf = docs(s, d)
       .select(col("doc_id"), explode(expr(tokSpark)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    val bits = tf
-      .select(col("doc_id"), col("cnt"), md5(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(31))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        (when(expr(
-          "((instr('0123456789abcdef', substr(h, 1 + cast(pos / 4 AS int), 1)) - 1)" +
-            " div cast(pow(2, 3 - pos % 4) AS int)) % 2 = 1"),
-          lit(1)).otherwise(lit(-1)) * col("cnt")).as("sgn"))
-    bits
-      .groupBy("doc_id", "pos")
-      .agg(sum(col("sgn")).as("s"))
+    val votes = tf
+      .select(col("doc_id"), col("cnt"), md5(col("tok")).as("h"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 31), pos ->
+          |  CASE WHEN shiftright(instr('0123456789abcdef',
+          |         substr(h, 1 + cast(pos / 4 AS int), 1)) - 1,
+          |         3 - pos % 4) % 2 = 1
+          |       THEN cnt ELSE -cnt END)""".stripMargin.replace("\n", " "))
+        .as("v"))
+    votes
       .groupBy("doc_id")
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("pos"),
-            when(col("s") > 0, "1").otherwise("0").as("bit")))),
-          x => x.getField("bit")),
-        "").as("simhash"))
+      .agg(expr("graft_vec_sum(v)").as("sums"))
+      .select(col("doc_id"),
+        expr("array_join(transform(sums, " +
+          "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')").as("simhash"))
       .orderBy("doc_id")
       .limit(50)
   }
