@@ -90,11 +90,26 @@ object DocQueries {
       .orderBy("lang")
   }
 
+  /** The minhash permutation family: `sig_k = min over shingles of
+    * (A_k·h + B_k) mod P`, where `h` is the shingle's 32-bit md5 prefix
+    * reduced mod P. One md5 per shingle + 8 integer affine maps — vs 8
+    * md5s per shingle for the hash-per-permutation formulation, which is
+    * ~8× the per-row work for identical statistical behavior (the
+    * standard universal-hashing minhash construction). Both engine twins
+    * interpolate THESE constants, so they cannot drift. All arithmetic
+    * stays < 2^52 — exact in BIGINT on both sides. */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private val MinhashPerms: Seq[(Long, Long)] = Seq(
+    (1000003L, 12345L), (1000033L, 54321L), (1000037L, 98765L),
+    (1000039L, 56789L), (1000081L, 13579L), (1000099L, 24680L),
+    (1000117L, 86420L), (1000121L, 97531L))
+
   /** MinHash + LSH near-duplicate detection — the scale path for corpus
-    * dedup: word-3-gram shingles → 8 minhash signatures → 4 bands of 2 →
-    * band-bucket self-join for candidates → exact shingle-Jaccard
-    * verification → top-20 pairs. Never all-pairs: the only join is on
-    * (band, bucket), so candidate generation is bucket-local at any
+    * dedup: word-3-gram shingles → one 32-bit hash per shingle → 8
+    * affine-permutation minhash signatures → 4 bands of 2 → band-bucket
+    * grouping for candidates → exact shingle-Jaccard verification →
+    * top-20 pairs. Never all-pairs: candidates are generated strictly
+    * inside (band, bucket) groups, so the work is bucket-local at any
     * scale. */
   val minhashPairs: NamedQuery = NamedQuery(
     "docs_minhash_pairs",
@@ -104,15 +119,24 @@ object DocQueries {
        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
        |  FROM (SELECT doc_id, $tokDuck AS t FROM documents)
        |),
-       |sig AS (
+       |hashed AS (
        |  SELECT doc_id, shingles,
-       |         list_transform(range(0, 8),
-       |           k -> list_min(list_transform(shingles,
-       |                  s -> md5(k || '|' || s)))) AS sig
+       |         list_transform(shingles,
+       |           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+       |                % $MinhashP) AS hs
        |  FROM sh
        |),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |         [${MinhashPerms.map { case (a, b) =>
+               s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashP))"
+             }.mkString(",\n       |          ")}] AS sig
+       |  FROM hashed
+       |),
        |bands AS (
-       |  SELECT doc_id, j AS band, md5(sig[2*j+1] || sig[2*j+2]) AS bucket
+       |  SELECT doc_id, j AS band,
+       |         md5(CAST(sig[2*j+1] AS VARCHAR) || '|'
+       |             || CAST(sig[2*j+2] AS VARCHAR)) AS bucket
        |  FROM sig, unnest(range(0, 4)) AS u(j)
        |),
        |cand AS (
@@ -144,20 +168,27 @@ object DocQueries {
             |              element_at(t, i + 1), ' ',
             |              element_at(t, i + 2))) END)""".stripMargin
             .replace("\n", " ")).as("shingles"))
-    val sig = sh.select(
+    // `hs` is bound to a column BEFORE the signature lambdas so the md5 +
+    // hex parse run once per shingle, not once per (shingle, permutation).
+    val hashed = sh.select(col("doc_id"), col("shingles"),
+      expr("transform(shingles, s -> " +
+        s"cast(conv(substr(md5(s), 1, 8), 16, 10) AS bigint) % $MinhashP)")
+        .as("hs"))
+    val sig = hashed.select(
       col("doc_id"), col("shingles"),
-      expr(
-        """transform(sequence(0, 7),
-          |  k -> array_min(transform(shingles,
-          |         s -> md5(concat(cast(k AS string), '|', s)))))"""
-          .stripMargin.replace("\n", " ")).as("sig"))
+      expr(MinhashPerms.map { case (a, b) =>
+        s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${MinhashP}L))"
+      }.mkString("array(", ", ", ")")).as("sig"))
     val bands = sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"),
         col("sig"))
       .select(col("doc_id"), col("band"),
         md5(concat(
-          expr("element_at(sig, 2*band + 1)"),
-          expr("element_at(sig, 2*band + 2)"))).as("bucket"))
+          expr("cast(element_at(sig, 2*band + 1) AS string)"), lit("|"),
+          expr("cast(element_at(sig, 2*band + 2) AS string)"))).as("bucket"))
+      // short docs have no shingles → null signature → null bucket; the
+      // oracle's bucket equi-join drops nulls, groupBy would keep them
+      .where(col("bucket").isNotNull)
     // Pairs are generated INSIDE each bucket (collect_list + index-lambda
     // cross of the bucket's ids) instead of a bands⋈bands self-join: the
     // signature lineage (the md5-heavy part) then executes once, where a
