@@ -448,6 +448,69 @@ object DocQueries {
       .orderBy("lang")
   }
 
+  /** Standalone character-4-gram Jaccard near-dup — the n-gram-Jaccard
+    * family as its own pipeline (minhash uses WORD-3-gram Jaccard only as
+    * its verify stage). Candidates are docs sharing the same first-two-
+    * token prefix bucket — a cheap deterministic blocking key, so pair
+    * generation is bucket-local (never all-pairs) at any scale; each
+    * candidate pair is scored by exact char-4-gram Jaccard. Docs shorter
+    * than one gram are excluded up front (their Jaccard is 0/0). */
+  val ngramJaccard: NamedQuery = NamedQuery(
+    "docs_ngram_jaccard",
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |         md5(array_to_string(($tokDuck)[1:2], ' ')) AS bucket,
+       |         list_distinct(list_transform(range(1, len(text) - 2),
+       |           i -> substr(text, i, 4))) AS grams
+       |  FROM documents
+       |  WHERE len(text) >= 4
+       |),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM g a
+       |  JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+       |         / len(list_distinct(x.grams || y.grams)) AS jaccard
+       |FROM cand
+       |JOIN g x ON x.doc_id = doc_a
+       |JOIN g y ON y.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val g = docs(s, d)
+      .where(expr("char_length(text) >= 4"))
+      .select(col("doc_id"),
+        md5(expr(s"array_join(slice($tokSpark, 1, 2), ' ')")).as("bucket"),
+        expr(
+          """array_distinct(transform(
+            |  sequence(1, char_length(text) - 3),
+            |  i -> substring(text, i, 4)))""".stripMargin.replace("\n", " "))
+          .as("grams"))
+    // pairs inside each bucket via collect_list (not a self-join on the
+    // full gram arrays): the slim (bucket, ids) aggregate pairs ids, and
+    // only the surviving pairs re-join the gram sets
+    val cand = g
+      .groupBy("bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    cand
+      .join(g.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(g.as("y"), col("y.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("x.grams"), col("y.grams"))).cast("double") /
+          size(array_distinct(concat(col("x.grams"), col("y.grams")))))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** TF-IDF-style distinctive tokens per source — the classic IR scoring
     * pipeline as two aggregations + a broadcastable document-frequency
     * join + a rank window. Log-free formulation (`tf × N/df` instead of
@@ -504,5 +567,5 @@ object DocQueries {
 
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
-    fingerprint, normalizedDedup, tfidfTop)
+    fingerprint, normalizedDedup, ngramJaccard, tfidfTop)
 }

@@ -140,6 +140,61 @@ object EmbQueries {
     }
   }
 
+  /** Embedding-cosine near-duplicate DEDUP (the brief's last dedup
+    * family): candidate pairs come only from LSH buckets, a pair is a
+    * near-dup when cosine exceeds the threshold, and the keep-first rule
+    * (smaller vec_id survives) marks the rest as drops — per-label
+    * n_vecs / n_dup / n_keep. This composes [[lshPairs]]' candidate
+    * generation with an actual dedup decision, i.e. the operator a
+    * training-data pipeline runs before training. τ = 0.35 is the demo
+    * threshold (the synthetic corpus has no true duplicates — max
+    * within-label cosine ≈ 0.47); the threshold compare agrees across
+    * engines because the cosine values are bit-identical. Scale shape:
+    * bucket-local pairs → DISTINCT on drop ids (hash shuffle on a
+    * near-unique key) → broadcast-joinable drop set. */
+  val nearDup: NamedQuery = NamedQuery(
+    "emb_near_dup",
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, label, embedding,
+       |         ${bucketDuckExpr("embedding")} AS bucket
+       |  FROM embeddings
+       |),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id AS dup_id
+       |  FROM bucketed a
+       |  JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cosDuck("a.embedding", "b.embedding")} > 0.35
+       |)
+       |SELECT label,
+       |       count(*) AS n_vecs,
+       |       CAST(sum(CASE WHEN dup_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_dup,
+       |       CAST(sum(CASE WHEN dup_id IS NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_keep
+       |FROM embeddings e
+       |LEFT JOIN drops d ON e.vec_id = d.dup_id
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val bucketed = emb(s, d).select(
+      col("vec_id"), col("label"), col("embedding"),
+      expr(bucketExpr("embedding")).as("bucket"))
+    val drops = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(expr(cosSpark("a.embedding", "b.embedding")) > 0.35)
+      .select(col("b.vec_id").as("dup_id"))
+      .distinct()
+    emb(s, d).as("e")
+      .join(drops.as("d"), col("e.vec_id") === col("d.dup_id"), "left")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("dup_id").isNotNull, 1).otherwise(0)).as("n_dup"),
+        sum(when(col("dup_id").isNull, 1).otherwise(0)).as("n_keep"))
+      .orderBy("label")
+  }
+
   /** Per-(label, dimension) centroid components — posexplode → two-key
     * hash aggregation with decimal-exact means. Partial aggregation
     * collapses to (10 labels × 64 dims) rows before the shuffle, so the
@@ -349,6 +404,6 @@ object EmbQueries {
   }
 
   val all: Seq[NamedQuery] = Seq(
-    cosineTopK, lshPairs, labelCentroids, knnAccuracy, ivfTopK,
+    cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     topKPerLabel)
 }
