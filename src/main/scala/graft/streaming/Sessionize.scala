@@ -1,0 +1,108 @@
+package graft.streaming
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One raw event on the sessionization stream (event time `ts`). */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** Mutable-per-user session state held by the state store. */
+final case class OpenSession(sid: Long, startUs: Long, lastUs: Long, n: Long)
+
+/** One closed session — the streaming twin of the batch `per_session`
+  * stage in `graft.queries.EventQueries.sessionization`. */
+final case class ClosedSession(
+    user_id: Long, sid: Long, n_events: Long, duration_sec: Double)
+
+/** Streaming sessionization with CUSTOM state — the
+  * `flatMapGroupsWithState` member of the streaming surface (the
+  * watermarked-window and dropDuplicates members live in
+  * [[CandlePipeline]] / the ingest tests). The gap rule matches the batch
+  * query: a >30-minute silence closes the session; `sid` numbers each
+  * user's sessions 1, 2, … in time order, so output rows equal the batch
+  * formulation's `(user_id, sid, n_events, duration_sec)` exactly.
+  *
+  * Scale shape: state is ONE small record per active user (the open
+  * session), partitioned by user_id — the state store shards with the
+  * shuffle, no skew (near-unique key), and event-time timeouts evict
+  * idle users' state as the watermark passes, so state size is bounded
+  * by concurrently-active users, not history.
+  *
+  * Ordering contract: events for a user must arrive in event-time order
+  * ACROSS micro-batches (within a batch they are sorted here). Late
+  * events that still fall inside the open session extend it; a late
+  * event older than the session start only bumps the count — the
+  * documented approximation for out-of-order tails (the batch query is
+  * the exact-order reference).
+  */
+object Sessionize {
+
+  /** 30 minutes, lockstep with the batch gap rule. */
+  val GapUs: Long = 1800000000L
+
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private def close(user: Long, s: OpenSession): ClosedSession =
+    ClosedSession(user, s.sid, s.n, (s.lastUs - s.startUs) / 1000000.0)
+
+  private def step(
+      user: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      // the watermark passed lastUs + gap with no new events: the open
+      // session can never be extended — emit and evict
+      val out = state.getOption.map(close(user, _))
+      state.remove()
+      out.iterator
+    } else {
+      val sorted = events.map(e => micros(e.ts)).toArray.sorted
+      val out = ListBuffer.empty[ClosedSession]
+      var st = state.getOption
+      sorted.foreach { us =>
+        st match {
+          case None =>
+            st = Some(OpenSession(1L, us, us, 1L))
+          case Some(s) if us - s.lastUs > GapUs =>
+            out += close(user, s)
+            st = Some(OpenSession(s.sid + 1L, us, us, 1L))
+          case Some(s) =>
+            st = Some(s.copy(
+              startUs = math.min(s.startUs, us),
+              lastUs = math.max(s.lastUs, us),
+              n = s.n + 1L))
+        }
+      }
+      st.foreach { s =>
+        state.update(s)
+        // fire once the watermark proves no in-gap event can still arrive
+        state.setTimeoutTimestamp(s.lastUs / 1000L + GapUs / 1000L)
+      }
+      out.iterator
+    }
+  }
+
+  /** Closed sessions from a (possibly streaming) event source. The input
+    * must carry a watermark when streaming (event-time timeouts require
+    * it) — see [[sessionsWithWatermark]]. */
+  def sessions(events: Dataset[SessionEvent]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
+  }
+
+  /** Streaming entry: watermark + stateful sessionization. */
+  def sessionsWithWatermark(events: Dataset[SessionEvent],
+                            lateness: String = "10 minutes")
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    sessions(events.withWatermark("ts", lateness).as[SessionEvent])
+  }
+}
