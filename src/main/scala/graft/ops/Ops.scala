@@ -57,6 +57,18 @@ object Ops {
   def dsumProd(a: Column, b: Column): Column =
     decToDouble(sum(a.cast(Money) * b.cast(Money)))
 
+  /** Partial stage of [[dsumProd]] for aggregation BELOW a join: keeps
+    * the exact decimal sum so a downstream [[decFinal]] can re-aggregate
+    * it after the join. Splitting the aggregation this way shrinks the
+    * join's fact-side input to one row per key — the shuffle carries
+    * partials, not raw rows — while decimal exactness keeps the final
+    * double bit-identical to the unsplit formulation. */
+  def dsumProdPartial(a: Column, b: Column): Column =
+    sum(a.cast(Money) * b.cast(Money))
+
+  /** Final stage over partial decimal sums (see [[dsumProdPartial]]). */
+  def decFinal(c: Column): Column = decToDouble(sum(c))
+
   /** Exact sum that is 0 (not null) on an empty group — ClickHouse `sum`
     * over zero rows semantics (SURVEY.md §7.5-4). */
   def dsum0(c: Column): Column =

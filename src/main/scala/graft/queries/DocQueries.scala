@@ -258,13 +258,15 @@ object DocQueries {
     val tf = docs(s, d)
       .select(col("doc_id"), explode(expr(tokSpark)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    // one hex parse per term (codegen'd), pure integer shifts inside the
+    // interpreted lambda: bit pos i of the big-endian first-8-hex-digit
+    // word is bit (31 - i) of the parsed 32-bit value
     val votes = tf
-      .select(col("doc_id"), col("cnt"), md5(col("tok")).as("h"))
+      .select(col("doc_id"), col("cnt"),
+        expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint)").as("h32"))
       .select(col("doc_id"), expr(
         """transform(sequence(0, 31), pos ->
-          |  CASE WHEN shiftright(instr('0123456789abcdef',
-          |         substr(h, 1 + cast(pos / 4 AS int), 1)) - 1,
-          |         3 - pos % 4) % 2 = 1
+          |  CASE WHEN shiftright(h32, 31 - pos) % 2 = 1
           |       THEN cnt ELSE -cnt END)""".stripMargin.replace("\n", " "))
         .as("v"))
     votes

@@ -51,14 +51,21 @@ object EmbQueries {
     }
   }
 
-  /** Sign projection of `v` onto hyperplane `j` as a fused ±element_at
-    * sum (codegen-flat; identical to the oracle's md5-derived fold:
-    * 0.0 - x == (-1.0)*x exactly, same d=1..64 order). */
-  private def projExpr(v: String, j: Int): String =
-    "(0.0D " + (1 to 64).map { d =>
-      val op = if (hyperplaneSigns(j)(d - 1) > 0) "+" else "-"
-      s"$op cast(element_at($v, $d) AS double)"
-    }.mkString(" ") + ")"
+  /** Sign projection of `v` onto hyperplane `j`: a sequential
+    * `aggregate(zip_with(v, signs_j, (x, s) -> s * x))` fold over a
+    * LITERAL ±1.0 sign array. Numerically identical to the oracle's
+    * md5-derived fold ((-1.0)*x == -x exactly, same d=1..64 order). An
+    * earlier formulation spelled each projection as a flat 64-term ±
+    * chain — 512 Add nodes across the 8 hyperplanes, whose Janino
+    * compilation dominated every LSH query's wall time (~6 s once per
+    * plan); the higher-order fold is interpreted, which for a
+    * sign-projection is far cheaper than compiling. */
+  private def projExpr(v: String, j: Int): String = {
+    val signs = hyperplaneSigns(j)
+      .map(s => if (s > 0) "1.0D" else "-1.0D").mkString("array(", ", ", ")")
+    s"aggregate(zip_with($v, $signs, (x, s) -> s * cast(x AS double)), " +
+      "0.0D, (acc, t) -> acc + t)"
+  }
 
   /** 8-bit LSH bucket key of `v`. */
   private def bucketExpr(v: String): String =

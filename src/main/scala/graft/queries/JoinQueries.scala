@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{NamedQuery, Tables}
@@ -23,10 +24,27 @@ import graft.ops.Ops
   */
 object JoinQueries {
 
+  /** Per-order revenue partials — aggregation pushed BELOW the join
+    * (the classic eager-aggregation rewrite): every group key of the
+    * downstream queries (region, month, nation) is an order-level
+    * attribute, so summing lineitem revenue per l_orderkey first is
+    * exact, and the join's fact side shrinks from |lineitem| rows to
+    * |orders| partials — at 100 TB that is the difference between
+    * shuffling the fact table and shuffling one row per order. Decimal
+    * partials keep the final double bit-identical to the unsplit sum. */
+  private def orderRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        Ops.dsumProdPartial(col("l_extendedprice"),
+          lit(1.0) - col("l_discount")).as("_rev"),
+        count(lit(1)).as("_n"))
+
   /** Revenue per (region, order month) through the full 5-table star:
-    * lineitem ⋈ orders ⋈ customer ⋈ nation(bcast) ⋈ region(bcast).
-    * The two fact-side joins shuffle on their keys; the partial aggregate
-    * collapses to (5 regions × months) rows before the final exchange. */
+    * lineitem(pre-aggregated per order) ⋈ orders ⋈ customer ⋈
+    * nation(bcast) ⋈ region(bcast). The fact-side joins shuffle
+    * order-level partials; the final aggregate collapses to
+    * (5 regions × months) rows before the last exchange. */
   val revenueRegionMonth: NamedQuery = NamedQuery(
     "joins_revenue_region_month",
     s"""SELECT r_name AS region,
@@ -40,7 +58,7 @@ object JoinQueries {
        |JOIN region   ON n_regionkey = r_regionkey
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
+    orderRevenue(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)),
@@ -51,9 +69,8 @@ object JoinQueries {
         col("r_name").as("region"),
         date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(
-        Ops.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
-          .as("revenue"),
-        count(lit(1)).as("n_items"))
+        Ops.decFinal(col("_rev")).as("revenue"),
+        sum(col("_n")).as("n_items"))
       .orderBy("region", "month")
   }
 
@@ -159,7 +176,7 @@ object JoinQueries {
        |JOIN region   ON n_regionkey = r_regionkey
        |GROUP BY ROLLUP (r_name, n_name)
        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
+    orderRevenue(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)),
@@ -168,9 +185,8 @@ object JoinQueries {
         col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name").as("region"), col("n_name").as("nation"))
       .agg(
-        Ops.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
-          .as("revenue"),
-        count(lit(1)).as("n_items"))
+        Ops.decFinal(col("_rev")).as("revenue"),
+        sum(col("_n")).as("n_items"))
       .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
   }
 
