@@ -1,0 +1,189 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF join as a first-class Catalyst operator — the (c)-tier custom
+  * operator of the builder brief: a [[LogicalPlan]] node, a
+  * [[SparkStrategy]], and a [[SparkPlan]] with its own distribution and
+  * ordering requirements, attachable via `SparkSessionExtensions` or
+  * `spark.experimental.extraStrategies`.
+  *
+  * Semantics (LEFT OUTER AS-OF): every left row picks the right row with
+  * the greatest `rightTime <= leftTime` among rows with equal keys; left
+  * rows without a qualifying match emit null right columns. Null keys and
+  * null times never match (SQL equi-join convention). Ties on
+  * `(rightKeys, rightTime)` are caller-resolved (pre-deduplicate) — same
+  * contract as DuckDB's ASOF JOIN.
+  *
+  * Why a physical operator instead of the union+window formulation
+  * (`EventQueries.asofAttribution`): same asymptotics (one hash exchange
+  * per side + in-partition sort), but the merge is a single streaming
+  * pass over the two sorted iterators — no window-function state, no
+  * union schema padding, no second pass to split sides back apart, and
+  * O(1) memory per partition. At 100 TB both sides shuffle only on the
+  * join keys; EnsureRequirements plans the exchanges/sorts from the
+  * declared requirements exactly as for a sort-merge join.
+  */
+final case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+    extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoin]] onto [[AsofJoinExec]]. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Partition-local sorted-merge AS-OF join. Children are hash-clustered
+  * on the join keys and sorted by (keys, time), so one forward pass per
+  * partition joins both sides: right rows are consumed while their
+  * (keys, time) prefix is <= the current left row's, remembering the
+  * latest consumed row; key equality decides match vs null. O(n + m)
+  * time, O(1) rows of state. */
+final case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  /** Left rows stream through in order, so the left child's partitioning
+    * and ordering survive. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKT = leftKeys :+ leftTime
+    val rKT = rightKeys :+ rightTime
+    val keyTypes = leftKeys.map(_.dataType)
+    val ktTypes = lKT.map(_.dataType)
+    val allOut = output
+    val nRight = rOut.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKtProj = UnsafeProjection.create(lKT, lOut)
+      val rKtProj = UnsafeProjection.create(rKT, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val ktOrd = RowOrdering.createNaturalAscendingOrdering(ktTypes)
+      val outProj = UnsafeProjection.create(allOut, allOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+
+      new Iterator[InternalRow] {
+        // lookahead right row + its (keys, time) projection, both copied
+        // (Unsafe buffers are reused by the child iterator)
+        private var rRow: InternalRow = _
+        private var rKt: InternalRow = _
+        // latest right row consumed by the merge and its key prefix
+        private var lastRow: InternalRow = _
+        private var lastKt: InternalRow = _
+        advance()
+
+        private def advance(): Unit = {
+          rRow = null; rKt = null
+          while (rRow == null && rIter.hasNext) {
+            val r = rIter.next()
+            val kt = rKtProj(r)
+            // null key or null time on the right can never match
+            if (!kt.anyNull) { rRow = r.copy(); rKt = kt.copy() }
+          }
+        }
+
+        // key prefix of a (keys, time) row for equality checks: the two
+        // orderings agree because keys are a prefix of the kt row
+        private def sameKey(a: InternalRow, b: InternalRow): Boolean =
+          keyOrd.compare(a, b) == 0
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lkt = lKtProj(l)
+          if (lkt.anyNull) {
+            outProj(joined(l, nullRight))
+          } else {
+            while (rKt != null && ktOrd.compare(rKt, lkt) <= 0) {
+              lastRow = rRow; lastKt = rKt
+              advance()
+            }
+            if (lastRow != null && sameKey(lastKt, lkt))
+              outProj(joined(l, lastRow))
+            else outProj(joined(l, nullRight))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API for the AS-OF join operator. */
+object Asof {
+
+  /** `left ASOF LEFT JOIN right ON keys AND leftTime >= rightTime`.
+    * Column names across the two sides must be disjoint (alias the right
+    * side); installs [[AsofJoinStrategy]] on the session if absent. */
+  def join(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[String], rightKeys: Seq[String],
+           leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    val clash = lPlan.output.map(_.name).toSet
+      .intersect(rPlan.output.map(_.name).toSet)
+    require(clash.isEmpty,
+      s"asof join requires disjoint column names; clashing: $clash")
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    GraftBridge.ofRows(spark, AsofJoin(
+      lPlan, rPlan,
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+  }
+}

@@ -243,8 +243,9 @@ object EventQueries {
     * pre-deduplicated per (user, ts) so the as-of pick is well-defined in
     * both engines. The oracle uses DuckDB's native ASOF LEFT JOIN —
     * an independent implementation of the same semantics. */
-  val asofAttribution: NamedQuery = NamedQuery(
-    "events_asof_attribution",
+  /** Shared oracle for both as-of formulations — DuckDB's native
+    * ASOF LEFT JOIN, an independent implementation of the semantics. */
+  private val asofOracle: String =
     s"""WITH ev AS (
        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
        |         value
@@ -270,7 +271,10 @@ object EventQueries {
        |       ${Sql.dsum("coalesce(click_value, 0)")} AS attributed_value
        |FROM j
        |GROUP BY 1
-       |ORDER BY 1""".stripMargin) { (s, d) =>
+       |ORDER BY 1""".stripMargin
+
+  val asofAttribution: NamedQuery = NamedQuery(
+    "events_asof_attribution", asofOracle) { (s, d) =>
     val ev = Tables.events(s, d)
     val clicks = ev.where(col("event_type") === "click")
       .groupBy("user_id", "ts")
@@ -298,6 +302,35 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** The same attribution query driven by the engine's OWN as-of
+    * operator ([[graft.plans.AsofJoin]] — logical node + strategy +
+    * partition-local sorted-merge physical plan): the driver's DuckDB
+    * compare checks the custom operator's results against DuckDB's
+    * native ASOF JOIN, and [[asofAttribution]] (union+window built-ins)
+    * triangulates the same semantics a third way. */
+  val asofNative: NamedQuery = NamedQuery(
+    "events_asof_native", asofOracle) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("click_value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    graft.plans.Asof.join(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts", "click_ts")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("click_ts")).as("n_attributed"),
+        coalesce(sum(unix_micros(col("ts")) - unix_micros(col("click_ts"))),
+          lit(0L)).as("lag_us_total"),
+        Ops.dsum(coalesce(col("click_value"), lit(0.0)))
+          .as("attributed_value"))
+      .orderBy("user_id")
+  }
+
   /** Approximate distinct users per event type — HyperLogLog++ sketch
     * (`approx_count_distinct`) beside the exact count. At 100 TB the
     * sketch is the difference between a fixed-size partial aggregate and
@@ -319,5 +352,5 @@ object EventQueries {
 
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
-    asofAttribution, approxUsers)
+    asofAttribution, asofNative, approxUsers)
 }
