@@ -78,6 +78,53 @@ object Media {
       features = (0 until 8).map(i => u(i + 4) / 255.0f).toArray)
   }
 
+  /** One sampled frame of a "video" payload. */
+  final case class FrameSample(doc_id: Long, source: String, frame_idx: Int,
+                               checksum: String, luma: Int)
+
+  /** Frame sampling (the video-pipeline verb): the payload is treated as
+    * consecutive `frameLen`-byte frames and every `stride`-th frame is
+    * decoded — the keyframe-sampling shape. flatMap-shaped
+    * `mapPartitions`: one codec init per partition, sampled frames
+    * stream out without materializing whole videos. The per-frame decode
+    * is the same deterministic STUB (digest → checksum + a fake luma
+    * byte); a real decoder drops into the same loop. */
+  def sampleFrames(media: Dataset[MediaRow], frameLen: Int = 64,
+                   stride: Int = 4): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val codec = MessageDigest.getInstance("SHA-256")
+      rows.flatMap { r =>
+        val nFrames = (r.payload.length + frameLen - 1) / frameLen
+        (0 until nFrames).iterator.filter(_ % stride == 0).map { i =>
+          val from = i * frameLen
+          val until = math.min(from + frameLen, r.payload.length)
+          val digest = codec.digest(
+            java.util.Arrays.copyOfRange(r.payload, from, until))
+          FrameSample(r.doc_id, r.source, i,
+            digest.map("%02x".format(_)).mkString, digest(0) & 0xff)
+        }
+      }
+    }
+  }
+
+  /** Aspect-preserving integer resize of decoded dimensions — pure
+    * column arithmetic (codegen'd), deliberately NOT inside the
+    * mapPartitions codec: only the decode needs partition-local init;
+    * everything downstream of it should stay in Tungsten. Integer
+    * `div` keeps the math exact and engine-independent. */
+  def resize(decoded: DataFrame, maxDim: Int = 256): DataFrame = {
+    val mx = greatest(col("width"), col("height"))
+    def scaled(c: String) =
+      when(mx <= maxDim, col(c)).otherwise(
+        greatest(lit(1), expr(s"$c * $maxDim div greatest(width, height)")))
+    decoded
+      .withColumn("resized_width", scaled("width"))
+      .withColumn("resized_height", scaled("height"))
+      .withColumn("downscaled", (mx > maxDim).cast("int"))
+  }
+
   /** Aggregate decoded-media statistics per source — the downstream
     * query a training pipeline runs over extracted metadata. */
   def decodeStats(docs: DataFrame): DataFrame =

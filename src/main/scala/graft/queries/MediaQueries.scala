@@ -44,5 +44,85 @@ object MediaQueries {
     Media.decodeStats(Tables.documents(s, d))
   }
 
-  val all: Seq[NamedQuery] = Seq(decodeStats)
+  /** Keyframe sampling over "video" payloads: every 4th 64-byte frame,
+    * per-frame stub decode, per-source stats incl. cross-document frame
+    * dedup (`n_unique_frames` — repeated frames collapse, the dedup-
+    * before-training shape). The oracle re-derives each sampled frame's
+    * sha256 from character offsets (corpus is pure ASCII, so DuckDB's
+    * char-based substr slices the same bytes the Spark side hashes). */
+  val frameSample: NamedQuery = NamedQuery(
+    "media_frame_sample",
+    s"""WITH f AS (
+       |  SELECT doc_id, source, i AS frame_idx,
+       |         sha256(substr(text, 1 + CAST(i AS INTEGER) * 64, 64)) AS h
+       |  FROM documents,
+       |       unnest(range(0, (len(text) + 63) // 64)) AS u(i)
+       |  WHERE i % 4 = 0
+       |)
+       |SELECT source,
+       |       count(*) AS n_frames,
+       |       count(DISTINCT h) AS n_unique_frames,
+       |       CAST(sum(${byteAt("h", 0)}) AS BIGINT) AS luma_total
+       |FROM f
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    Media.sampleFrames(Media.mediaFromDocuments(Tables.documents(s, d)))
+      .toDF()
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("checksum")).as("n_unique_frames"),
+        sum(col("luma").cast("long")).as("luma_total"))
+      .orderBy("source")
+  }
+
+  /** Aspect-preserving resize over decoded dims — decode (partition-
+    * local stub) then pure integer column arithmetic; per-source sums
+    * of the resized dimensions stay exact in both engines. */
+  val resizeStats: NamedQuery = NamedQuery(
+    "media_resize_stats",
+    s"""WITH m AS (
+       |  SELECT source, sha256(text) AS h FROM documents
+       |),
+       |d AS (
+       |  SELECT source,
+       |         64 + ${byteAt("h", 0)} * 16 + ${byteAt("h", 1)} AS width,
+       |         64 + ${byteAt("h", 2)} * 16 + ${byteAt("h", 3)} AS height
+       |  FROM m
+       |),
+       |r AS (
+       |  SELECT source, width, height,
+       |         CASE WHEN greatest(width, height) <= 256 THEN width
+       |              ELSE greatest(1, width * 256 // greatest(width, height))
+       |         END AS rw,
+       |         CASE WHEN greatest(width, height) <= 256 THEN height
+       |              ELSE greatest(1, height * 256 // greatest(width, height))
+       |         END AS rh,
+       |         CASE WHEN greatest(width, height) > 256 THEN 1 ELSE 0
+       |         END AS ds
+       |  FROM d
+       |)
+       |SELECT source,
+       |       count(*) AS n_media,
+       |       CAST(sum(ds) AS BIGINT) AS n_downscaled,
+       |       CAST(sum(rw) AS BIGINT) AS sum_rw,
+       |       CAST(sum(rh) AS BIGINT) AS sum_rh
+       |FROM r
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val decoded = Media.decodeFeatures(
+      Media.mediaFromDocuments(Tables.documents(s, d))).toDF()
+    Media.resize(decoded)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("downscaled").cast("long")).as("n_downscaled"),
+        sum(col("resized_width").cast("long")).as("sum_rw"),
+        sum(col("resized_height").cast("long")).as("sum_rh"))
+      .orderBy("source")
+  }
+
+  val all: Seq[NamedQuery] = Seq(decodeStats, frameSample, resizeStats)
 }

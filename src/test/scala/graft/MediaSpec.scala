@@ -41,6 +41,34 @@ class MediaSpec extends SparkSpec {
       again(0).features.sameElements(r.features))
   }
 
+  test("sampleFrames takes every stride-th frame, short tail included") {
+    // 150-byte payload, frameLen 64 → frames {0,1,2}; stride 2 → {0, 2};
+    // frame 2 is the 22-byte tail
+    val d = Seq((1L, "x" * 150, "en", "srcA", 150L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Media.sampleFrames(Media.mediaFromDocuments(d),
+      frameLen = 64, stride = 2).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    val tail = MessageDigest.getInstance("SHA-256")
+      .digest(("x" * 22).getBytes("UTF-8"))
+    assert(frames(1).checksum == tail.map("%02x".format(_)).mkString)
+    assert(frames(1).luma == (tail(0) & 0xff))
+  }
+
+  test("resize downscales with preserved aspect, small dims untouched") {
+    val decoded = Seq(
+      ("srcA", 4000, 2000), // → (256, 128)
+      ("srcA", 100, 200)    // ≤ 256 → untouched
+    ).toDF("source", "width", "height")
+    val out = Media.resize(decoded, maxDim = 256)
+      .orderBy("width").collect()
+    assert(out(1).getAs[Any]("resized_width").toString.toLong == 256L &&
+      out(1).getAs[Any]("resized_height").toString.toLong == 128L &&
+      out(1).getAs[Int]("downscaled") == 1)
+    assert(out(0).getAs[Any]("resized_width").toString.toLong == 100L &&
+      out(0).getAs[Int]("downscaled") == 0)
+  }
+
   test("decodeStats aggregates per source") {
     val stats = Media.decodeStats(docs).collect()
     assert(stats.map(r => (r.getAs[String]("source"),
