@@ -145,9 +145,11 @@ object GraftFunctions {
   /** Install the engine's optimizer rules on a live session (idempotent;
     * the build-time path is [[GraftExtensions]]). */
   def installRules(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(MonthPruningRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ MonthPruningRule
+    Seq(MonthPruningRule, NanoTsPushdownRule).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
 }
 
 /** `SparkSessionExtensions` entry point: sessions built with
@@ -159,6 +161,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => MonthPruningRule)
+    ext.injectOptimizerRule(_ => NanoTsPushdownRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{
+  Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan,
+  LessThanOrEqual, Literal, MicrosToTimestamp}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule: push timestamp comparisons through the engine's
+  * nano-epoch conversion so they reach the parquet scan.
+  *
+  * The driver corpus stores `events.ts` as TIMESTAMP(NANOS), which the
+  * session reads as an epoch-nano long and converts with
+  * `timestamp_micros(ts div 1000)` ([[graft.Tables.events]]). A filter
+  * written against the CONVERTED column —
+  * `timestamp_micros(ts div 1000) >= T` — cannot be pushed into the scan
+  * (the datasource only translates predicates on bare columns), so every
+  * SQL-path query over the view would full-scan at any scale. The
+  * DataFrame builders dodge this by pre-filtering the raw long
+  * ([[graft.Tables.events]] `sinceMicros`); this rule closes the gap for
+  * everything else by rewriting, inside Filter conditions:
+  *
+  *   timestamp_micros(x div 1000) >= T  →  x >= micros(T) * 1000
+  *   timestamp_micros(x div 1000) >  T  →  x >  micros(T) * 1000 + 999
+  *   timestamp_micros(x div 1000) <  T  →  x <  micros(T) * 1000
+  *   timestamp_micros(x div 1000) <= T  →  x <= micros(T) * 1000 + 999
+  *
+  * (plus the mirrored literal-on-left orientations). Equivalence: for
+  * x ≥ 0, `x div 1000` is floor division, so each line is the standard
+  * integer-bound shift; for x < 0 (impossible for epochs in the corpus,
+  * but kept safe) Spark's `div` truncates toward zero, which agrees with
+  * every rewritten comparison as long as micros(T) ≥ 1 — the rule
+  * therefore fires only for positive timestamp literals, and only when
+  * micros(T)·1000 cannot overflow. Null semantics are preserved: both
+  * sides are null exactly when `x` is null.
+  */
+object NanoTsPushdownRule extends Rule[LogicalPlan] {
+
+  private val MaxSafe = Long.MaxValue / 1000L - 1000L
+
+  /** `x` of `timestamp_micros(x div 1000)`. */
+  private def nanoOfMicrosDiv(e: Expression): Option[Expression] = e match {
+    case m: MicrosToTimestamp => m.child match {
+      case d: IntegralDivide if d.left.dataType == LongType =>
+        d.right match {
+          case Literal(v: Long, LongType) if v == 1000L => Some(d.left)
+          case Literal(v: Int, _) if v == 1000 => Some(d.left)
+          case _ => None
+        }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def usOf(l: Literal): Option[Long] = l match {
+    case Literal(us: Long, TimestampType) if us >= 1L && us <= MaxSafe =>
+      Some(us)
+    case _ => None
+  }
+
+  private def ns(us: Long): Literal = Literal(us * 1000L, LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val rewritten = cond.transformUp {
+        case c @ GreaterThanOrEqual(e, l: Literal) =>
+          (nanoOfMicrosDiv(e), usOf(l)) match {
+            case (Some(x), Some(us)) => GreaterThanOrEqual(x, ns(us))
+            case _ => c
+          }
+        case c @ GreaterThan(e, l: Literal) =>
+          (nanoOfMicrosDiv(e), usOf(l)) match {
+            case (Some(x), Some(us)) =>
+              GreaterThan(x, Literal(us * 1000L + 999L, LongType))
+            case _ => c
+          }
+        case c @ LessThan(e, l: Literal) =>
+          (nanoOfMicrosDiv(e), usOf(l)) match {
+            case (Some(x), Some(us)) => LessThan(x, ns(us))
+            case _ => c
+          }
+        case c @ LessThanOrEqual(e, l: Literal) =>
+          (nanoOfMicrosDiv(e), usOf(l)) match {
+            case (Some(x), Some(us)) =>
+              LessThanOrEqual(x, Literal(us * 1000L + 999L, LongType))
+            case _ => c
+          }
+        // mirrored orientations: T cmp convert(x)  ⟺  convert(x) cmp' T
+        case c @ GreaterThanOrEqual(l: Literal, e) =>
+          (nanoOfMicrosDiv(e), usOf(l)) match {
+            case (Some(x), Some(us)) =>
+              LessThanOrEqual(x, Literal(us * 1000L + 999L, LongType))
+            case _ => c
+          }
+        case c @ GreaterThan(l: Literal, e) =>
+          (nanoOfMicrosDiv(e), usOf(l)) match {
+            case (Some(x), Some(us)) => GreaterThan(ns(us), x)
+            case _ => c
+          }
+        case c @ LessThan(l: Literal, e) =>
+          (nanoOfMicrosDiv(e), usOf(l)) match {
+            case (Some(x), Some(us)) =>
+              LessThan(Literal(us * 1000L + 999L, LongType), x)
+            case _ => c
+          }
+        case c @ LessThanOrEqual(l: Literal, e) =>
+          (nanoOfMicrosDiv(e), usOf(l)) match {
+            case (Some(x), Some(us)) => LessThanOrEqual(ns(us), x)
+            case _ => c
+          }
+      }
+      if (rewritten.fastEquals(cond)) f else Filter(rewritten, child)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.api.SqlApi
+import graft.queries.TradeQueries
+
+/** The parameterized SQL entry path (S9): named-parameter binding returns
+  * the same results as the DataFrame builders, parameters actually vary
+  * the result, and the bound cutoff reaches the scan as a literal
+  * pushed filter. */
+class SqlApiSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def args(extra: (String, Any)*): Map[String, Any] =
+    (extra :+ ("asof" -> SqlApi.anchor(spark, dir))).toMap
+
+  test("ohlcv endpoint == parameterized builder") {
+    SqlApi.registerViews(spark, dir)
+    val viaSql = SqlApi.query(spark, SqlApi.ohlcvSql,
+      args("symbol" -> "click", "minutes" -> 1440L)).collect()
+    val viaBuilder = TradeQueries.ohlcv("click", 1440)(spark, dir).collect()
+    assert(viaSql.length == viaBuilder.length && viaSql.nonEmpty)
+    viaSql.zip(viaBuilder).foreach { case (a, b) =>
+      assert(a.getTimestamp(0) == b.getTimestamp(0))
+      assert(a.getDouble(1) == b.getDouble(1)) // open: exact
+      assert(a.getLong(6) == b.getLong(6))     // trades: exact
+      // volume: plain double sum vs the builder's decimal-exact sum —
+      // equal up to association order
+      assert(math.abs(a.getDouble(5) - b.getDouble(5)) <=
+        1e-9 * math.max(1.0, b.getDouble(5).abs))
+    }
+  }
+
+  test("parameters vary the result (no baked-in literals)") {
+    SqlApi.registerViews(spark, dir)
+    val wide = SqlApi.query(spark, SqlApi.topSymbolsSql,
+      args("minutes" -> 100000L, "limit" -> 10)).collect()
+    val narrow = SqlApi.query(spark, SqlApi.topSymbolsSql,
+      args("minutes" -> 60L, "limit" -> 10)).collect()
+    val capped = SqlApi.query(spark, SqlApi.topSymbolsSql,
+      args("minutes" -> 100000L, "limit" -> 2)).collect()
+    assert(wide.length > capped.length)
+    assert(capped.length == 2)
+    val wideTrades = wide.map(_.getLong(2)).sum
+    val narrowTrades = narrow.map(_.getLong(2)).sum
+    assert(narrowTrades < wideTrades)
+  }
+
+  test("bound time cutoff lands in the scan as a pushed literal filter") {
+    SqlApi.registerViews(spark, dir)
+    val df = SqlApi.query(spark, SqlApi.liveTradesSql,
+      args("symbol" -> "view", "minutes" -> 240L, "limit" -> 500))
+    val physical = df.queryExecution.executedPlan.toString
+    // the filter must compare against a resolved literal, not a column
+    // (the round-1 anchor-cross-join scale-killer)
+    assert(physical.contains("PushedFilters: [") &&
+      physical.contains("GreaterThanOrEqual(ts,"))
+  }
+
+  test("five endpoint texts all execute") {
+    SqlApi.registerViews(spark, dir)
+    assert(SqlApi.query(spark, SqlApi.liveBuySellSql,
+      args("minutes" -> 1440L, "top" -> 5)).collect().nonEmpty)
+    assert(SqlApi.query(spark, SqlApi.histBuySellSql,
+      args("symbol" -> "purchase", "minutes" -> 2880L)).collect().nonEmpty)
+  }
+}
