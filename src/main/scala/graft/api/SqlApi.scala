@@ -41,9 +41,15 @@ object SqlApi {
             args: Map[String, Any] = Map.empty): DataFrame =
     spark.sql(sql, args)
 
-  /** The deterministic `:asof` anchor for a corpus dir. */
-  def anchor(spark: SparkSession, dir: String): java.sql.Timestamp =
-    new java.sql.Timestamp(Tables.anchorMicros(spark, dir) / 1000L)
+  /** The deterministic `:asof` anchor for a corpus dir, at FULL micro
+    * precision — the corpus timestamps are not millisecond-aligned, so a
+    * ms-truncated anchor would shift every window cutoff up to 999 µs
+    * from the builder path's. */
+  def anchor(spark: SparkSession, dir: String): java.sql.Timestamp = {
+    val us = Tables.anchorMicros(spark, dir)
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      us / 1000000L, (us % 1000000L) * 1000L))
+  }
 
   /** Q1 `/ohlcv` (reference: api/server.py:57-84). */
   val ohlcvSql: String =

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan,
-  LessThanOrEqual, Literal, MicrosToTimestamp}
+  And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+  IntegralDivide, LessThan, LessThanOrEqual, Literal, MicrosToTimestamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -25,6 +25,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *   timestamp_micros(x div 1000) >  T  →  x >  micros(T) * 1000 + 999
   *   timestamp_micros(x div 1000) <  T  →  x <  micros(T) * 1000
   *   timestamp_micros(x div 1000) <= T  →  x <= micros(T) * 1000 + 999
+  *   timestamp_micros(x div 1000) =  T  →  x BETWEEN micros(T) * 1000
+  *                                           AND micros(T) * 1000 + 999
   *
   * (plus the mirrored literal-on-left orientations). Equivalence: for
   * x ≥ 0, `x div 1000` is floor division, so each line is the standard
@@ -61,9 +63,25 @@ object NanoTsPushdownRule extends Rule[LogicalPlan] {
 
   private def ns(us: Long): Literal = Literal(us * 1000L, LongType)
 
+  /** `x BETWEEN us·1000 AND us·1000+999` — null when `x` is null, like
+    * the EqualTo it replaces. */
+  private def nsRange(x: Expression, us: Long): Expression =
+    And(GreaterThanOrEqual(x, ns(us)),
+      LessThanOrEqual(x, Literal(us * 1000L + 999L, LongType)))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val rewritten = cond.transformUp {
+        case c @ EqualTo(e, l: Literal) =>
+          (nanoOfMicrosDiv(e), usOf(l)) match {
+            case (Some(x), Some(us)) => nsRange(x, us)
+            case _ => c
+          }
+        case c @ EqualTo(l: Literal, e) =>
+          (nanoOfMicrosDiv(e), usOf(l)) match {
+            case (Some(x), Some(us)) => nsRange(x, us)
+            case _ => c
+          }
         case c @ GreaterThanOrEqual(e, l: Literal) =>
           (nanoOfMicrosDiv(e), usOf(l)) match {
             case (Some(x), Some(us)) => GreaterThanOrEqual(x, ns(us))

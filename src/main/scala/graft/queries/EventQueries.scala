@@ -227,22 +227,6 @@ object EventQueries {
       .crossJoin(late.except(early).agg(count(lit(1)).as("n_new")))
   }
 
-  /** True two-table AS-OF join — last-click attribution: every `purchase`
-    * event joins the most recent `click` by the same user at or before its
-    * timestamp, then per-user attribution stats. The reference has no as-of
-    * operator (its forward-fill shape is `trades_gapfill_asof`); this is
-    * the general two-relation form a trading engine needs (trade↔quote).
-    *
-    * Spark has no ASOF JOIN physical operator, and a per-row range join
-    * would be O(n·m) within each user. The scalable formulation is
-    * union-then-window: tag both sides, sort each user's merged timeline
-    * once, and carry the last click forward with `last(..., ignoreNulls)`
-    * — ONE hash shuffle on user_id + one in-partition sort, the same
-    * asymptotics as a sort-merge join, at any scale. Ordering (ts, side)
-    * with clicks first realizes the inclusive `>=` bound; clicks are
-    * pre-deduplicated per (user, ts) so the as-of pick is well-defined in
-    * both engines. The oracle uses DuckDB's native ASOF LEFT JOIN —
-    * an independent implementation of the same semantics. */
   /** Shared oracle for both as-of formulations — DuckDB's native
     * ASOF LEFT JOIN, an independent implementation of the semantics. */
   private val asofOracle: String =
@@ -273,6 +257,37 @@ object EventQueries {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** Per-user attribution stats over an as-of-joined frame carrying
+    * `user_id`, purchase `ts`, and the matched `click_ts`/click value —
+    * the shared tail of both as-of formulations (they must stay
+    * identical for the shared oracle to hold). */
+  private def attributionStats(joined: DataFrame,
+                               clickValue: String): DataFrame =
+    joined
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("click_ts")).as("n_attributed"),
+        coalesce(sum(unix_micros(col("ts")) - unix_micros(col("click_ts"))),
+          lit(0L)).as("lag_us_total"),
+        Ops.dsum(coalesce(col(clickValue), lit(0.0)))
+          .as("attributed_value"))
+      .orderBy("user_id")
+
+  /** True two-table AS-OF join — last-click attribution: every `purchase`
+    * event joins the most recent `click` by the same user at or before its
+    * timestamp, then per-user attribution stats. The reference has no as-of
+    * operator (its forward-fill shape is `trades_gapfill_asof`); this is
+    * the general two-relation form a trading engine needs (trade↔quote).
+    *
+    * Built-ins-only formulation: a per-row range join would be O(n·m)
+    * within each user, so this uses union-then-window — tag both sides,
+    * sort each user's merged timeline once, carry the last click forward
+    * with `last(..., ignoreNulls)`: ONE hash shuffle on user_id + one
+    * in-partition sort, the same asymptotics as a sort-merge join, at
+    * any scale. Ordering (ts, side) with clicks first realizes the
+    * inclusive `>=` bound; clicks are pre-deduplicated per (user, ts) so
+    * the as-of pick is well-defined in both engines. */
   val asofAttribution: NamedQuery = NamedQuery(
     "events_asof_attribution", asofOracle) { (s, d) =>
     val ev = Tables.events(s, d)
@@ -285,21 +300,15 @@ object EventQueries {
         lit(null).cast("double").as("click_value"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(purchases)
-      .withColumn("click_ts",
-        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-      .withColumn("cv",
-        last(when(col("side") === 0, col("click_value")), ignoreNulls = true)
-          .over(w))
-      .where(col("side") === 1)
-      .groupBy("user_id")
-      .agg(
-        count(lit(1)).as("n_purchases"),
-        count(col("click_ts")).as("n_attributed"),
-        coalesce(sum(unix_micros(col("ts")) - unix_micros(col("click_ts"))),
-          lit(0L)).as("lag_us_total"),
-        Ops.dsum(coalesce(col("cv"), lit(0.0))).as("attributed_value"))
-      .orderBy("user_id")
+    attributionStats(
+      clicks.unionByName(purchases)
+        .withColumn("click_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .withColumn("cv",
+          last(when(col("side") === 0, col("click_value")), ignoreNulls = true)
+            .over(w))
+        .where(col("side") === 1),
+      clickValue = "cv")
   }
 
   /** The same attribution query driven by the engine's OWN as-of
@@ -318,17 +327,10 @@ object EventQueries {
         col("click_value"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"))
-    graft.plans.Asof.join(purchases, clicks,
-        Seq("user_id"), Seq("c_user"), "ts", "click_ts")
-      .groupBy("user_id")
-      .agg(
-        count(lit(1)).as("n_purchases"),
-        count(col("click_ts")).as("n_attributed"),
-        coalesce(sum(unix_micros(col("ts")) - unix_micros(col("click_ts"))),
-          lit(0L)).as("lag_us_total"),
-        Ops.dsum(coalesce(col("click_value"), lit(0.0)))
-          .as("attributed_value"))
-      .orderBy("user_id")
+    attributionStats(
+      graft.plans.Asof.join(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts", "click_ts"),
+      clickValue = "click_value")
   }
 
   /** Approximate distinct users per event type — HyperLogLog++ sketch

@@ -24,18 +24,23 @@ final case class ClosedSession(
   * user's sessions 1, 2, … in time order, so output rows equal the batch
   * formulation's `(user_id, sid, n_events, duration_sec)` exactly.
   *
-  * Scale shape: state is ONE small record per active user (the open
-  * session), partitioned by user_id — the state store shards with the
-  * shuffle, no skew (near-unique key), and event-time timeouts evict
-  * idle users' state as the watermark passes, so state size is bounded
-  * by concurrently-active users, not history.
+  * Scale shape: state is ONE small record per user, partitioned by
+  * user_id — the state store shards with the shuffle, no skew
+  * (near-unique key). Event-time timeouts EMIT an idle user's open
+  * session once the watermark passes the gap and shrink its state to an
+  * O(1) tombstone carrying only the session counter — the counter must
+  * survive eviction or a returning user's sids would restart at 1 and
+  * collide with already-emitted rows (batch parity requires monotone
+  * sids). State is therefore one open-session record per ACTIVE user
+  * plus one counter-tombstone per idle user ever seen — the same
+  * cardinality class as any per-user aggregate.
   *
   * Ordering contract: events for a user must arrive in event-time order
-  * ACROSS micro-batches (within a batch they are sorted here). Late
-  * events that still fall inside the open session extend it; a late
-  * event older than the session start only bumps the count — the
-  * documented approximation for out-of-order tails (the batch query is
-  * the exact-order reference).
+  * ACROSS micro-batches (within a batch they are sorted here). A late
+  * event that still falls inside the open session's gap extends the
+  * session in BOTH directions (it bumps the count and can pull
+  * `startUs` earlier, lengthening the emitted duration); the batch
+  * query is the exact-order reference.
   */
 object Sessionize {
 
@@ -56,9 +61,13 @@ object Sessionize {
       state: GroupState[OpenSession]): Iterator[ClosedSession] = {
     if (state.hasTimedOut) {
       // the watermark passed lastUs + gap with no new events: the open
-      // session can never be extended — emit and evict
-      val out = state.getOption.map(close(user, _))
-      state.remove()
+      // session can never be extended — emit it, keep only the sid
+      // counter (n = 0 marks "no open session"); no new timeout, so the
+      // tombstone is never re-delivered here
+      val out = state.getOption.filter(_.n > 0L).map { s =>
+        state.update(s.copy(n = 0L))
+        close(user, s)
+      }
       out.iterator
     } else {
       val sorted = events.map(e => micros(e.ts)).toArray.sorted
@@ -68,6 +77,8 @@ object Sessionize {
         st match {
           case None =>
             st = Some(OpenSession(1L, us, us, 1L))
+          case Some(s) if s.n == 0L => // returning after timeout eviction
+            st = Some(OpenSession(s.sid + 1L, us, us, 1L))
           case Some(s) if us - s.lastUs > GapUs =>
             out += close(user, s)
             st = Some(OpenSession(s.sid + 1L, us, us, 1L))
@@ -80,8 +91,9 @@ object Sessionize {
       }
       st.foreach { s =>
         state.update(s)
-        // fire once the watermark proves no in-gap event can still arrive
-        state.setTimeoutTimestamp(s.lastUs / 1000L + GapUs / 1000L)
+        if (s.n > 0L)
+          // fire once the watermark proves no in-gap event can arrive
+          state.setTimeoutTimestamp(s.lastUs / 1000L + GapUs / 1000L)
       }
       out.iterator
     }

@@ -49,6 +49,14 @@ class NanoTsPushdownSpec extends SparkSpec {
   test("<= rewrites with exact boundary semantics") {
     assert(viaRule("<=") == reference(_ <= usBound))
   }
+  test("= rewrites to the exact 1000-nano range") {
+    val df = converted.where(expr("ts = TIMESTAMP'2001-09-09 01:46:40'"))
+    assert(!df.queryExecution.optimizedPlan.toString
+      .contains("timestamp_micros"))
+    assert(df.select("ns").collect().map(_.getLong(0)).toSet ==
+      reference(_ == usBound))
+  }
+
   test("mirrored orientation rewrites too") {
     val df = converted.where(
       expr("TIMESTAMP'2001-09-09 01:46:40' <= ts"))

@@ -98,6 +98,29 @@ class SessionizeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sids stay monotone when a user returns after timeout eviction") {
+    val src = tmpDir("sess-src-resume")
+    // phase 1: users' sessions; other-user sentinels fire the timeouts
+    writeBatchFile(src, "b0.json", 0, realEvents)
+    writeBatchFile(src, "b1.json", 1, Seq((9001L, (T0 + 864000L) * 1000000L)))
+    writeBatchFile(src, "b2.json", 2, Seq((9002L, (T0 + 964000L) * 1000000L)))
+    // phase 2: user 1 RETURNS (post-watermark) with two more sessions;
+    // a same-user far-future sentinel closes them via the gap rule
+    val come = Seq(
+      (1L, (T0 + 1000000L) * 1000000L),
+      (1L, (T0 + 1000060L) * 1000000L),  // same session (60 s gap)
+      (1L, (T0 + 1010000L) * 1000000L))  // new session (>30 min gap)
+    writeBatchFile(src, "b3.json", 3, come)
+    writeBatchFile(src, "b4.json", 4, Seq((1L, (T0 + 2000000L) * 1000000L)))
+    val got = streamSessions(src)
+    // batch twin over ALL of user 1's non-sentinel events — sids must
+    // continue the original numbering, not restart at 1
+    val want = batchSessions(
+      (realEvents ++ come).toDF("user_id", "us"))
+      .filter(_._1 == 1L)
+    assert(got.filter(_._1 == 1L) == want)
+  }
+
   test("event-time timeout emits and evicts idle users' open sessions") {
     val src = tmpDir("sess-src-to")
     // sentinels belong to OTHER users: real users go idle, so their last
