@@ -130,7 +130,17 @@ object Tables {
       raw.schema("ts").dataType match {
         case LongType => raw.agg(max(col("ts"))).head().getLong(0) / 1000L
         case _ =>
-          val t = raw.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+          // TIMESTAMP surfaces as java.sql.Timestamp, TIMESTAMP_NTZ as
+          // LocalDateTime (treated as UTC wall time, matching the
+          // session zone) — accept both row representations
+          val t = raw.agg(max(col("ts"))).head().get(0) match {
+            case ts: java.sql.Timestamp => ts.toInstant
+            case ldt: java.time.LocalDateTime =>
+              ldt.toInstant(java.time.ZoneOffset.UTC)
+            case i: java.time.Instant => i
+            case other => throw new IllegalStateException(
+              s"unsupported ts representation: ${other.getClass}")
+          }
           t.getEpochSecond * 1000000L + t.getNano / 1000L
       }
     })

@@ -227,9 +227,13 @@ object EmbQueries {
 
   /** kNN label classification within LSH buckets: each vector's 5
     * nearest in-bucket neighbors vote; majority (fixed-width tie-break
-    * key) vs. the vector's own label → per-label accuracy. Rank windows
-    * partition by vec_id — bucket-local candidate generation keeps this
-    * off the all-pairs path at any scale. */
+    * key) vs. the vector's own label → per-label accuracy. Bucket-local
+    * candidate generation keeps this off the all-pairs path; neighbor
+    * selection runs through the bounded [[graft.functions.TopKByScore]]
+    * aggregate — the shuffle carries ≤5 (score, id) pairs per vector
+    * however many candidates score, where the oracle's row_number
+    * window (same semantics, same ties: score desc then id) would sort
+    * every vector's full candidate set. */
   val knnAccuracy: NamedQuery = {
     NamedQuery(
       "emb_knn_accuracy",
@@ -267,19 +271,23 @@ object EmbQueries {
       val bucketed = emb(s, d).select(
         col("vec_id"), col("label"), col("embedding"),
         expr(bucketExpr("embedding")).as("bucket"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a.vec_id"))
-        .orderBy(expr(cosSpark("a.embedding", "b.embedding")).desc,
-          col("b.vec_id"))
-      val neigh = bucketed.as("a")
+      val top5 = bucketed.as("a")
         .join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"),
           col("a.label").as("true_label"),
-          col("b.label").as("cand_label"),
-          row_number().over(w).as("rk"))
-      val votes = neigh.where(col("rk") <= 5)
+          col("b.vec_id").as("cand_id"),
+          expr(cosSpark("a.embedding", "b.embedding")).as("sim"))
+        .groupBy("vec_id", "true_label")
+        .agg(expr("graft_topk(sim, cand_id, 5)").as("topk"))
+        .select(col("vec_id"), col("true_label"),
+          explode(expr("transform(topk, p -> p.id)")).as("cand_id"))
+      // neighbor ids → labels from the slim base table (no bucket
+      // lineage re-execution); 5 rows per vector join one 2-column side
+      val lab = emb(s, d)
+        .select(col("vec_id").as("cand_id"), col("label").as("cand_label"))
+      val votes = top5.join(lab, "cand_id")
         .groupBy("vec_id", "true_label", "cand_label")
         .agg(count(lit(1)).as("c"))
       val pred = votes.groupBy("vec_id", "true_label")
