@@ -419,8 +419,120 @@ object TradeQueries {
       .orderBy(col("volume").desc, col("symbol"))
   }
 
+  /** Exact rank-based quantiles per symbol (discrete median + p90):
+    * interpolating percentile aggregates differ across engines in the
+    * last ulp, so quantiles come from rank selection instead — value at
+    * row_number ⌈n/2⌉ / ⌈0.9n⌉ under a fully-specified order
+    * (price, trade_id). Pure integer rank math, identical everywhere;
+    * single shuffle on symbol, in-partition sort — the same cost
+    * profile as any per-key window at scale. */
+  val priceQuantiles: NamedQuery = NamedQuery(
+    "trades_price_quantiles",
+    s"""WITH ${Sql.tradesCte},
+       |r AS (
+       |  SELECT symbol, price,
+       |         row_number() OVER (PARTITION BY symbol
+       |                            ORDER BY price, trade_id) AS rn,
+       |         count(*) OVER (PARTITION BY symbol) AS n
+       |  FROM trades
+       |)
+       |SELECT symbol,
+       |       min(n) AS n,
+       |       min(CASE WHEN rn = (n + 1) // 2 THEN price END) AS median_price,
+       |       min(CASE WHEN rn = (9 * n + 9) // 10 THEN price END) AS p90_price
+       |FROM r
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol").orderBy("price", "trade_id")
+    val wAll = Window.partitionBy("symbol")
+    trades(s, d)
+      .select(col("symbol"), col("price"), col("trade_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("symbol")
+      .agg(
+        min(col("n")).as("n"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("price")))
+          .as("median_price"),
+        min(when(col("rn") === expr("(9 * n + 9) div 10"), col("price")))
+          .as("p90_price"))
+      .orderBy("symbol")
+  }
+
+  /** Fixed-width price histogram: bucket = 50·⌊price/50⌋. The double
+    * division and floor are single IEEE ops — bit-identical across
+    * engines (unlike accumulated float sums) — and the aggregation is
+    * an ordinary low-cardinality hash agg. */
+  val priceHistogram: NamedQuery = NamedQuery(
+    "trades_price_histogram",
+    s"""WITH ${Sql.tradesCte}
+       |SELECT CAST(floor(price / 50) AS BIGINT) * 50 AS bucket_lo,
+       |       count(*) AS n,
+       |       ${dsum("qty")} AS volume
+       |FROM trades
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    trades(s, d)
+      .groupBy((floor(col("price") / 50).cast("long") * 50).as("bucket_lo"))
+      .agg(
+        count(lit(1)).as("n"),
+        Ops.dsum(col("qty")).as("volume"))
+      .orderBy("bucket_lo")
+  }
+
+  /** Sample stddev + correlation per symbol, computed algebraically from
+    * DECIMAL-EXACT component sums (n, Σx, Σx², Σxy, …) instead of the
+    * built-in `stddev`/`corr` aggregates, whose running-update order
+    * differs between engines and drifts in the last ulps. The source
+    * values are ≤2-dp decimals, so every component is exact; the final
+    * formula is a handful of scalar IEEE ops — identical bits in both
+    * engines. Component sums partial-aggregate map-side like any sum. */
+  val priceStats: NamedQuery = NamedQuery(
+    "trades_price_stats",
+    s"""WITH ${Sql.tradesCte},
+       |c AS (
+       |  SELECT symbol,
+       |         CAST(count(*) AS DOUBLE) AS n,
+       |         ${dsum("price")} AS sx,
+       |         ${Sql.dsumProd("price", "price")} AS sxx,
+       |         ${dsum("is_buyer_maker")} AS sm,
+       |         ${Sql.dsumProd("price", "is_buyer_maker")} AS sxm
+       |  FROM trades
+       |  GROUP BY 1
+       |)
+       |SELECT symbol,
+       |       CAST(n AS BIGINT) AS n_trades,
+       |       sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_price,
+       |       (n * sxm - sx * sm)
+       |         / (sqrt(n * sxx - sx * sx) * sqrt(n * sm - sm * sm))
+       |         AS corr_price_maker
+       |FROM c
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val m = col("is_buyer_maker").cast("double")
+    val c = trades(s, d)
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        Ops.dsum(col("price")).as("sx"),
+        Ops.dsumProd(col("price"), col("price")).as("sxx"),
+        Ops.dsum(m).as("sm"),
+        Ops.dsumProd(col("price"), m).as("sxm"))
+    c.select(
+      col("symbol"),
+      col("n").cast("long").as("n_trades"),
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+        (col("n") * (col("n") - 1))).as("stddev_price"),
+      ((col("n") * col("sxm") - col("sx") * col("sm")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("sm") - col("sm") * col("sm"))))
+        .as("corr_price_maker"))
+      .orderBy("symbol")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
-    dedupLatest, movingVolume, volumeShare)
+    dedupLatest, movingVolume, volumeShare, priceQuantiles,
+    priceHistogram, priceStats)
 }
