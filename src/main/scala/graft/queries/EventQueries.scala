@@ -333,6 +333,64 @@ object EventQueries {
       clickValue = "click_value")
   }
 
+  /** ClickHouse-style `windowFunnel`: per user, the deepest prefix of the
+    * step chain view → click → purchase completed IN ORDER within 24 h of
+    * the first step, reported as users-reaching-depth counts. Step
+    * anchors resolve as chained conditional MIN aggregates (t1 = first
+    * view; t2 = first click ≥ t1; t3 = first purchase ≥ t2, both within
+    * the window), so each level is one hash aggregation on user_id —
+    * never a per-user sequence scan materialized driver-side, and the
+    * per-level frames join 1:1 on user_id (broadcastable at any scale
+    * since they shrink monotonically). */
+  val funnel: NamedQuery = NamedQuery(
+    "events_funnel",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |),
+      |u1 AS (
+      |  SELECT user_id, min(ts) AS t1
+      |  FROM ev WHERE event_type = 'view' GROUP BY 1
+      |),
+      |u2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM ev e JOIN u1 ON e.user_id = u1.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts >= u1.t1 AND e.ts <= u1.t1 + INTERVAL 24 HOUR
+      |  GROUP BY 1
+      |),
+      |u3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM ev e
+      |  JOIN u1 ON e.user_id = u1.user_id
+      |  JOIN u2 ON e.user_id = u2.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts >= u2.t2 AND e.ts <= u1.t1 + INTERVAL 24 HOUR
+      |  GROUP BY 1
+      |)
+      |SELECT (SELECT count(*) FROM u1) AS d1_view,
+      |       (SELECT count(*) FROM u2) AS d2_click,
+      |       (SELECT count(*) FROM u3) AS d3_purchase""".stripMargin) {
+    (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val windowUs = 24L * 3600L * 1000000L
+    val u1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val u2 = ev.where(col("event_type") === "click").as("e")
+      .join(u1, "user_id")
+      .where(col("ts") >= col("t1") &&
+        unix_micros(col("ts")) <= unix_micros(col("t1")) + windowUs)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val u3 = ev.where(col("event_type") === "purchase")
+      .join(u1, "user_id").join(u2, "user_id")
+      .where(col("ts") >= col("t2") &&
+        unix_micros(col("ts")) <= unix_micros(col("t1")) + windowUs)
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    u1.agg(count(lit(1)).as("d1_view"))
+      .crossJoin(u2.agg(count(lit(1)).as("d2_click")))
+      .crossJoin(u3.agg(count(lit(1)).as("d3_purchase")))
+  }
+
   /** Approximate distinct users per event type — HyperLogLog++ sketch
     * (`approx_count_distinct`) beside the exact count. At 100 TB the
     * sketch is the difference between a fixed-size partial aggregate and
@@ -354,5 +412,5 @@ object EventQueries {
 
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
-    asofAttribution, asofNative, approxUsers)
+    asofAttribution, asofNative, funnel, approxUsers)
 }
