@@ -333,6 +333,33 @@ object EventQueries {
       clickValue = "click_value")
   }
 
+  /** Day × event-type PIVOT matrix — the relational `pivot` operator with
+    * an EXPLICIT value list (an implicit list would cost a distinct-scan
+    * to discover columns and make the schema data-dependent — wrong at
+    * scale). Plans as one hash aggregation with a conditional count per
+    * pivoted value, exactly the oracle's FILTER matrix; absent
+    * combinations are coalesced to 0 to match SQL count semantics. */
+  val typePivot: NamedQuery = NamedQuery(
+    "events_type_pivot",
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
   /** ClickHouse-style `windowFunnel`: per user, the deepest prefix of the
     * step chain view → click → purchase completed IN ORDER within 24 h of
     * the first step, reported as users-reaching-depth counts. Step
@@ -412,5 +439,5 @@ object EventQueries {
 
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
-    asofAttribution, asofNative, funnel, approxUsers)
+    asofAttribution, asofNative, funnel, typePivot, approxUsers)
 }
