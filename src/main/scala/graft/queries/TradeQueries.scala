@@ -530,9 +530,41 @@ object TradeQueries {
       .orderBy("symbol")
   }
 
+  /** Close-to-close minute returns per symbol over the last 2 h — the
+    * quant staple: candle aggregation, then `lag` over (symbol, minute)
+    * for the simple return (close − prev)/prev. First minute per symbol
+    * has no predecessor → null return, identical in both engines. One
+    * shuffle for the candles, the window reuses the symbol partitioning;
+    * the single IEEE subtract/divide is bit-identical cross-engine. */
+  val minuteReturns: NamedQuery = NamedQuery(
+    "trades_minute_returns",
+    s"""$tradesWith,
+       |candles AS (
+       |  SELECT symbol, date_trunc('minute', ts) AS minute,
+       |         max_by(price, ts) AS close
+       |  FROM trades, anchor
+       |  WHERE ts >= t_anchor - INTERVAL 120 MINUTE
+       |  GROUP BY 1, 2
+       |)
+       |SELECT symbol, minute, close,
+       |       (close - lag(close) OVER w) / lag(close) OVER w AS ret
+       |FROM candles
+       |WINDOW w AS (PARTITION BY symbol ORDER BY minute)
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol").orderBy("minute")
+    windowed(s, d, 120)
+      .groupBy(col("symbol"), Ops.minuteOf(col("ts")).as("minute"))
+      .agg(max_by(col("price"), col("ts")).as("close"))
+      .select(col("symbol"), col("minute"), col("close"),
+        ((col("close") - lag(col("close"), 1).over(w)) /
+          lag(col("close"), 1).over(w)).as("ret"))
+      .orderBy("symbol", "minute")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
-    priceHistogram, priceStats)
+    priceHistogram, priceStats, minuteReturns)
 }
