@@ -27,6 +27,11 @@ import org.apache.spark.sql.types._
   *
   * Deterministic total order: (score DESC, id ASC) — ties on score keep
   * the smaller id; result is the sorted array of `struct<score, id>`.
+  * Scores compare via `java.lang.Double.compare`, a TOTAL order that
+  * ranks NaN greatest — matching how both Spark and DuckDB place NaN
+  * first under ORDER BY score DESC (a primitive `>` comparator is
+  * non-total under NaN: it would silently drop NaN entries from a full
+  * heap and can make the final sort throw).
   */
 case class TopKByScore(
     scoreExpr: Expression,
@@ -56,12 +61,16 @@ case class TopKByScore(
 
   override def prettyName: String = "graft_topk"
 
+  // total (score DESC, id ASC) precedence: true when `a` ranks before `b`
+  private def ranksBefore(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
   // "worst-first" ordering: head of the queue is the entry to evict —
-  // lowest score, and on ties the LARGEST id (since ties keep small ids)
+  // last in rank order (lowest score / NaN-aware, largest id on ties)
   private val worstFirst: Ordering[(Double, Long)] =
-    Ordering.fromLessThan[(Double, Long)] { (a, b) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-    }
+    Ordering.fromLessThan[(Double, Long)](ranksBefore)
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
@@ -96,8 +105,7 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortWith((a, b) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    val sorted = buf.toArray.sortWith(ranksBefore)
     new GenericArrayData(sorted.map(t => InternalRow(t._1, t._2)))
   }
 

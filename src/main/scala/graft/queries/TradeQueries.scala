@@ -431,10 +431,11 @@ object TradeQueries {
     s"""WITH ${Sql.tradesCte},
        |r AS (
        |  SELECT symbol, price,
-       |         row_number() OVER (PARTITION BY symbol
-       |                            ORDER BY price, trade_id) AS rn,
-       |         count(*) OVER (PARTITION BY symbol) AS n
+       |         row_number() OVER w AS rn,
+       |         count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |                          AND UNBOUNDED FOLLOWING) AS n
        |  FROM trades
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY price, trade_id)
        |)
        |SELECT symbol,
        |       min(n) AS n,
@@ -445,7 +446,11 @@ object TradeQueries {
        |ORDER BY 1""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("symbol").orderBy("price", "trade_id")
-    val wAll = Window.partitionBy("symbol")
+    // the count shares w's partitioning AND ordering (full frame), so
+    // both window expressions run in ONE WindowExec pass — an unordered
+    // count(*) OVER (PARTITION BY) would plan a second Window operator
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     trades(s, d)
       .select(col("symbol"), col("price"), col("trade_id"))
       .withColumn("rn", row_number().over(w))
@@ -503,9 +508,11 @@ object TradeQueries {
        |)
        |SELECT symbol,
        |       CAST(n AS BIGINT) AS n_trades,
-       |       sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_price,
+       |       sqrt(greatest(CAST(0 AS DOUBLE), n * sxx - sx * sx)
+       |            / (n * (n - 1))) AS stddev_price,
        |       (n * sxm - sx * sm)
-       |         / (sqrt(n * sxx - sx * sx) * sqrt(n * sm - sm * sm))
+       |         / (sqrt(greatest(CAST(0 AS DOUBLE), n * sxx - sx * sx))
+       |            * sqrt(greatest(CAST(0 AS DOUBLE), n * sm - sm * sm)))
        |         AS corr_price_maker
        |FROM c
        |ORDER BY 1""".stripMargin) { (s, d) =>
@@ -518,14 +525,18 @@ object TradeQueries {
         Ops.dsumProd(col("price"), col("price")).as("sxx"),
         Ops.dsum(m).as("sm"),
         Ops.dsumProd(col("price"), m).as("sxm"))
+    // zero-variance groups can land a few ulps below zero after the
+    // exact-decimal → double hop; unclamped, Spark's sqrt gives NaN but
+    // DuckDB's sqrt ERRORS on negatives, killing the whole oracle run
+    def nonneg(c: Column) = greatest(lit(0.0d), c)
     c.select(
       col("symbol"),
       col("n").cast("long").as("n_trades"),
-      sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+      sqrt(nonneg(col("n") * col("sxx") - col("sx") * col("sx")) /
         (col("n") * (col("n") - 1))).as("stddev_price"),
       ((col("n") * col("sxm") - col("sx") * col("sm")) /
-        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-          sqrt(col("n") * col("sm") - col("sm") * col("sm"))))
+        (sqrt(nonneg(col("n") * col("sxx") - col("sx") * col("sx"))) *
+          sqrt(nonneg(col("n") * col("sm") - col("sm") * col("sm")))))
         .as("corr_price_maker"))
       .orderBy("symbol")
   }

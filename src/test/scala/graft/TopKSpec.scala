@@ -64,6 +64,21 @@ class TopKSpec extends SparkSpec {
     assert(out.forall(_.getInt(0) == 3))
   }
 
+  test("NaN scores rank first (total order), matching the window sort") {
+    val df = Seq(
+      ("a", Double.NaN, 1L), ("a", 5.0, 2L), ("a", 3.0, 3L),
+      ("a", Double.NaN, 4L), ("a", 7.0, 5L), ("a", 1.0, 6L))
+      .toDF("g", "score", "id").repartition(3)
+    val out = df.groupBy("g")
+      .agg(expr("graft_topk(score, id, 4)").as("topk"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    // NaN greatest (ties by id asc), then finite scores descending —
+    // the same placement Spark's ORDER BY score DESC produces
+    assert(out.map(_._2) == Seq(1L, 4L, 5L, 2L))
+    assert(out.take(2).forall(_._1.isNaN))
+  }
+
   test("k must be a positive literal") {
     intercept[Exception] {
       skewed.groupBy("g").agg(expr("graft_topk(score, id, 0)")).collect()
