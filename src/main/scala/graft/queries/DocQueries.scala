@@ -570,7 +570,40 @@ object DocQueries {
       .orderBy("source", "tok")
   }
 
+  /** Reproducible train/val/test assignment — the split every training
+    * pipeline needs to be DETERMINISTIC across runs and engines: bucket
+    * = first md5 byte of the doc id mod 10, split = 8/1/1 over buckets.
+    * Pure map-side hash + low-cardinality aggregation; membership is a
+    * property of the id alone, so re-runs, backfills and other engines
+    * assign identically (no sampling RNG anywhere). */
+  val trainSplit: NamedQuery = NamedQuery(
+    "docs_train_split",
+    """WITH s AS (
+      |  SELECT lang,
+      |         CASE WHEN b < 8 THEN 'train'
+      |              WHEN b = 8 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (SELECT lang,
+      |               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      |                    AS BIGINT) % 10 AS b
+      |        FROM documents)
+      |)
+      |SELECT lang, split, count(*) AS n
+      |FROM s
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val b = expr(
+      "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10")
+    docs(s, d)
+      .select(col("lang"),
+        when(b < 8, "train").when(b === 8, "val").otherwise("test")
+          .as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
-    fingerprint, normalizedDedup, ngramJaccard, tfidfTop)
+    fingerprint, normalizedDedup, ngramJaccard, tfidfTop, trainSplit)
 }
