@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** AS-OF join as a first-class Catalyst operator — the (c)-tier custom
   * operator of the builder brief: a [[LogicalPlan]] node, a
@@ -89,7 +90,15 @@ final case class AsofJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "number of rows with an as-of match"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val lOut = left.output
     val rOut = right.output
     val lKT = leftKeys :+ leftTime
@@ -137,6 +146,7 @@ final case class AsofJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lkt = lKtProj(l)
+          numOutputRows += 1
           if (lkt.anyNull) {
             outProj(joined(l, nullRight))
           } else {
@@ -144,9 +154,10 @@ final case class AsofJoinExec(
               lastRow = rRow; lastKt = rKt
               advance()
             }
-            if (lastRow != null && sameKey(lastKt, lkt))
+            if (lastRow != null && sameKey(lastKt, lkt)) {
+              numMatched += 1
               outProj(joined(l, lastRow))
-            else outProj(joined(l, nullRight))
+            } else outProj(joined(l, nullRight))
           }
         }
       }
