@@ -1,7 +1,8 @@
 package graft.store
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+  StructField, StructType, TimestampType}
 
 import graft.streaming.TradeIngest
 
@@ -25,6 +26,21 @@ object Bootstrap {
       StructField("ingested_at", TimestampType),
       StructField("month", StringType)))
 
+  /** Candle-partials-at-rest schema — one row per (micro-batch block,
+    * minute, symbol), mergeable on read (CandlePipeline.partialCandles). */
+  val candlePartials: StructType = StructType(Seq(
+    StructField("minute", TimestampType),
+    StructField("symbol", StringType),
+    StructField("open_ts", TimestampType),
+    StructField("close_ts", TimestampType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("volume", DoubleType),
+    StructField("trades", LongType),
+    StructField("block", LongType)))
+
   def migrations(warehouse: String): Seq[Store.Migration] = Seq(
     Store.Migration(1, "create_trades_table",
       "trades: parquet, partitioned by month=yyyyMM(ts), " +
@@ -39,10 +55,11 @@ object Bootstrap {
     Store.Migration(2, "create_trades_1m",
       "trades_1m: parquet partial candles (minute, symbol, block, " +
         "open_ts, close_ts, ohlcv), appended per micro-batch",
-      { spark =>
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(s"$warehouse/trades_1m"))
-        ()
+      { _ =>
+        // same empty-table problem V1 solves: the schema manifest makes
+        // the freshly created candle table readable before the first
+        // micro-batch lands (Store.readTable falls back to it)
+        Store.writeSchema(s"$warehouse/trades_1m", candlePartials)
       }))
 
   /** Run all pending migrations against the warehouse. */

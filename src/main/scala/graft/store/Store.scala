@@ -71,6 +71,23 @@ object Store {
     Files.writeString(Paths.get(path, "_schema.json"), schema.json)
   }
 
+  /** Read any engine table with the `_schema.json` manifest fallback —
+    * a freshly bootstrapped (empty) table reads as zero rows WITH its
+    * declared schema instead of failing schema inference. */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val manifest = Paths.get(path, "_schema.json")
+    val hasData = Files.exists(Paths.get(path)) &&
+      listDir(Paths.get(path)).exists { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") || n.startsWith("month=")
+      }
+    if (!hasData && Files.exists(manifest))
+      spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(
+          Files.readString(manifest)).asInstanceOf[StructType]).parquet(path)
+    else spark.read.parquet(path)
+  }
+
   /** Read back a partitioned trades table. Filters on `month` (which
     * [[graft.ops.Ops.monthKey]] derives from any ts predicate's bounds)
     * prune whole directories before the scan. The partition column comes
@@ -99,7 +116,10 @@ object Store {
     * partition prune + sparse-index granule skip. */
   def readTradesSince(spark: SparkSession, path: String,
                       sinceMicros: Long): DataFrame = {
-    val sinceMonth = monthsBetween(sinceMicros, sinceMicros).head
+    // session zone, NOT hard-coded UTC: the month key must be computed
+    // exactly the way the writer computed it or rows near month
+    // boundaries silently fall outside the pruned partition set
+    val sinceMonth = monthKeyOf(sinceMicros, sessionZone(spark))
     val sinceTs = java.time.Instant.ofEpochSecond(
       sinceMicros / 1000000L, (sinceMicros % 1000000L) * 1000L)
     readTrades(spark, path)
@@ -107,12 +127,29 @@ object Store {
         col("ts") >= lit(java.sql.Timestamp.from(sinceTs)))
   }
 
+  /** The zone partition month keys are derived in — the SESSION zone,
+    * because [[writeTrades]] builds `month` with `date_format`
+    * ([[graft.ops.Ops.monthKey]]), which renders in the session zone.
+    * Every month-key computation in the engine must use this one zone or
+    * readers/retention silently disagree with the writer about which
+    * partition a timestamp lives in. */
+  def sessionZone(spark: SparkSession): java.time.ZoneId =
+    java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+
+  /** The single source of truth for yyyyMM-of-micros (driver-side twin of
+    * the writer's `date_format(ts, 'yyyyMM')`). */
+  def monthKeyOf(us: Long, zone: java.time.ZoneId): String = {
+    val d = java.time.Instant
+      .ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L).atZone(zone)
+    f"${d.getYear}%04d${d.getMonthValue}%02d"
+  }
+
   /** Month keys covering `[from, until]`, for query-side partition
-    * pruning: `readTrades(...).where(col("month").isin(monthsBetween(a,b):_*))`. */
-  def monthsBetween(fromMicros: Long, untilMicros: Long): Seq[String] = {
+    * pruning: `readTrades(...).where(col("month").isin(monthsBetween(a,b,z):_*))`. */
+  def monthsBetween(fromMicros: Long, untilMicros: Long,
+                    zone: java.time.ZoneId): Seq[String] = {
     def ym(us: Long) = {
-      val d = java.time.Instant.ofEpochSecond(us / 1000000L)
-        .atZone(java.time.ZoneOffset.UTC)
+      val d = java.time.Instant.ofEpochSecond(us / 1000000L).atZone(zone)
       d.getYear * 12 + (d.getMonthValue - 1)
     }
     (ym(fromMicros) to ym(untilMicros))
@@ -127,7 +164,7 @@ object Store {
   def retention(spark: SparkSession, path: String, asOfMicros: Long,
                 retainDays: Int = 90): Seq[String] = {
     val cutoffUs = asOfMicros - retainDays.toLong * 86400L * 1000000L
-    val cutoffMonth = monthsBetween(cutoffUs, cutoffUs).head
+    val cutoffMonth = monthKeyOf(cutoffUs, sessionZone(spark))
     val root = Paths.get(path)
     if (!Files.exists(root)) Seq.empty
     else {
@@ -149,15 +186,32 @@ object Store {
     val dir = s"$path/month=$month"
     if (Files.exists(Paths.get(dir))) {
       val tmp = s"$path/.compact_month=$month"
-      spark.read.parquet(dir)
-        .repartition(1)
-        .sortWithinPartitions("ts", "symbol", "trade_id")
-        .write.mode(SaveMode.Overwrite)
-        .option("compression", "zstd")
-        .parquet(tmp)
-      val target = Paths.get(dir)
-      deleteRecursively(target)
-      Files.move(Paths.get(tmp), target)
+      try {
+        spark.read.parquet(dir)
+          .repartition(1)
+          .sortWithinPartitions("ts", "symbol", "trade_id")
+          .write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
+          .parquet(tmp)
+        // swap order matters: the live partition is only removed AFTER
+        // the compacted copy is in place under a visible name. A crash
+        // between the two moves leaves data readable (either the .old
+        // copy still movable back, or both — never neither); deleting
+        // first would make the month vanish if the final move failed.
+        val target = Paths.get(dir)
+        val old = Paths.get(s"$path/.old_month=$month")
+        Files.move(target, old)
+        try Files.move(Paths.get(tmp), target)
+        catch {
+          case e: Exception =>
+            Files.move(old, target) // roll back to the uncompacted copy
+            throw e
+        }
+        deleteRecursively(old)
+      } finally {
+        // never leave a stale temp dir behind on failure
+        if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
+      }
     }
   }
 
@@ -209,8 +263,12 @@ object Store {
     val applied: Map[Int, String] =
       if (Files.exists(manifest))
         Files.readAllLines(manifest).asScala.filter(_.nonEmpty).map { l =>
-          val Array(v, _, sum) = l.split("\t", 3)
-          v.toInt -> sum
+          l.split("\t", 3) match {
+            case Array(v, _, sum) if v.forall(_.isDigit) => v.toInt -> sum
+            case _ => throw new IllegalStateException(
+              s"corrupt migration manifest $manifest: line '$l' — " +
+                "repair or remove the manifest before re-running")
+          }
         }.toMap
       else Map.empty
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicReference
 
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 
 /** ST6: stream lifecycle control — the collector's
   * idle→starting→running→stopping state machine with inserted-row
@@ -10,8 +10,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (reference: api/collector.py:20-66; api/server.py:41-53).
   *
   * Wraps a [[StreamingQuery]]: `status()` is the JSON-shaped snapshot the
-  * reference's `/collector/status` endpoint returns; counters come from
-  * the query's progress stream rather than hand-maintained tallies.
+  * reference's `/collector/status` endpoint returns. The lifetime row
+  * counter is fed by a [[StreamingQueryListener]] — progress EVENTS are
+  * delivered for every batch regardless of how often anyone polls,
+  * where the `recentProgress` ring buffer (default 100 entries) silently
+  * drops history on an unmonitored stream; the poll-time drain remains
+  * as a backstop, both deduplicated per batch id under one lock.
   */
 final class StreamManager(name: String) {
 
@@ -24,38 +28,80 @@ final class StreamManager(name: String) {
   private val state = new AtomicReference[State](Idle)
   private val query = new AtomicReference[Option[StreamingQuery]](None)
   private val lastError = new AtomicReference[Option[String]](None)
-  // cumulative row counter: recentProgress is a bounded ring buffer
-  // (spark.sql.streaming.numRecentProgressUpdates, default 100), so a
-  // lifetime count must accumulate as entries are observed
   private val accumulatedRows = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastSeenBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val listener = new AtomicReference[Option[StreamingQueryListener]](None)
 
-  // synchronized: the read-filter-add over two atomics is not atomic on
-  // its own, and status() is exactly the kind of endpoint two threads
-  // poll concurrently — unsynchronized, both would count the same
-  // progress entries
+  // every count flows through here: one lock, monotone batch-id guard, so
+  // the async listener and the poll-time backstop can never double-count
+  private def record(batchId: Long, rows: Long): Unit = synchronized {
+    if (batchId > lastSeenBatch.get()) {
+      accumulatedRows.addAndGet(rows)
+      lastSeenBatch.set(batchId)
+    }
+  }
+
   private def accumulate(): Unit = synchronized {
     query.get().foreach { q =>
       q.recentProgress
         .filter(_.batchId > lastSeenBatch.get())
         .sortBy(_.batchId)
-        .foreach { p =>
-          accumulatedRows.addAndGet(p.numInputRows)
-          lastSeenBatch.set(p.batchId)
-        }
+        .foreach(p => record(p.batchId, p.numInputRows))
     }
   }
 
+  /** Reap a query that died or completed on its own: surface its error,
+    * drain its counters, release it, detach the listener, return to
+    * Idle. Runs from every public entry point so the state machine can
+    * never get stuck at Running on a dead query. */
+  private def reapIfDead(): Unit = synchronized {
+    query.get().foreach { q =>
+      if (!q.isActive && (state.get() == Running || state.get() == Starting)) {
+        Option(q.exception).flatten.foreach(e =>
+          lastError.set(Some(e.toString)))
+        accumulate()
+        detachListener(q)
+        state.set(Idle)
+        query.set(None)
+      }
+    }
+  }
+
+  private def attachListener(q: StreamingQuery): Unit = {
+    val qid = q.id
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == qid)
+          record(e.progress.batchId, e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    q.sparkSession.streams.addListener(l)
+    listener.set(Some(l))
+  }
+
+  private def detachListener(q: StreamingQuery): Unit = {
+    listener.getAndSet(None).foreach(q.sparkSession.streams.removeListener)
+  }
+
   /** Start via the supplied launcher (reference: collector start endpoint,
-    * api/collector.py:20-41). No-op if already running. */
+    * api/collector.py:20-41). No-op if a query is actively running; a
+    * query that already died is reaped first so a restart is possible
+    * without an intervening status poll. */
   def start(launch: () => StreamingQuery): this.type = synchronized {
+    reapIfDead()
     if (state.get() == Idle) {
       state.set(Starting)
       try {
         // a fresh launch's batch ids may restart at 0 (new checkpoint);
-        // the previous query's entries were already drained at stop
+        // the previous query's entries were already drained at stop/reap
         lastSeenBatch.set(-1L)
-        query.set(Some(launch()))
+        val q = launch()
+        query.set(Some(q))
+        attachListener(q)
         state.set(Running)
         lastError.set(None)
       } catch {
@@ -67,17 +113,19 @@ final class StreamManager(name: String) {
     this
   }
 
-  /** ST7: start with bounded restart-on-failure. The reference's WS loop
+  /** ST7: start with bounded restart-on-FAILURE. The reference's WS loop
     * surfaces errors to status with no auto-retry
     * (api/collector.py:120-126); Structured Streaming does better — a
     * relaunched query resumes from its checkpoint, so restarts are safe
-    * and lossless. Retries launch failures up to `maxRetries` times,
-    * recording each error; gives up to Idle + last_error after that. */
+    * and lossless. Retries only while an error is recorded: a query that
+    * ran to successful completion (e.g. `Trigger.AvailableNow` draining
+    * its input) also lands at Idle but must NOT be relaunched. */
   def startWithRetry(launch: () => StreamingQuery,
                      maxRetries: Int = 3): this.type = synchronized {
     var attempts = 0
     start(launch)
-    while (currentState == "idle" && attempts < maxRetries) {
+    while (currentState == "idle" && lastError.get().isDefined &&
+        attempts < maxRetries) {
       attempts += 1
       start(launch)
     }
@@ -94,6 +142,7 @@ final class StreamManager(name: String) {
       // drain AFTER the stop: the in-flight batch completes during the
       // graceful stop and its rows must make the lifetime counter
       accumulate()
+      detachListener(q)
       query.set(None)
       state.set(Idle)
     }
@@ -111,14 +160,7 @@ final class StreamManager(name: String) {
   def currentState: String = {
     // A query that died on its own (source failure) surfaces as idle +
     // error, matching the reference's error path (api/collector.py:120-126).
-    query.get().foreach { q =>
-      if (!q.isActive && state.get() == Running) {
-        Option(q.exception).flatten.foreach(e => lastError.set(Some(e.toString)))
-        accumulate()
-        state.set(Idle)
-        query.set(None)
-      }
-    }
+    reapIfDead()
     state.get().label
   }
 

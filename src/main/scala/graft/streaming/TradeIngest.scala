@@ -14,8 +14,12 @@ import org.apache.spark.sql.types._
   * timestamp, bool→0/1, defaults for missing keys), buffered, and flushed
   * every `FLUSH_EVERY_SEC` = 5 s (`:20-22,67-74`). Structured Streaming's
   * `Trigger.ProcessingTime("5 seconds")` IS that contract — a micro-batch
-  * per flush interval — with exactly-once file-sink semantics via
-  * checkpointing where the reference is at-least-once.
+  * per flush interval. Delivery is AT-LEAST-ONCE, exactly like the
+  * reference: `foreachBatch` can re-run a batch whose write committed
+  * but whose checkpoint offset didn't, re-appending those rows — the
+  * same replay the reference's reconnects produce, absorbed the same way
+  * (ReplacingMergeTree semantics = the keyed last-write-wins dedup view,
+  * `Ops.dedupLatest`, verified by `trades_dedup_replay`).
   *
   * The live WebSocket endpoint itself is an external-system concern; any
   * streaming source with `value: STRING` rows (socket, file, Kafka-style,
@@ -95,7 +99,14 @@ object TradeIngest {
     * sql/V1__create_trades_table.sql:11). `coalesce(1)` per batch avoids
     * the small-file explosion a 5-s trigger would otherwise cause
     * (SURVEY.md §7.5-7); graceful stop after the last batch = the
-    * reference's shutdown flush. */
+    * reference's shutdown flush.
+    *
+    * Writes the SAME month-partitioned layout as
+    * [[graft.store.Store.writeTrades]] — ingested rows must be visible
+    * to the store's pruned readers (`readTradesSince`) and expirable by
+    * its partition-drop retention; an unpartitioned append would make
+    * them invisible to both. A typical micro-batch touches one month, so
+    * the partitioned write costs nothing extra. */
   def ingestSink(normalized: DataFrame, tradesPath: String,
                  checkpointPath: String,
                  trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
@@ -107,8 +118,12 @@ object TradeIngest {
         batch
           .withColumn("ingested_at", current_timestamp())
           .withColumn("batch_id", lit(batchId))
+          .withColumn("month", graft.ops.Ops.monthKey(col("ts")))
           .coalesce(1)
-          .write.mode("append").parquet(tradesPath)
+          // month leads the sort or the partitioned writer re-sorts and
+          // destroys the (ts, symbol, trade_id) run order (see Store)
+          .sortWithinPartitions("month", "ts", "symbol", "trade_id")
+          .write.mode("append").partitionBy("month").parquet(tradesPath)
         ()
       }
       .start()

@@ -70,8 +70,20 @@ class StoreSpec extends SparkSpec {
     def us(s: String) =
       java.sql.Timestamp.valueOf(s).getTime * 1000L
     assert(Store.monthsBetween(us("2023-11-03 00:00:00"),
-      us("2024-02-10 00:00:00")) ==
+      us("2024-02-10 00:00:00"), Store.sessionZone(spark)) ==
       Seq("202311", "202312", "202401", "202402"))
+  }
+
+  test("month keys follow the session zone (writer/reader agreement)") {
+    // 2024-02-01T02:00Z is January in New York — the reader-side key
+    // derivation must agree with whatever zone the session (and thus the
+    // date_format writer) uses, never hard-coded UTC
+    val us = java.time.Instant.parse("2024-02-01T02:00:00Z")
+      .toEpochMilli * 1000L
+    assert(Store.monthKeyOf(us, java.time.ZoneOffset.UTC) == "202402")
+    assert(Store.monthKeyOf(us,
+      java.time.ZoneId.of("America/New_York")) == "202401")
+    assert(Store.monthKeyOf(us, Store.sessionZone(spark)) == "202402") // UTC session
   }
 
   test("retention drops only fully-expired month partitions") {
@@ -140,6 +152,11 @@ class StoreSpec extends SparkSpec {
     // ... and stays readable once real data lands
     Store.writeTrades(mkTrades(Seq("2024-01")), s"$wh/trades")
     assert(Store.readTrades(spark, s"$wh/trades").count() == 10)
+    // the empty candle-partials table is readable too (V2 manifest)
+    val candles = Store.readTable(spark, s"$wh/trades_1m")
+    assert(candles.count() == 0)
+    assert(candles.columns.toSeq.contains("open_ts") &&
+      candles.columns.toSeq.contains("block"))
   }
 
   test("windowed read prunes partitions AND pushes the ts filter") {

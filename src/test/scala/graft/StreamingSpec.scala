@@ -59,8 +59,16 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() == 20)
     assert(written.columns.toSet ==
       Set("symbol", "trade_id", "price", "qty", "ts", "is_buyer_maker",
-        "ingested_at", "batch_id"))
+        "ingested_at", "batch_id", "month"))
     assert(written.agg(sum("qty")).collect()(0).getDouble(0) == 20.0)
+    // the sink writes the Store's month-partitioned layout: rows are
+    // visible to the pruned reader and expirable by partition-drop TTL
+    val monthDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("month=")).map(_.getName).toSeq
+    assert(monthDirs == Seq("month=202311"))
+    assert(graft.store.Store.readTradesSince(spark, out,
+      java.time.Instant.parse("2023-11-14T00:00:00Z").toEpochMilli * 1000L)
+      .count() == 20)
   }
 
   private def tradeJson(sym: String, id: Long, price: Double, qty: Double,
@@ -273,6 +281,28 @@ class StreamingSpec extends SparkSpec {
     assert(attempts == 3) // initial + 2 retries
     assert(mgr.currentState == "idle")
     assert(mgr.status("last_error").asInstanceOf[String].contains("boom"))
+  }
+
+  test("startWithRetry does NOT relaunch a successfully completed run") {
+    val src = tmpDir("retry-src")
+    val out = tmpDir("retry-out")
+    Files.writeString(Paths.get(src, "b1.json"),
+      (1 to 3).map(i => tradeJson("BTC", i, 1.0, 1.0, i * 10)).mkString("\n"))
+    val mgr = new StreamManager("oneshot")
+    var launches = 0
+    mgr.startWithRetry(() => {
+      launches += 1
+      val q = CandlePipeline.partialSink(tradeStream(src), out,
+        tmpDir(s"retry-ckpt-$launches"),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(60000) // drains its input and completes → idle
+      q
+    }, maxRetries = 3)
+    // a normal completion lands at idle WITHOUT an error — retrying it
+    // would duplicate ingestion from the fresh checkpoints
+    assert(launches == 1)
+    assert(mgr.currentState == "idle")
+    assert(mgr.status("last_error") == null)
   }
 
   test("StreamManager lifecycle: idle → running → idle, with row counters") {
