@@ -127,13 +127,17 @@ object Tables {
     }
     perSession.computeIfAbsent(dir, { _ =>
       val raw = eventsRaw(spark, dir)
+      val row = raw.agg(max(col("ts"))).head()
+      if (row.isNullAt(0))
+        throw new IllegalStateException(
+          s"cannot anchor queries: events table at $dir has no rows")
       raw.schema("ts").dataType match {
-        case LongType => raw.agg(max(col("ts"))).head().getLong(0) / 1000L
+        case LongType => row.getLong(0) / 1000L
         case _ =>
           // TIMESTAMP surfaces as java.sql.Timestamp, TIMESTAMP_NTZ as
           // LocalDateTime (treated as UTC wall time, matching the
           // session zone) — accept both row representations
-          val t = raw.agg(max(col("ts"))).head().get(0) match {
+          val t = row.get(0) match {
             case ts: java.sql.Timestamp => ts.toInstant
             case ldt: java.time.LocalDateTime =>
               ldt.toInstant(java.time.ZoneOffset.UTC)

@@ -17,6 +17,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any previous run's output FIRST: on failure a stale
+      // result must not survive to be compared as if it were current
+      val target = Paths.get(s"$outDir/$name")
+      if (Files.exists(target)) graft.store.Store.deleteRecursively(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

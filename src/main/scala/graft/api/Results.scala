@@ -32,7 +32,15 @@ object Results {
     }.toIndexedSeq: _*)
 
   /** Rows → JSON object strings in the query's row order (the reference
-    * preserves ORDER BY order through `rows_to_dicts`). */
-  def toJsonRows(df: DataFrame): Seq[String] =
-    isoTimestamps(df).toJSON.collect().toIndexedSeq
+    * preserves ORDER BY order through `rows_to_dicts`). Null columns are
+    * emitted EXPLICITLY (`"sell_vwap": null`) like the reference's row
+    * dicts — `Dataset.toJSON` would drop null fields entirely and change
+    * the row shape per row. */
+  def toJsonRows(df: DataFrame): Seq[String] = {
+    val src = isoTimestamps(df)
+    src
+      .select(to_json(struct(src.columns.map(col).toIndexedSeq: _*),
+        java.util.Map.of("ignoreNullFields", "false")).as("j"))
+      .collect().map(_.getString(0)).toIndexedSeq
+  }
 }

@@ -45,17 +45,24 @@ object Ops {
   val Money: DecimalType = DecimalType(18, 6)
 
   /** Exact, order-insensitive `sum(a * b)` over double columns holding
-    * ≤2-dp decimal values (prices, quantities, discounts). The multiply
+    * few-dp decimal values (prices, quantities, discounts). The multiply
     * happens in decimal so no per-row double rounding can drift from the
-    * oracle ([[graft.queries.Sql.dsumProd]] is the lockstep twin). The
-    * scale-4 hop before the double cast matters: products are exact 4-dp
-    * values, and at scale 4 the decimal's backing integer stays below
-    * 2^53, so the final decimal→double conversion rounds once and
-    * identically in both engines (DuckDB's int128-at-scale-12 → double
-    * path double-rounds and can land 1 ulp away from Java's exact
-    * BigDecimal conversion). */
+    * oracle ([[graft.queries.Sql.dsumProd]] is the lockstep twin), and
+    * the final decimal→double conversion goes through the exact digit
+    * STRING (see [[dsum]]) so it rounds once and identically in both
+    * engines at any magnitude. */
   def dsumProd(a: Column, b: Column): Column =
     decToDouble(sum(a.cast(Money) * b.cast(Money)))
+
+  /** Conditional [[dsumProd]] with ClickHouse `sumIf` empty-set-is-0
+    * semantics — the safe numerator for VWAP-style ratios. Quantizing a
+    * DOUBLE product at scale 10 (the old formulation) diverges between
+    * engines for products ≥ ~1e5: Spark quantizes the shortest decimal
+    * repr, DuckDB the exact binary expansion. Multiplying in decimal
+    * never quantizes a double product at all. */
+  def sumIfProd(a: Column, b: Column, p: Column): Column =
+    decToDouble(coalesce(sum(when(p, a.cast(Money) * b.cast(Money))),
+      lit(0).cast(Money)))
 
   /** Partial stage of [[dsumProd]] for aggregation BELOW a join: keeps
     * the exact decimal sum so a downstream [[decFinal]] can re-aggregate
@@ -101,9 +108,12 @@ object Ops {
   /** Volume-weighted average price for the rows matching `p`
     * (reference: api/server.py:148-149):
     * `sumIf(price*qty, p) / nullIf(sumIf(qty, p), 0)` — null when the
-    * matching set has zero volume. */
+    * matching set has zero volume. The numerator multiplies in decimal
+    * ([[sumIfProd]]) — summing double products cast to decimal would
+    * quantize each product, which rounds differently across engines
+    * above ~1e5. */
   def vwap(price: Column, qty: Column, p: Column): Column =
-    sumIf(price * qty, p) / nullif(sumIf(qty, p), lit(0.0d))
+    sumIfProd(price, qty, p) / nullif(sumIf(qty, p), lit(0.0d))
 
   /** `toStartOfMinute(ts)` (reference: sql/V2__create_trades_1m_view.sql:20). */
   def minuteOf(ts: Column): Column = date_trunc("minute", ts)
@@ -136,8 +146,14 @@ object Ops {
     * monoid (min/max/sum/count). */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 buckets: Int): DataFrame = {
+    // the salt must be DETERMINISTIC per row content: a task-layout-
+    // dependent spreader (monotonically_increasing_id) re-salts rows
+    // differently when a lost map stage recomputes, migrating rows
+    // between (key, salt) shuffle partitions mid-query — the classic
+    // indeterminate-stage correctness hazard. Hashing the full row keeps
+    // retries consistent; identical rows sharing a bucket is fine.
     val salted = df.withColumn("_salt",
-      pmod(hash(col(valueCol), monotonically_increasing_id()), lit(buckets)))
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
     salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol).cast(Dec)).as("_psum"),

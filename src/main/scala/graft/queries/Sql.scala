@@ -45,9 +45,16 @@ object Sql {
   def sumIf(expr: String, cond: String): String =
     d2d(s"coalesce(sum(CAST($expr AS DECIMAL(38,10))) FILTER (WHERE $cond), 0)")
 
+  /** Conditional decimal-multiply sum — see [[graft.ops.Ops.sumIfProd]]:
+    * the multiply happens in decimal so no double product is ever
+    * quantized (which rounds differently across engines above ~1e5). */
+  def sumIfProd(a: String, b: String, cond: String): String =
+    d2d(s"coalesce(sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6)))" +
+      s" FILTER (WHERE $cond), 0)")
+
   /** VWAP over the rows matching `cond` — see [[graft.ops.Ops.vwap]]. */
   def vwap(price: String, qty: String, cond: String): String =
-    s"${sumIf(s"$price * $qty", cond)} / nullif(${sumIf(qty, cond)}, CAST(0 AS DOUBLE))"
+    s"${sumIfProd(price, qty, cond)} / nullif(${sumIf(qty, cond)}, CAST(0 AS DOUBLE))"
 
   /** Exact mean — see [[graft.ops.Ops.avgExact]]. */
   def avgExact(expr: String): String = s"${dsum(expr)} / count(*)"

@@ -75,12 +75,22 @@ object CandlePipeline {
   private def tieKey(ts: org.apache.spark.sql.Column) =
     format_string("%019d-%019d", unix_micros(ts), col("block"))
 
+  /** `foreachBatch` is at-least-once: a crash between a committed parquet
+    * append and the checkpoint commit re-runs the batch and appends the
+    * same (minute, symbol, block) partials a second time. One partial
+    * per (minute, symbol, block) is the sink's invariant and replayed
+    * copies are byte-identical, so dropping duplicates on that key at
+    * merge time absorbs replays exactly — the engine-side analogue of
+    * the reference's ReplacingMergeTree replay absorption. */
+  private def dedupReplays(partials: DataFrame): DataFrame =
+    partials.dropDuplicates("minute", "symbol", "block")
+
   /** Merge partial candles into one combined PARTIAL per (minute,symbol),
     * keeping the open_ts/close_ts anchors so the result can merge again
     * later. The fixed-width `(epoch_us, block)` tie-break key makes
     * `min_by`/`max_by` deterministic when equal timestamps span blocks. */
   def mergePartials(partials: DataFrame): DataFrame =
-    partials
+    dedupReplays(partials)
       .groupBy("minute", "symbol")
       .agg(
         min(col("open_ts")).as("open_ts"),
@@ -95,7 +105,7 @@ object CandlePipeline {
   /** Merge partial candles back into final per-(minute,symbol) candles —
     * the correct-readback query over the partials table (ST4). */
   def readCandles(partials: DataFrame): DataFrame =
-    partials
+    dedupReplays(partials)
       .groupBy("minute", "symbol")
       .agg(
         min_by(col("open"), tieKey(col("open_ts"))).as("open"),
@@ -112,12 +122,16 @@ object CandlePipeline {
     * candles directly (no read-side merge), late data still lands
     * correctly. This is the merge-on-write point in the design space
     * between [[partialSink]] (write-cheap, merge-on-read — the reference)
-    * and [[candleSink]] (watermark-final, drops very-late rows); at
-    * 100 TB the rewrite amortizes because a micro-batch touches O(active
-    * minutes × symbols) keys, not the table. Plain-parquet caveat: the
-    * overwrite is not transactional — production would use a table
-    * format's MERGE (Delta/Iceberg) for atomicity; the merge algebra is
-    * identical. */
+    * and [[candleSink]] (watermark-final, drops very-late rows).
+    *
+    * Scale honesty: the MERGE work is O(touched keys), but this
+    * plain-parquet implementation rewrites the whole candle file per
+    * batch — acceptable while the table is small (minutes × symbols of
+    * the retained window), not at 100 TB. The production shape keeps the
+    * same algebra but partitions the store by day/month and overwrites
+    * only the partitions containing touched keys (or uses a table
+    * format's transactional MERGE — Delta/Iceberg); the replay guard
+    * below stays identical. */
   def upsertSink(trades: DataFrame, candlesPath: String,
                  checkpointPath: String,
                  trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
@@ -127,30 +141,48 @@ object CandlePipeline {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val incoming = partialCandles(batch, batchId)
         val dir = java.nio.file.Paths.get(candlesPath, "data")
-        val existing =
+        val markerName = "_applied_batch"
+        // replay guard: foreachBatch is at-least-once, and re-merging an
+        // already-applied batch would double volume/trades. The marker
+        // travels INSIDE the data directory, so the directory move below
+        // commits data + marker atomically — a replayed batch whose move
+        // completed is skipped here, one whose move didn't is re-run
+        // against the unmodified previous store. (Underscore-prefixed
+        // files are invisible to parquet readers.)
+        val applied = {
+          val m = dir.resolve(markerName)
+          if (java.nio.file.Files.exists(m))
+            java.nio.file.Files.readString(m).trim.toLong
+          else -1L
+        }
+        if (batchId > applied) {
+          val incoming = partialCandles(batch, batchId)
+          val existing =
+            if (java.nio.file.Files.exists(dir))
+              spark.read.parquet(dir.toString)
+            else incoming.limit(0)
+          // only partials for keys touched by this batch join the merge;
+          // everything else is carried over untouched
+          val touched = incoming.select("minute", "symbol").distinct()
+          val affected = existing.join(touched, Seq("minute", "symbol"),
+            "left_semi")
+          val untouched = existing.join(touched, Seq("minute", "symbol"),
+            "left_anti")
+          // merged rows keep open_ts/close_ts so they remain mergeable
+          // when later batches touch the same minute again
+          val restate = mergePartials(affected.unionByName(incoming))
+            .withColumn("block", lit(batchId))
+            .select(untouched.columns.map(col).toIndexedSeq: _*)
+          val tmp = s"$candlesPath/.next"
+          untouched.unionByName(restate)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(tmp, markerName), batchId.toString)
           if (java.nio.file.Files.exists(dir))
-            spark.read.parquet(dir.toString)
-          else incoming.limit(0)
-        // only partials for keys touched by this batch join the merge;
-        // everything else is carried over untouched
-        val touched = incoming.select("minute", "symbol").distinct()
-        val affected = existing.join(touched, Seq("minute", "symbol"),
-          "left_semi")
-        val untouched = existing.join(touched, Seq("minute", "symbol"),
-          "left_anti")
-        // merged rows keep open_ts/close_ts so they remain mergeable
-        // when later batches touch the same minute again
-        val restate = mergePartials(affected.unionByName(incoming))
-          .withColumn("block", lit(batchId))
-          .select(untouched.columns.map(col).toIndexedSeq: _*)
-        val tmp = s"$candlesPath/.next"
-        untouched.unionByName(restate)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        if (java.nio.file.Files.exists(dir))
-          graft.store.Store.deleteRecursively(dir)
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir)
+            graft.store.Store.deleteRecursively(dir)
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir)
+        }
         ()
       }
       .start()
