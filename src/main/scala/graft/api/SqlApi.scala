@@ -51,29 +51,42 @@ object SqlApi {
       us / 1000000L, (us % 1000000L) * 1000L))
   }
 
+  /** Spark-SQL flavor of the engine's order-insensitive decimal-exact
+    * sum ([[graft.ops.Ops.dsum]] / [[graft.queries.Sql.dsum]] are the
+    * Column and DuckDB twins): a plain `sum(double)` varies with
+    * partition merge order run to run, so the SQL endpoints would not
+    * reproduce the builders they mirror. */
+  private def dsum(e: String): String =
+    s"CAST(CAST(sum(CAST($e AS DECIMAL(38,10))) AS STRING) AS DOUBLE)"
+
+  /** [[dsum]] with ClickHouse sumIf empty-set-is-0 semantics. */
+  private def dsumIf(e: String, cond: String): String =
+    s"CAST(CAST(coalesce(sum(CAST($e AS DECIMAL(38,10))) " +
+      s"FILTER (WHERE $cond), 0) AS STRING) AS DOUBLE)"
+
   /** Q1 `/ohlcv` (reference: api/server.py:57-84). */
   val ohlcvSql: String =
-    """SELECT date_trunc('minute', ts) AS minute,
-      |       min_by(price, ts) AS open,
-      |       max(price) AS high,
-      |       min(price) AS low,
-      |       max_by(price, ts) AS close,
-      |       sum(qty) AS volume,
-      |       count(*) AS trades
-      |FROM trades
-      |WHERE symbol = :symbol
-      |  AND ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
-      |GROUP BY 1
-      |ORDER BY 1""".stripMargin
+    s"""SELECT date_trunc('minute', ts) AS minute,
+       |       min_by(price, ts) AS open,
+       |       max(price) AS high,
+       |       min(price) AS low,
+       |       max_by(price, ts) AS close,
+       |       ${dsum("qty")} AS volume,
+       |       count(*) AS trades
+       |FROM trades
+       |WHERE symbol = :symbol
+       |  AND ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
 
   /** Q2 `/top_symbols` (reference: api/server.py:87-105). */
   val topSymbolsSql: String =
-    """SELECT symbol, sum(qty) AS volume, count(*) AS trades
-      |FROM trades
-      |WHERE ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
-      |GROUP BY 1
-      |ORDER BY volume DESC, symbol
-      |LIMIT :limit""".stripMargin
+    s"""SELECT symbol, ${dsum("qty")} AS volume, count(*) AS trades
+       |FROM trades
+       |WHERE ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
+       |GROUP BY 1
+       |ORDER BY volume DESC, symbol
+       |LIMIT :limit""".stripMargin
 
   /** Q3 `/live_trades` (reference: api/server.py:108-132). */
   val liveTradesSql: String =
@@ -88,33 +101,29 @@ object SqlApi {
     * cannot reuse sibling SELECT aliases (SURVEY.md §7.5-3), so the
     * aggregate stage is a subquery. */
   val liveBuySellSql: String =
-    """SELECT symbol, buy_volume, sell_volume,
-      |       buy_volume + sell_volume AS total_vol,
-      |       trades_cnt / :minutes AS trades_per_min
-      |FROM (
-      |  SELECT symbol,
-      |         coalesce(sum(qty) FILTER (WHERE is_buyer_maker = 0), 0)
-      |           AS buy_volume,
-      |         coalesce(sum(qty) FILTER (WHERE is_buyer_maker = 1), 0)
-      |           AS sell_volume,
-      |         count(*) AS trades_cnt
-      |  FROM trades
-      |  WHERE ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
-      |  GROUP BY 1)
-      |ORDER BY total_vol DESC, symbol
-      |LIMIT :top""".stripMargin
+    s"""SELECT symbol, buy_volume, sell_volume,
+       |       buy_volume + sell_volume AS total_vol,
+       |       trades_cnt / :minutes AS trades_per_min
+       |FROM (
+       |  SELECT symbol,
+       |         ${dsumIf("qty", "is_buyer_maker = 0")} AS buy_volume,
+       |         ${dsumIf("qty", "is_buyer_maker = 1")} AS sell_volume,
+       |         count(*) AS trades_cnt
+       |  FROM trades
+       |  WHERE ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
+       |  GROUP BY 1)
+       |ORDER BY total_vol DESC, symbol
+       |LIMIT :top""".stripMargin
 
   /** Q5 `/hist_buy_sell` (reference: api/server.py:172-200). */
   val histBuySellSql: String =
-    """SELECT date_trunc('minute', ts) AS minute,
-      |       coalesce(sum(qty) FILTER (WHERE is_buyer_maker = 0), 0)
-      |         AS buy_volume,
-      |       coalesce(sum(qty) FILTER (WHERE is_buyer_maker = 1), 0)
-      |         AS sell_volume,
-      |       count(*) AS trades
-      |FROM trades
-      |WHERE symbol = :symbol
-      |  AND ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
-      |GROUP BY 1
-      |ORDER BY 1""".stripMargin
+    s"""SELECT date_trunc('minute', ts) AS minute,
+       |       ${dsumIf("qty", "is_buyer_maker = 0")} AS buy_volume,
+       |       ${dsumIf("qty", "is_buyer_maker = 1")} AS sell_volume,
+       |       count(*) AS trades
+       |FROM trades
+       |WHERE symbol = :symbol
+       |  AND ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
 }

@@ -192,9 +192,19 @@ object Asof {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"asof join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
-    GraftBridge.ofRows(spark, AsofJoin(
-      lPlan, rPlan,
-      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+    val lk = leftKeys.map(attr(lPlan, _))
+    val rk = rightKeys.map(attr(rPlan, _))
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    // the exec's row orderings are built from the LEFT side's types and
+    // applied to BOTH sides' projections — mismatched types would read
+    // the wrong slot widths and corrupt comparisons silently
+    (lk.map(_.dataType) :+ lt.dataType)
+      .zip(rk.map(_.dataType) :+ rt.dataType).zipWithIndex.foreach {
+        case ((a, b), i) => require(a == b,
+          s"asof join: type mismatch at position $i: $a vs $b " +
+            "(cast the sides to matching types first)")
+      }
+    GraftBridge.ofRows(spark, AsofJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

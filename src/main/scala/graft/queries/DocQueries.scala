@@ -37,6 +37,17 @@ object DocQueries {
   private val tokSpark = "split(trim(text), '\\\\s+')"
   private val tokDuck = "string_split_regex(trim(text), '\\s+')"
 
+  /** All unordered id pairs of an `ids` array column, as
+    * `struct<a, b>` with a < b — the in-bucket candidate generator shared
+    * by the blocking-based near-dup queries (pairs are built from a
+    * collect_list per bucket, never a self-join, so the expensive
+    * document lineage executes once). */
+  private val pairsExpr: String =
+    """flatten(transform(ids, (x, i) ->
+      |  transform(slice(ids, i + 2, size(ids)),
+      |    y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"""
+      .stripMargin.replace("\n", " ")
+
   /** Per-(lang, source) corpus statistics: doc counts, char totals, and
     * token counts under two tokenizers (whitespace + a BPE-ish
     * `[a-z0-9]+` regex). Pure map-side work + one low-cardinality hash
@@ -199,11 +210,7 @@ object DocQueries {
       .groupBy("band", "bucket")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"""
-          .stripMargin.replace("\n", " "))).as("p"))
+      .select(explode(expr(pairsExpr)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
     cand
@@ -499,11 +506,7 @@ object DocQueries {
       .groupBy("bucket")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"""
-          .stripMargin.replace("\n", " "))).as("p"))
+      .select(explode(expr(pairsExpr)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
     cand
       .join(g.as("x"), col("x.doc_id") === col("doc_a"))

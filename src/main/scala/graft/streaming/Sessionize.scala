@@ -92,17 +92,21 @@ object Sessionize {
       st.foreach { s =>
         state.update(s)
         if (s.n > 0L)
-          // fire once the watermark proves no in-gap event can arrive
-          state.setTimeoutTimestamp(s.lastUs / 1000L + GapUs / 1000L)
+          // fire once the watermark proves no in-gap event can arrive —
+          // CEIL to millis: flooring would let the timeout fire up to
+          // 999 µs early and split a session an exactly-at-gap event
+          // would still extend
+          state.setTimeoutTimestamp((s.lastUs + GapUs + 999L) / 1000L)
       }
       out.iterator
     }
   }
 
-  /** Closed sessions from a (possibly streaming) event source. The input
-    * must carry a watermark when streaming (event-time timeouts require
-    * it) — see [[sessionsWithWatermark]]. */
-  def sessions(events: Dataset[SessionEvent]): Dataset[ClosedSession] = {
+  /** STREAMING-ONLY core (hence private): on a batch Dataset the
+    * timeouts never fire, so every user's final open session would be
+    * silently dropped — batch callers use the exact lag/running-sum
+    * formulation (`EventQueries.sessionization`) instead. */
+  private def sessions(events: Dataset[SessionEvent]): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -110,11 +114,19 @@ object Sessionize {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step)
   }
 
-  /** Streaming entry: watermark + stateful sessionization. */
+  /** Streaming entry: watermark + stateful sessionization. Lateness is
+    * bounded by the gap: with lateness > gap, a late event from BEFORE
+    * an open session's start could pass the watermark yet precede the
+    * session by more than the gap, and the forward-only gap rule would
+    * merge what the batch formulation splits. */
   def sessionsWithWatermark(events: Dataset[SessionEvent],
-                            lateness: String = "10 minutes")
+                            latenessMinutes: Int = 10)
       : Dataset[ClosedSession] = {
+    require(latenessMinutes.toLong * 60000000L <= GapUs,
+      s"lateness ($latenessMinutes min) must not exceed the session gap " +
+        s"(${GapUs / 60000000L} min)")
     import events.sparkSession.implicits._
-    sessions(events.withWatermark("ts", lateness).as[SessionEvent])
+    sessions(events.withWatermark("ts", s"$latenessMinutes minutes")
+      .as[SessionEvent])
   }
 }

@@ -24,10 +24,9 @@ class SqlApiSpec extends SparkSpec {
       assert(a.getTimestamp(0) == b.getTimestamp(0))
       assert(a.getDouble(1) == b.getDouble(1)) // open: exact
       assert(a.getLong(6) == b.getLong(6))     // trades: exact
-      // volume: plain double sum vs the builder's decimal-exact sum —
-      // equal up to association order
-      assert(math.abs(a.getDouble(5) - b.getDouble(5)) <=
-        1e-9 * math.max(1.0, b.getDouble(5).abs))
+      // volume: both paths use the decimal-exact order-insensitive sum,
+      // so the doubles are bit-identical
+      assert(a.getDouble(5) == b.getDouble(5))
     }
   }
 
