@@ -125,17 +125,4 @@ object Media {
       .withColumn("downscaled", (mx > maxDim).cast("int"))
   }
 
-  /** Aggregate decoded-media statistics per source — the downstream
-    * query a training pipeline runs over extracted metadata. */
-  def decodeStats(docs: DataFrame): DataFrame =
-    // single scan: source travels through the typed pipeline, so the
-    // aggregation needs no join back to the corpus
-    decodeFeatures(mediaFromDocuments(docs)).toDF()
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_media"),
-        sum(col("n_bytes").cast("long")).as("total_bytes"),
-        sum(col("width").cast("long")).as("sum_width"),
-        sum(col("height").cast("long")).as("sum_height"))
-      .orderBy("source")
 }

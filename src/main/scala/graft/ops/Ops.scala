@@ -73,7 +73,14 @@ object Ops {
   def dsumProdPartial(a: Column, b: Column): Column =
     sum(a.cast(Money) * b.cast(Money))
 
-  /** Final stage over partial decimal sums (see [[dsumProdPartial]]). */
+  /** Partial stage of [[dsum]] for re-aggregation across stages: keeps
+    * the EXACT decimal so the final merge never re-quantizes a double
+    * (double→decimal conversion rounds differently across engines above
+    * ~4e5 — the [[Money]] note). */
+  def dsumPartial(c: Column): Column = sum(c.cast(Dec))
+
+  /** Final stage over partial decimal sums (see [[dsumProdPartial]] /
+    * [[dsumPartial]]). */
   def decFinal(c: Column): Column = decToDouble(sum(c))
 
   /** Exact sum that is 0 (not null) on an empty group — ClickHouse `sum`

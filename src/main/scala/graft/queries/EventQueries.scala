@@ -166,12 +166,12 @@ object EventQueries {
     "events_props_stats",
     """SELECT event_type,
       |       count(*) AS n,
-      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
       |            AS BIGINT) AS sum_k,
-      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
       |            AS DOUBLE) / count(*) AS avg_k,
-      |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>

@@ -19,6 +19,24 @@ object MediaQueries {
     s"(${hexv(2 * i + 1)} * 16 + ${hexv(2 * i + 2)})"
   }
 
+  /** Aggregate decoded-media statistics per source — the downstream
+    * query a training pipeline runs over extracted metadata. Lives HERE,
+    * beside its oracle twin, so the two stay column-for-column in sight
+    * of each other (single scan: source travels through the typed
+    * pipeline, no join back to the corpus). */
+  def decodeStatsAgg(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    Media.decodeFeatures(Media.mediaFromDocuments(docs)).toDF()
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"))
+      .orderBy("source")
+  }
+
   val decodeStats: NamedQuery = NamedQuery(
     "media_decode_stats",
     s"""WITH m AS (
@@ -41,7 +59,7 @@ object MediaQueries {
        |FROM d
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, d) =>
-    Media.decodeStats(Tables.documents(s, d))
+    decodeStatsAgg(Tables.documents(s, d))
   }
 
   /** Keyframe sampling over "video" payloads: every 4th 64-byte frame,

@@ -213,13 +213,7 @@ object TradeQueries {
        |WHERE ts >= t_anchor - INTERVAL 360 MINUTE
        |GROUP BY 1
        |ORDER BY volume DESC, symbol
-       |LIMIT 10""".stripMargin) { (s, d) =>
-    windowed(s, d, 360)
-      .groupBy("symbol")
-      .agg(Ops.dsum(col("qty")).as("volume"), count(lit(1)).as("trades"))
-      .orderBy(col("volume").desc, col("symbol"))
-      .limit(10)
-  }
+       |LIMIT 10""".stripMargin)(topSymbolsBy(360, 10)) // same shape, 6 h window
 
   /** Per-minute average-price trend (reference: src/queries.sql:16-20). */
   val minuteTrend: NamedQuery = NamedQuery(
@@ -270,7 +264,12 @@ object TradeQueries {
        |         CAST(floor(trade_id / 500) AS BIGINT) AS block,
        |         min(ts) AS open_ts,
        |         max(ts) AS close_ts,
-       |         $ohlcvSelect
+       |         min_by(price, ts) AS open,
+       |         max(price) AS high,
+       |         min(price) AS low,
+       |         max_by(price, ts) AS close,
+       |         sum(CAST(qty AS DECIMAL(38,10))) AS vol_dec,
+       |         count(*) AS trades
        |  FROM trades, anchor
        |  WHERE ts >= t_anchor - INTERVAL 2880 MINUTE
        |  GROUP BY 1, 2, 3
@@ -280,20 +279,29 @@ object TradeQueries {
        |       max(high) AS high,
        |       min(low) AS low,
        |       max_by(close, printf('%019d-%019d', epoch_us(close_ts), block)) AS close,
-       |       ${dsum("volume")} AS volume,
+       |       CAST(CAST(sum(vol_dec) AS VARCHAR) AS DOUBLE) AS volume,
        |       CAST(sum(trades) AS BIGINT) AS trades
        |FROM partials
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val partials = Ops.aggSeq(
-      windowed(s, d, 2880)
-        .groupBy(
-          Ops.minuteOf(col("ts")).as("minute"),
-          col("symbol"),
-          floor(col("trade_id") / 500).cast("long").as("block")),
-      min(col("ts")).as("open_ts") +:
-        max(col("ts")).as("close_ts") +:
-        Ops.ohlcvAggs(col("price"), col("qty"), col("ts")))
+    // the partial volume stays DECIMAL through the merge (Ops.dsumPartial
+    // → Ops.decFinal): converting each partial to double and re-casting
+    // at the merge would re-quantize, which rounds differently across
+    // engines once a partial's volume exceeds ~4e5
+    val partials = windowed(s, d, 2880)
+      .groupBy(
+        Ops.minuteOf(col("ts")).as("minute"),
+        col("symbol"),
+        floor(col("trade_id") / 500).cast("long").as("block"))
+      .agg(
+        min(col("ts")).as("open_ts"),
+        max(col("ts")).as("close_ts"),
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        Ops.dsumPartial(col("qty")).as("vol_dec"),
+        count(lit(1)).as("trades"))
     def key(ts: Column): Column =
       format_string("%019d-%019d", unix_micros(ts), col("block"))
     partials
@@ -303,7 +311,7 @@ object TradeQueries {
         max(col("high")).as("high"),
         min(col("low")).as("low"),
         max_by(col("close"), key(col("close_ts"))).as("close"),
-        Ops.dsum(col("volume")).as("volume"),
+        Ops.decFinal(col("vol_dec")).as("volume"),
         sum(col("trades")).as("trades"))
       .orderBy("minute", "symbol")
   }

@@ -70,7 +70,7 @@ class MediaSpec extends SparkSpec {
   }
 
   test("decodeStats aggregates per source") {
-    val stats = Media.decodeStats(docs).collect()
+    val stats = graft.queries.MediaQueries.decodeStatsAgg(docs).collect()
     assert(stats.map(r => (r.getAs[String]("source"),
       r.getAs[Long]("n_media"), r.getAs[Long]("total_bytes"))).toSeq ==
       Seq(("srcA", 1L, 11L), ("srcB", 1L, 15L)))
