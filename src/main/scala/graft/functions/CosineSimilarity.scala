@@ -120,6 +120,24 @@ object GraftFunctions {
     TopKByScore(children.head, children(1), k).toAggregateExpression()
   }
 
+  private val kmvInfo = new ExpressionInfo(
+    classOf[KMinValues].getName, "graft_kmv")
+
+  private val kmvBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_kmv expects (hash, k), got ${children.length} arguments")
+    val k = children(1) match {
+      case e if e.foldable => e.eval() match {
+        case n: Number => n.intValue()
+        case _ => throw new IllegalArgumentException(
+          "graft_kmv: k must be a non-null integer literal")
+      }
+      case _ => throw new IllegalArgumentException(
+        "graft_kmv: k must be a literal")
+    }
+    KMinValues(children.head, k).toAggregateExpression()
+  }
+
   private val vecSumInfo = new ExpressionInfo(
     classOf[VectorSum].getName, "graft_vec_sum")
 
@@ -140,6 +158,7 @@ object GraftFunctions {
   private[functions] def injections = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
     (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder),
+    (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
     (FunctionIdentifier("graft_vec_sum"), vecSumInfo, vecSumBuilder))
 
   /** Install the engine's optimizer rules on a live session (idempotent;

@@ -437,7 +437,74 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** KMV sketch size and hash-space width shared by both engine twins
+    * (string-interpolated into the oracle so they cannot drift). 40-bit
+    * hashes keep every intermediate exact in both engines: hv < 2^40 and
+    * (k-1)·H = 63·2^40 ≈ 6.9e13 < 2^53, so the estimator is one exact
+    * integer-valued double divide + floor. */
+  private val KmvK = 64
+  private val KmvNum: Long = (KmvK - 1).toLong * (1L << 40)
+
+  /** Deterministic distinct-user sketch — KMV (k-minimum-values) over a
+    * 40-bit md5-prefix hash via the bounded [[graft.functions.KMinValues]]
+    * aggregate. The cross-engine-checkable counterpart to
+    * `events_approx_users`' HLL: "k smallest distinct hashes" has exactly
+    * one answer, so unlike HLL the whole sketch AND its estimate
+    * `floor((k-1)·H / kth_min)` hash-match a DuckDB twin bit-for-bit.
+    * Scale shape: partial aggregation sends ≤ k longs per (task, group)
+    * into the shuffle — O(groups·k) exchanged bytes regardless of input
+    * rows (`exact_users` is the validation column; a production rollout
+    * drops it and with it the O(distinct) shuffle). */
+  val kmvUsers: NamedQuery = NamedQuery(
+    "events_kmv_users",
+    s"""WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10) AS BIGINT) AS hv
+      |  FROM events
+      |),
+      |r AS (
+      |  SELECT event_type, hv,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      |  FROM h
+      |),
+      |g AS (
+      |  SELECT event_type,
+      |         max(hv) FILTER (WHERE rn <= $KmvK) AS kth_hash,
+      |         CAST(count(*) FILTER (WHERE rn <= $KmvK) AS BIGINT) AS m
+      |  FROM r GROUP BY 1
+      |),
+      |ex AS (
+      |  SELECT event_type, count(DISTINCT user_id) AS exact_users
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT g.event_type, ex.exact_users,
+      |       CASE WHEN g.m < $KmvK THEN g.m
+      |            ELSE CAST(floor($KmvNum.0 / g.kth_hash) AS BIGINT) END AS est_users,
+      |       g.kth_hash
+      |FROM g JOIN ex ON g.event_type = ex.event_type
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d)
+      .select(
+        col("event_type"),
+        col("user_id"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 10), 16, 10) AS BIGINT)")
+          .as("hv"))
+      .groupBy("event_type")
+      .agg(
+        expr(s"graft_kmv(hv, $KmvK)").as("kmv"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        when(size(col("kmv")) < KmvK, size(col("kmv")).cast("long"))
+          .otherwise(floor(lit(KmvNum.toDouble) /
+            element_at(col("kmv"), KmvK)).cast("long")).as("est_users"),
+        element_at(col("kmv"), size(col("kmv"))).as("kth_hash"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
-    asofAttribution, asofNative, funnel, typePivot, approxUsers)
+    asofAttribution, asofNative, funnel, typePivot, approxUsers, kmvUsers)
 }
