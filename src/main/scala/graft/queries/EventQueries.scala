@@ -504,7 +504,33 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** CUBE grouping sets — all four aggregation levels (type×day, per
+    * type, per day, grand total) in ONE pass: partial aggs per grouping
+    * set, same single-shuffle profile as a flat group-by (the ROLLUP
+    * sibling is `joins_revenue_rollup`). NULLS FIRST pins the subtotal
+    * rows' sort position to Spark's asc-nulls-first default. */
+  val typeCube: NamedQuery = NamedQuery(
+    "events_type_cube",
+    s"""SELECT event_type,
+      |       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |       count(*) AS n_events,
+      |       ${Sql.dsum("value")} AS total_value
+      |FROM events
+      |GROUP BY CUBE (event_type,
+      |               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .cube(
+        col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Ops.dsum(col("value")).as("total_value"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
-    asofAttribution, asofNative, funnel, typePivot, approxUsers, kmvUsers)
+    asofAttribution, asofNative, funnel, typePivot, approxUsers, kmvUsers,
+    typeCube)
 }

@@ -581,9 +581,50 @@ object TradeQueries {
       .orderBy("symbol", "minute")
   }
 
+  /** Unpivot/melt — the inverse of `events_type_pivot`: per-minute OHLC
+    * candles widened into (minute, field, price) rows, the long format
+    * charting/ML feature pipelines ingest. Spark's native `unpivot`
+    * (Expand under the hood: no join, no shuffle beyond the candle agg —
+    * each candle row fans out to 4 output rows map-side). The oracle
+    * expresses the same reshape as a stacked UNION ALL over one CTE. */
+  val unpivotOhlc: NamedQuery = NamedQuery(
+    "trades_unpivot_ohlc",
+    s"""$tradesWith,
+       |c AS (
+       |  SELECT date_trunc('minute', ts) AS minute,
+       |         min_by(price, ts) AS open,
+       |         max(price) AS high,
+       |         min(price) AS low,
+       |         max_by(price, ts) AS close
+       |  FROM trades, anchor
+       |  WHERE symbol = 'click' AND ts >= t_anchor - INTERVAL 240 MINUTE
+       |  GROUP BY 1
+       |)
+       |SELECT minute, field, price FROM (
+       |  SELECT minute, 'open' AS field, open AS price FROM c
+       |  UNION ALL SELECT minute, 'high', high FROM c
+       |  UNION ALL SELECT minute, 'low', low FROM c
+       |  UNION ALL SELECT minute, 'close', close FROM c
+       |)
+       |ORDER BY minute, field""".stripMargin) { (s, d) =>
+    windowed(s, d, 240)
+      .where(col("symbol") === "click")
+      .groupBy(Ops.minuteOf(col("ts")).as("minute"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"))
+      .unpivot(
+        Array(col("minute")),
+        Array(col("open"), col("high"), col("low"), col("close")),
+        "field", "price")
+      .orderBy("minute", "field")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
-    priceHistogram, priceStats, minuteReturns)
+    priceHistogram, priceStats, minuteReturns, unpivotOhlc)
 }
