@@ -16,17 +16,25 @@ import org.apache.spark.sql.types.TimestampType
 object Results {
 
   /** Render every timestamp column as an ISO-8601 string, preserving all
-    * other columns and the column order. Second precision by design —
-    * the reference's `DateTime` is second-granular
-    * (sql/V1__create_trades_table.sql:9), so its isoformat output never
-    * carries fractional seconds; requires the engine's UTC session
-    * (`spark.sql.session.timeZone=UTC`, set by all session builders)
-    * for the rendered wall time to be the UTC event time. */
+    * other columns and the column order. Python-`isoformat` fraction
+    * rules: no fractional part when the value is second-aligned (the
+    * only case the reference's second-granular `DateTime`,
+    * sql/V1__create_trades_table.sql:9, ever produces — those render
+    * byte-identically), a 6-digit fraction otherwise (this engine's
+    * timestamps carry micros; truncating them would serialize DISTINCT
+    * event times identically, breaking any consumer that keys, dedupes,
+    * or re-sorts on the rendered value). Requires the engine's UTC
+    * session (`spark.sql.session.timeZone=UTC`, set by all session
+    * builders) for the rendered wall time to be the UTC event time. */
   def isoTimestamps(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map { f =>
       f.dataType match {
         case TimestampType =>
-          date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss").as(f.name)
+          when(unix_micros(col(f.name)) % 1000000L === 0,
+            date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss"))
+            .otherwise(
+              date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+            .as(f.name)
         case _ => col(f.name)
       }
     }.toIndexedSeq: _*)

@@ -51,18 +51,18 @@ object SqlApi {
       us / 1000000L, (us % 1000000L) * 1000L))
   }
 
-  /** Spark-SQL flavor of the engine's order-insensitive decimal-exact
-    * sum ([[graft.ops.Ops.dsum]] / [[graft.queries.Sql.dsum]] are the
-    * Column and DuckDB twins): a plain `sum(double)` varies with
-    * partition merge order run to run, so the SQL endpoints would not
-    * reproduce the builders they mirror. */
+  /** Spark-SQL rendering of the engine's order-insensitive decimal-exact
+    * sum — the SAME formula as the DuckDB oracles', single-sourced in
+    * [[graft.queries.Sql.dsum]] (only the string-type spelling differs
+    * per dialect), so the SQL endpoints and the oracle twins cannot
+    * drift apart. A plain `sum(double)` would vary with partition merge
+    * order run to run. */
   private def dsum(e: String): String =
-    s"CAST(CAST(sum(CAST($e AS DECIMAL(38,10))) AS STRING) AS DOUBLE)"
+    graft.queries.Sql.dsum(e, graft.queries.Sql.SparkStr)
 
   /** [[dsum]] with ClickHouse sumIf empty-set-is-0 semantics. */
   private def dsumIf(e: String, cond: String): String =
-    s"CAST(CAST(coalesce(sum(CAST($e AS DECIMAL(38,10))) " +
-      s"FILTER (WHERE $cond), 0) AS STRING) AS DOUBLE)"
+    graft.queries.Sql.sumIf(e, cond, graft.queries.Sql.SparkStr)
 
   /** Q1 `/ohlcv` (reference: api/server.py:57-84). */
   val ohlcvSql: String =

@@ -147,9 +147,10 @@ object GraftFunctions {
     VectorSum(children.head).toAggregateExpression()
   }
 
-  /** Register `graft_cosine` + `graft_topk` + `graft_vec_sum` on an
-    * already-built session (idempotent) — the path for driver-owned
-    * sessions that can't opt into [[GraftExtensions]] at build time. */
+  /** Register every engine function (`graft_cosine`, `graft_topk`,
+    * `graft_kmv`, `graft_vec_sum`) on an already-built session
+    * (idempotent) — the path for driver-owned sessions that can't opt
+    * into [[GraftExtensions]] at build time. */
   def register(spark: SparkSession): Unit =
     injections.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
@@ -173,9 +174,10 @@ object GraftFunctions {
 
 /** `SparkSessionExtensions` entry point: sessions built with
   * `.withExtensions(new GraftExtensions)` (or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`) get the
-  * native functions (`graft_cosine`, `graft_topk`) and the
-  * [[MonthPruningRule]] optimizer rule. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) get every
+  * native function ([[GraftFunctions.injections]]), both optimizer
+  * rules ([[MonthPruningRule]], [[NanoTsPushdownRule]]), and the
+  * [[graft.plans.AsofJoinStrategy]] planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)

@@ -28,10 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * outputs, views, or other plans that merely happen to expose columns
   * with those names; only for lower bounds (a TTL'd table's dominant
   * pattern); never twice (the added month predicate suppresses
-  * re-application). The derived key uses the session timezone — the same
-  * zone `date_format` used when [[graft.store.Store.writeTrades]] wrote
-  * the partition keys — so the added predicate is implied by
-  * `month = yyyyMM(ts) ∧ ts ≥ X` and results are unchanged.
+  * re-application). The derived key goes through
+  * [[graft.store.Store.monthLowerBound]] — the session-zone key of the
+  * bound minus the zone-skew margin — so the added predicate is implied
+  * by `month = yyyyMM_W(ts) ∧ ts ≥ X` for ANY zone W the writer used,
+  * not just the reading session's: an optimizer rewrite must never turn
+  * an unenforceable write-zone assumption into silently dropped rows.
+  * Cost of the margin: at most one extra month survives pruning when
+  * the bound lands within 27 h after a month boundary.
   *
   * Install at build time via [[GraftExtensions]]
   * (`injectOptimizerRule`) or on a live session with
@@ -102,13 +106,8 @@ object MonthPruningRule extends Rule[LogicalPlan] {
     bounds.maxOption
   }
 
-  /** Month key in the SESSION timezone — the zone `date_format` used
-    * when the store wrote the partition keys (UTC in this engine's
-    * sessions, but the rule must not assume it). */
-  private def yyyymm(us: Long): String = {
-    val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
-    val d = java.time.Instant.ofEpochSecond(
-      math.floorDiv(us, 1000000L)).atZone(zone)
-    f"${d.getYear}%04d${d.getMonthValue}%02d"
-  }
+  /** Writer-zone-safe month lower bound for `ts >= us` (see class doc). */
+  private def yyyymm(us: Long): String =
+    graft.store.Store.monthLowerBound(
+      us, java.time.ZoneId.of(conf.sessionLocalTimeZone))
 }

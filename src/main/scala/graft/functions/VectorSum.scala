@@ -25,13 +25,16 @@ import org.apache.spark.sql.types._
   * safely oracle-comparable.
   *
   * Width is taken from the first non-null input; mismatched widths throw
-  * (vector width is a schema-level invariant of the caller).
+  * (vector width is a schema-level invariant of the caller). The buffer
+  * tracks "has any input arrived" separately from the width-0 vector, so
+  * a group of empty arrays sums to an empty array (not NULL) and an
+  * empty-vs-nonempty mix still trips the width check.
   */
 case class VectorSum(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[VectorSum.Buf] {
 
   override def children: Seq[Expression] = Seq(child)
 
@@ -51,18 +54,16 @@ case class VectorSum(
 
   override def prettyName: String = "graft_vec_sum"
 
-  /** Empty sentinel until the first non-null input fixes the width. */
-  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+  /** `v == null` until the first non-null input fixes the width. */
+  override def createAggregationBuffer(): VectorSum.Buf =
+    new VectorSum.Buf(null)
 
-  private def add(buf: Array[Long], arr: ArrayData): Array[Long] = {
+  private def add(buf: VectorSum.Buf, arr: ArrayData): VectorSum.Buf = {
     val n = arr.numElements()
-    val target =
-      if (buf.length == 0) new Array[Long](n)
-      else {
-        require(buf.length == n,
-          s"graft_vec_sum: vector width mismatch (${buf.length} vs $n)")
-        buf
-      }
+    if (buf.v == null) buf.v = new Array[Long](n)
+    else require(buf.v.length == n,
+      s"graft_vec_sum: vector width mismatch (${buf.v.length} vs $n)")
+    val target = buf.v
     var i = 0
     elemType match {
       case LongType =>
@@ -76,43 +77,52 @@ case class VectorSum(
           i += 1
         }
     }
-    target
+    buf
   }
 
-  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+  override def update(buf: VectorSum.Buf, input: InternalRow): VectorSum.Buf = {
     val v = child.eval(input)
     if (v == null) buf else add(buf, v.asInstanceOf[ArrayData])
   }
 
-  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
-    if (other.length == 0) buf
-    else if (buf.length == 0) other
+  override def merge(buf: VectorSum.Buf,
+                     other: VectorSum.Buf): VectorSum.Buf =
+    if (other.v == null) buf
+    else if (buf.v == null) { buf.v = other.v; buf }
     else {
-      require(buf.length == other.length,
-        s"graft_vec_sum: vector width mismatch (${buf.length} vs ${other.length})")
+      require(buf.v.length == other.v.length,
+        s"graft_vec_sum: vector width mismatch (${buf.v.length} vs ${other.v.length})")
       var i = 0
-      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      while (i < buf.v.length) { buf.v(i) += other.v(i); i += 1 }
       buf
     }
 
-  /** Null (SQL aggregate-over-no-rows convention) when no input arrived. */
-  override def eval(buf: Array[Long]): Any =
-    if (buf.length == 0) null else new GenericArrayData(buf)
+  /** Null (SQL aggregate-over-no-rows convention) when no input arrived;
+    * an empty array when inputs arrived and were width-0. */
+  override def eval(buf: VectorSum.Buf): Any =
+    if (buf.v == null) null else new GenericArrayData(buf.v)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.length * 8)
-    bb.putInt(buf.length)
-    buf.foreach(bb.putLong)
-    bb.array()
+  override def serialize(buf: VectorSum.Buf): Array[Byte] = {
+    if (buf.v == null) Array(0: Byte)
+    else {
+      val bb = ByteBuffer.allocate(1 + 4 + buf.v.length * 8)
+      bb.put(1: Byte)
+      bb.putInt(buf.v.length)
+      buf.v.foreach(bb.putLong)
+      bb.array()
+    }
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+  override def deserialize(bytes: Array[Byte]): VectorSum.Buf = {
     val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new Array[Long](n)
-    var i = 0
-    while (i < n) { buf(i) = bb.getLong; i += 1 }
-    buf
+    if (bb.get() == 0) new VectorSum.Buf(null)
+    else {
+      val n = bb.getInt
+      val v = new Array[Long](n)
+      var i = 0
+      while (i < n) { v(i) = bb.getLong; i += 1 }
+      new VectorSum.Buf(v)
+    }
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VectorSum =
@@ -124,4 +134,10 @@ case class VectorSum(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): VectorSum =
     copy(child = newChildren(0))
+}
+
+object VectorSum {
+  /** Aggregation state: `v == null` ⇔ no non-null input yet (distinct
+    * from a width-0 vector, which is a legitimate sum). */
+  final class Buf(var v: Array[Long])
 }

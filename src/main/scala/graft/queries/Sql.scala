@@ -27,14 +27,20 @@ object Sql {
   /** `WITH trades AS (…), anchor AS (…)` prelude for the trade queries. */
   val tradesWith: String = s"WITH $tradesCte,\n$anchorCte"
 
+  /** The string-type spelling is the ONLY dialect difference in these
+    * formulas: DuckDB accepts `VARCHAR`, Spark SQL only `STRING`. Both
+    * renderings share one formula below so the twins cannot drift. */
+  val DuckStr = "VARCHAR"
+  val SparkStr = "STRING"
+
   /** Decimal → double via the exact digit string (DuckDB's direct cast
     * double-rounds above 2^53) — see [[graft.ops.Ops]] `decToDouble`. */
-  private def d2d(expr: String): String =
-    s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
+  private def d2d(expr: String, strTy: String = DuckStr): String =
+    s"CAST(CAST($expr AS $strTy) AS DOUBLE)"
 
   /** Order-insensitive exact double sum — see [[graft.ops.Ops.dsum]]. */
-  def dsum(expr: String): String =
-    d2d(s"sum(CAST($expr AS DECIMAL(38,10)))")
+  def dsum(expr: String, strTy: String = DuckStr): String =
+    d2d(s"sum(CAST($expr AS DECIMAL(38,10)))", strTy)
 
   /** Exact `sum(a * b)` with the multiply in decimal — see
     * [[graft.ops.Ops.dsumProd]]. */
@@ -42,8 +48,9 @@ object Sql {
     d2d(s"sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6)))")
 
   /** ClickHouse sumIf (0 on empty match set) — see [[graft.ops.Ops.sumIf]]. */
-  def sumIf(expr: String, cond: String): String =
-    d2d(s"coalesce(sum(CAST($expr AS DECIMAL(38,10))) FILTER (WHERE $cond), 0)")
+  def sumIf(expr: String, cond: String, strTy: String = DuckStr): String =
+    d2d(s"coalesce(sum(CAST($expr AS DECIMAL(38,10))) FILTER (WHERE $cond), 0)",
+      strTy)
 
   /** Conditional decimal-multiply sum — see [[graft.ops.Ops.sumIfProd]]:
     * the multiply happens in decimal so no double product is ever

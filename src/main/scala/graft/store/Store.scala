@@ -116,10 +116,7 @@ object Store {
     * partition prune + sparse-index granule skip. */
   def readTradesSince(spark: SparkSession, path: String,
                       sinceMicros: Long): DataFrame = {
-    // session zone, NOT hard-coded UTC: the month key must be computed
-    // exactly the way the writer computed it or rows near month
-    // boundaries silently fall outside the pruned partition set
-    val sinceMonth = monthKeyOf(sinceMicros, sessionZone(spark))
+    val sinceMonth = monthLowerBound(sinceMicros, sessionZone(spark))
     val sinceTs = java.time.Instant.ofEpochSecond(
       sinceMicros / 1000000L, (sinceMicros % 1000000L) * 1000L)
     readTrades(spark, path)
@@ -130,11 +127,29 @@ object Store {
   /** The zone partition month keys are derived in — the SESSION zone,
     * because [[writeTrades]] builds `month` with `date_format`
     * ([[graft.ops.Ops.monthKey]]), which renders in the session zone.
-    * Every month-key computation in the engine must use this one zone or
-    * readers/retention silently disagree with the writer about which
-    * partition a timestamp lives in. */
+    * Point lookups (`monthsBetween` membership) still require write and
+    * read zones to match; every month-key BOUND (reader pruning, TTL
+    * cutoffs, [[graft.functions.MonthPruningRule]]) instead goes through
+    * [[monthLowerBound]], which stays correct when they diverge. */
   def sessionZone(spark: SparkSession): java.time.ZoneId =
     java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+
+  /** Maximum writer-zone/reader-zone skew the month-key bounds absorb.
+    * [[writeTrades]] renders `month` in the WRITING session's zone;
+    * nothing ties a later reading session to the same zone, and real
+    * zone offsets span [-12 h, +14 h], so two sessions can disagree by
+    * up to 26 h about which month an instant renders into. 27 h of
+    * margin makes every derived month BOUND correct under ANY
+    * writer/reader zone pair, for the cost of at most one extra month
+    * scanned (readers) or retained one cycle longer (TTL) when a bound
+    * lands within the margin of a month boundary. */
+  val ZoneSkewMarginUs: Long = 27L * 3600L * 1000000L
+
+  /** Month-key lower bound implied by `ts >= us` that holds for ANY
+    * writer zone: every row with `ts >= us` carries a partition key
+    * `>=` this value no matter which zone rendered it. */
+  def monthLowerBound(us: Long, zone: java.time.ZoneId): String =
+    monthKeyOf(us - ZoneSkewMarginUs, zone)
 
   /** The single source of truth for yyyyMM-of-micros (driver-side twin of
     * the writer's `date_format(ts, 'yyyyMM')`). */
@@ -160,11 +175,13 @@ object Store {
     * `retainDays` before `asOfMicros` (reference:
     * sql/V1__create_trades_table.sql:19-20, `TTL ts + INTERVAL 90 DAY`).
     * Month-granular like the reference's partition-level TTL drops:
-    * a partition is removed only when its entire month is expired. */
+    * a partition is removed only when its entire month is expired —
+    * under ANY writer zone, via the [[ZoneSkewMarginUs]] margin (a
+    * delete must never trust the unenforceable same-zone assumption). */
   def retention(spark: SparkSession, path: String, asOfMicros: Long,
                 retainDays: Int = 90): Seq[String] = {
     val cutoffUs = asOfMicros - retainDays.toLong * 86400L * 1000000L
-    val cutoffMonth = monthKeyOf(cutoffUs, sessionZone(spark))
+    val cutoffMonth = monthLowerBound(cutoffUs, sessionZone(spark))
     val root = Paths.get(path)
     if (!Files.exists(root)) Seq.empty
     else {

@@ -20,6 +20,14 @@ class ResultsSpec extends SparkSpec {
       """{"id":1,"tag":"a","ts":"2024-01-02T03:04:05"}"""))
   }
 
+  test("micro-precision timestamps keep a 6-digit fraction (isoformat rules)") {
+    val t = java.sql.Timestamp.valueOf("2024-01-02 03:04:05")
+    t.setNanos(100900000) // .100900 — distinct micros must stay distinct
+    val df = Seq((1L, t)).toDF("id", "ts")
+    assert(Results.toJsonRows(df) ==
+      Seq("""{"id":1,"ts":"2024-01-02T03:04:05.100900"}"""))
+  }
+
   test("non-timestamp columns pass through untouched") {
     val df = Seq((1.5, true, "x")).toDF("v", "flag", "s")
     assert(Results.toJsonRows(df) ==

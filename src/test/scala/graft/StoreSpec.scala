@@ -86,6 +86,24 @@ class StoreSpec extends SparkSpec {
     assert(Store.monthKeyOf(us, Store.sessionZone(spark)) == "202402") // UTC session
   }
 
+  test("monthLowerBound holds under ANY writer/reader zone pair") {
+    // the extreme real offsets: UTC+14 (Kiritimati) and UTC-12
+    val zones = Seq("Etc/GMT+12", "UTC", "Pacific/Kiritimati")
+      .map(java.time.ZoneId.of)
+    // bounds straddling a month boundary at sub-margin distances
+    val bounds = Seq(
+      "2024-01-31T10:00:00Z", "2024-01-31T23:59:59Z", "2024-02-01T00:00:00Z",
+      "2024-02-01T13:00:00Z", "2024-02-02T04:00:00Z", "2024-02-15T00:00:00Z")
+      .map(java.time.Instant.parse(_).toEpochMilli * 1000L)
+    for (w <- zones; r <- zones; x <- bounds) {
+      // monotonicity of yyyyMM in ts makes ts == X the worst case:
+      // every row passing `ts >= X` must land in a partition the
+      // derived bound keeps
+      assert(Store.monthKeyOf(x, w) >= Store.monthLowerBound(x, r),
+        s"writer=$w reader=$r bound=$x")
+    }
+  }
+
   test("retention drops only fully-expired month partitions") {
     val path = tmpDir("store-ttl")
     Store.writeTrades(mkTrades(Seq("2023-10", "2023-11", "2024-02")), path,

@@ -54,6 +54,20 @@ class VectorSumSpec extends SparkSpec {
     assert(out(0).getSeq[Long](1) == Seq(5L, 7L, 9L))
   }
 
+  test("all-empty-array group sums to an empty array, not null") {
+    val df = Seq(("a", Array.empty[Long]), ("a", Array.empty[Long]))
+      .toDF("g", "v").repartition(2)
+    val out = df.groupBy("g").agg(expr("graft_vec_sum(v)").as("s")).collect()
+    assert(!out(0).isNullAt(1) && out(0).getSeq[Long](1).isEmpty)
+  }
+
+  test("empty-vs-nonempty width mix throws like any other mismatch") {
+    val df = Seq(("a", Array.empty[Long]), ("a", Array(1L, 2L))).toDF("g", "v")
+    intercept[Exception] {
+      df.groupBy("g").agg(expr("graft_vec_sum(v)")).collect()
+    }
+  }
+
   test("width mismatch throws") {
     val df = Seq(("a", Array(1L, 2L)), ("a", Array(1L, 2L, 3L))).toDF("g", "v")
     intercept[Exception] {
