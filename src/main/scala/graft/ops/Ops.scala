@@ -83,6 +83,11 @@ object Ops {
     * [[dsumPartial]]). */
   def decFinal(c: Column): Column = decToDouble(sum(c))
 
+  /** Exact decimal → double for a NON-aggregated column — the scalar
+    * sibling of [[decFinal]], for presenting stored decimal partials
+    * (e.g. a candle store's mergeable volume) as doubles. */
+  def decAsDouble(c: Column): Column = decToDouble(c)
+
   /** Exact sum that is 0 (not null) on an empty group — ClickHouse `sum`
     * over zero rows semantics (SURVEY.md §7.5-4). */
   def dsum0(c: Column): Column =
@@ -142,6 +147,21 @@ object Ops {
     max_by(price, ts).as("close"),
     dsum(qty).as("volume"),
     count(lit(1)).as("trades"))
+
+  /** [[ohlcvAggs]] for PARTIAL candles that will merge again later:
+    * volume stays the EXACT decimal partial ([[dsumPartial]]) instead of
+    * a rounded double — re-quantizing a partial's double volume rounds
+    * differently once it exceeds ~4e5 (the [[Money]] note), which would
+    * break merged == direct in the last ulp. [[decFinal]] closes the sum
+    * at read time. */
+  def ohlcvPartialAggs(price: Column, qty: Column, ts: Column): Seq[Column] =
+    Seq(
+      min_by(price, ts).as("open"),
+      max(price).as("high"),
+      min(price).as("low"),
+      max_by(price, ts).as("close"),
+      dsumPartial(qty).as("volume"),
+      count(lit(1)).as("trades"))
 
   /** Two-stage salted aggregation for SKEWED group keys: stage 1
     * aggregates on (key, salt) — spreading one hot key over `buckets`

@@ -1,8 +1,8 @@
 package graft.store
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
-  StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType,
+  StringType, StructField, StructType, TimestampType}
 
 import graft.streaming.TradeIngest
 
@@ -37,7 +37,10 @@ object Bootstrap {
     StructField("high", DoubleType),
     StructField("low", DoubleType),
     StructField("close", DoubleType),
-    StructField("volume", DoubleType),
+    // the EXACT mergeable partial (Ops.dsumPartial) — a double here
+    // would re-quantize at merge time and drift from the direct batch
+    // aggregation once a partial's volume exceeds ~4e5
+    StructField("volume", DecimalType(38, 10)),
     StructField("trades", LongType),
     StructField("block", LongType)))
 

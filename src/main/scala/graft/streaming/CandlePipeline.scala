@@ -43,13 +43,16 @@ object CandlePipeline {
 
   /** Per-block partial candles for one micro-batch (the MV body).
     * `block` is the micro-batch id — the analogue of the reference's
-    * per-insert-block granularity. */
+    * per-insert-block granularity. `volume` is the EXACT decimal partial
+    * ([[graft.ops.Ops.ohlcvPartialAggs]]): storing a rounded double and
+    * re-quantizing it at merge time would drift from the direct batch
+    * aggregation in the last ulp once a partial exceeds ~4e5. */
   def partialCandles(batch: DataFrame, blockId: Long): DataFrame =
     Ops.aggSeq(
       batch.groupBy(Ops.minuteOf(col("ts")).as("minute"), col("symbol")),
       min(col("ts")).as("open_ts") +:
         max(col("ts")).as("close_ts") +:
-        Ops.ohlcvAggs(col("price"), col("qty"), col("ts")))
+        Ops.ohlcvPartialAggs(col("price"), col("qty"), col("ts")))
       .withColumn("block", lit(blockId))
 
   /** ST4 option (b): streaming sink appending partial candles per
@@ -99,11 +102,15 @@ object CandlePipeline {
         max(col("high")).as("high"),
         min(col("low")).as("low"),
         max_by(col("close"), tieKey(col("close_ts"))).as("close"),
-        Ops.dsum(col("volume")).as("volume"),
+        // decimal + decimal: exact, and the result stays a mergeable
+        // decimal partial (never round-trips through double)
+        sum(col("volume")).as("volume"),
         sum(col("trades")).as("trades"))
 
   /** Merge partial candles back into final per-(minute,symbol) candles —
-    * the correct-readback query over the partials table (ST4). */
+    * the correct-readback query over the partials table (ST4). The
+    * decimal volume partials close into a double here, ONCE — exactly
+    * the value the direct batch aggregation produces. */
   def readCandles(partials: DataFrame): DataFrame =
     dedupReplays(partials)
       .groupBy("minute", "symbol")
@@ -112,15 +119,22 @@ object CandlePipeline {
         max(col("high")).as("high"),
         min(col("low")).as("low"),
         max_by(col("close"), tieKey(col("close_ts"))).as("close"),
-        Ops.dsum(col("volume")).as("volume"),
+        Ops.decFinal(col("volume")).as("volume"),
         sum(col("trades")).as("trades"))
+
+  /** Present a stored MERGEABLE candle row (decimal volume) as the
+    * reader-facing final shape (double volume) — one stateless
+    * projection, the upsert store's read path. */
+  def finalizeCandles(stored: DataFrame): DataFrame =
+    stored.withColumn("volume", Ops.decAsDouble(col("volume")))
 
   /** Third maintenance variant: an UPSERT candle store on plain parquet.
     * Each micro-batch merges its partial candles into the stored final
     * candles for ONLY the (minute, symbol) keys it touched — read the
-    * affected keys' current rows, re-merge, rewrite. Readers see final
-    * candles directly (no read-side merge), late data still lands
-    * correctly. This is the merge-on-write point in the design space
+    * affected keys' current rows, re-merge, rewrite. Readers see one
+    * final row per key (no read-side merge; [[finalizeCandles]] is the
+    * one-projection read path that closes the mergeable decimal volume
+    * into a double), late data still lands correctly. This is the merge-on-write point in the design space
     * between [[partialSink]] (write-cheap, merge-on-read — the reference)
     * and [[candleSink]] (watermark-final, drops very-late rows).
     *
@@ -141,47 +155,67 @@ object CandlePipeline {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val dir = java.nio.file.Paths.get(candlesPath, "data")
+        import java.nio.file.{Files, Paths}
+        val dir = Paths.get(candlesPath, "data")
+        val tmp = Paths.get(candlesPath, ".next")
+        val prev = Paths.get(candlesPath, ".prev")
         val markerName = "_applied_batch"
+        // Crash recovery for the swap below. The marker is written LAST
+        // into tmp, so its presence proves tmp is a complete new version:
+        // roll it forward. Otherwise a missing live dir means the crash
+        // hit between the two renames: roll the previous version back.
+        // Leftover tmp/prev from a completed swap are just deleted.
+        if (!Files.exists(dir)) {
+          if (Files.exists(tmp.resolve(markerName))) Files.move(tmp, dir)
+          else if (Files.exists(prev)) Files.move(prev, dir)
+        }
+        if (Files.exists(prev)) graft.store.Store.deleteRecursively(prev)
+        if (Files.exists(tmp)) graft.store.Store.deleteRecursively(tmp)
         // replay guard: foreachBatch is at-least-once, and re-merging an
         // already-applied batch would double volume/trades. The marker
-        // travels INSIDE the data directory, so the directory move below
-        // commits data + marker atomically — a replayed batch whose move
-        // completed is skipped here, one whose move didn't is re-run
-        // against the unmodified previous store. (Underscore-prefixed
-        // files are invisible to parquet readers.)
+        // travels INSIDE the data directory, so the rename commits data +
+        // marker atomically — a replayed batch whose swap completed is
+        // skipped here, one whose swap didn't is re-run against the
+        // recovered previous store. (Underscore-prefixed files are
+        // invisible to parquet readers.)
         val applied = {
           val m = dir.resolve(markerName)
-          if (java.nio.file.Files.exists(m))
-            java.nio.file.Files.readString(m).trim.toLong
-          else -1L
+          if (Files.exists(m)) Files.readString(m).trim.toLong else -1L
         }
         if (batchId > applied) {
-          val incoming = partialCandles(batch, batchId)
+          // both frames are read several times below (semi + anti joins,
+          // restate union) — cache them so the batch aggregation and the
+          // store scan run once per trigger, not once per use
+          val incoming = partialCandles(batch, batchId).persist()
           val existing =
-            if (java.nio.file.Files.exists(dir))
-              spark.read.parquet(dir.toString)
-            else incoming.limit(0)
-          // only partials for keys touched by this batch join the merge;
-          // everything else is carried over untouched
-          val touched = incoming.select("minute", "symbol").distinct()
-          val affected = existing.join(touched, Seq("minute", "symbol"),
-            "left_semi")
-          val untouched = existing.join(touched, Seq("minute", "symbol"),
-            "left_anti")
-          // merged rows keep open_ts/close_ts so they remain mergeable
-          // when later batches touch the same minute again
-          val restate = mergePartials(affected.unionByName(incoming))
-            .withColumn("block", lit(batchId))
-            .select(untouched.columns.map(col).toIndexedSeq: _*)
-          val tmp = s"$candlesPath/.next"
-          untouched.unionByName(restate)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(tmp, markerName), batchId.toString)
-          if (java.nio.file.Files.exists(dir))
-            graft.store.Store.deleteRecursively(dir)
-          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir)
+            (if (Files.exists(dir)) spark.read.parquet(dir.toString)
+             else incoming.limit(0)).persist()
+          try {
+            // only partials for keys touched by this batch join the
+            // merge; everything else is carried over untouched
+            val touched = incoming.select("minute", "symbol").distinct()
+            val affected = existing.join(touched, Seq("minute", "symbol"),
+              "left_semi")
+            val untouched = existing.join(touched, Seq("minute", "symbol"),
+              "left_anti")
+            // merged rows keep open_ts/close_ts so they remain mergeable
+            // when later batches touch the same minute again
+            val restate = mergePartials(affected.unionByName(incoming))
+              .withColumn("block", lit(batchId))
+              .select(untouched.columns.map(col).toIndexedSeq: _*)
+            untouched.unionByName(restate)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            Files.writeString(tmp.resolve(markerName), batchId.toString)
+            // two atomic renames, never a window with no recoverable
+            // version on disk (deleting the live dir before the new one
+            // lands would lose the whole store on a crash between)
+            if (Files.exists(dir)) Files.move(dir, prev)
+            Files.move(tmp, dir)
+            if (Files.exists(prev)) graft.store.Store.deleteRecursively(prev)
+          } finally {
+            incoming.unpersist()
+            existing.unpersist()
+          }
         }
         ()
       }

@@ -121,13 +121,26 @@ final class StreamManager(name: String) {
     * ran to successful completion (e.g. `Trigger.AvailableNow` draining
     * its input) also lands at Idle but must NOT be relaunched. */
   def startWithRetry(launch: () => StreamingQuery,
-                     maxRetries: Int = 3): this.type = synchronized {
+                     maxRetries: Int = 3,
+                     graceMs: Long = 2000): this.type = synchronized {
+    // Startup failure is ASYNCHRONOUS: launch() hands back a live query
+    // that can die milliseconds later (socket connect refused, bad
+    // path), which a same-instant state poll would still see as
+    // running. Wait out `graceMs` for termination after each launch so
+    // those failures are observed — and retried — here rather than
+    // discovered dead by the next status poll with no retry left.
+    def awaitEarlyFailure(): Unit = query.get().foreach { q =>
+      try q.awaitTermination(graceMs)
+      catch { case _: Exception => () } // cause surfaced via q.exception
+    }
     var attempts = 0
     start(launch)
+    awaitEarlyFailure()
     while (currentState == "idle" && lastError.get().isDefined &&
         attempts < maxRetries) {
       attempts += 1
       start(launch)
+      awaitEarlyFailure()
     }
     this
   }
@@ -139,6 +152,10 @@ final class StreamManager(name: String) {
       state.set(Stopping)
       try q.stop()
       catch { case e: Exception => lastError.set(Some(e.toString)) }
+      // a query that had already DIED carries the real failure cause —
+      // surface it (overwriting any secondary stop() error) exactly
+      // like reapIfDead would have, or the crash reports a clean idle
+      Option(q.exception).flatten.foreach(e => lastError.set(Some(e.toString)))
       // drain AFTER the stop: the in-flight batch completes during the
       // graceful stop and its rows must make the lifetime counter
       accumulate()

@@ -114,10 +114,14 @@ object TradeIngest {
     normalized.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // exactly the at-rest schema Bootstrap.tradesAtRest declares and
+        // Store.writeTrades backfills produce — a sink-private extra
+        // column (e.g. a batch id) would give the one table two file
+        // schemas, and plain spark.read.parquet resolves that
+        // nondeterministically from whichever footer it samples
         batch
           .withColumn("ingested_at", current_timestamp())
-          .withColumn("batch_id", lit(batchId))
           .withColumn("month", graft.ops.Ops.monthKey(col("ts")))
           .coalesce(1)
           // month leads the sort or the partitioned writer re-sorts and

@@ -57,9 +57,11 @@ class StreamingSpec extends SparkSpec {
 
     val written = spark.read.parquet(out)
     assert(written.count() == 20)
+    // exactly the declared at-rest schema (Bootstrap.tradesAtRest) —
+    // no sink-private extras, so ingest appends and writeTrades
+    // backfills keep ONE file schema per table
     assert(written.columns.toSet ==
-      Set("symbol", "trade_id", "price", "qty", "ts", "is_buyer_maker",
-        "ingested_at", "batch_id", "month"))
+      graft.store.Bootstrap.tradesAtRest.fieldNames.toSet)
     assert(written.agg(sum("qty")).collect()(0).getDouble(0) == 20.0)
     // the sink writes the Store's month-partitioned layout: rows are
     // visible to the pruned reader and expirable by partition-drop TTL
@@ -159,13 +161,59 @@ class StreamingSpec extends SparkSpec {
       df.select("minute", "symbol", "open", "high", "low", "close",
         "volume", "trades")
         .orderBy("minute", "symbol").collect().map(_.toString).toSeq
-    val stored = snap(spark.read.parquet(s"$store/data"))
+    val stored = snap(CandlePipeline.finalizeCandles(
+      spark.read.parquet(s"$store/data")))
     val direct = snap(CandlePipeline.candles(allTrades))
     assert(stored == direct)
     // exactly one stored row per key — reader needs no merge
     val dup = spark.read.parquet(s"$store/data")
       .groupBy("minute", "symbol").count().where(col("count") > 1).count()
     assert(dup == 0)
+  }
+
+  test("upsert store recovers from a crash between the swap renames") {
+    val src = tmpDir("crash-src")
+    val store = tmpDir("crash-store")
+    val ckpt = tmpDir("crash-ckpt")
+    val data = Paths.get(store, "data")
+    Files.writeString(Paths.get(src, "b1.json"), Seq(
+      tradeJson("BTC", 1, 100.0, 1.0, 10),
+      tradeJson("BTC", 2, 110.0, 2.0, 50)).mkString("\n"))
+    val q1 = CandlePipeline.upsertSink(
+      tradeStream(src), store, ckpt, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+
+    // crash state A: new version fully written (marker inside), live dir
+    // already renamed away — the next batch must ROLL FORWARD
+    Files.move(data, Paths.get(store, ".next"))
+    Files.writeString(Paths.get(src, "b2.json"), Seq(
+      tradeJson("BTC", 3, 95.0, 1.0, 70)).mkString("\n"))
+    val q2 = CandlePipeline.upsertSink(
+      tradeStream(src), store, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+
+    // crash state B: live dir renamed to .prev, no complete new version —
+    // the next batch must ROLL BACK
+    Files.move(data, Paths.get(store, ".prev"))
+    Files.writeString(Paths.get(src, "b3.json"), Seq(
+      tradeJson("ETH", 4, 10.0, 5.0, 20)).mkString("\n"))
+    val q3 = CandlePipeline.upsertSink(
+      tradeStream(src), store, ckpt, Trigger.AvailableNow())
+    q3.awaitTermination(60000)
+
+    val allTrades = spark.read
+      .schema("symbol STRING, trade_id LONG, price DOUBLE, qty DOUBLE, ts LONG")
+      .json(src)
+      .withColumn("ts", timestamp_micros(col("ts")))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("minute", "symbol", "open", "high", "low", "close",
+        "volume", "trades")
+        .orderBy("minute", "symbol").collect().map(_.toString).toSeq
+    assert(snap(CandlePipeline.finalizeCandles(
+      spark.read.parquet(data.toString))) ==
+      snap(CandlePipeline.candles(allTrades)))
+    assert(!Files.exists(Paths.get(store, ".next")) &&
+      !Files.exists(Paths.get(store, ".prev")))
   }
 
   test("watermarked streaming candles match batch on closed windows") {
