@@ -116,7 +116,15 @@ object EmbQueries {
     * key), then ranked by exact cosine. At 100 TB the bucket join is an
     * ordinary hash shuffle on the key; nothing is all-pairs. (In a real
     * deployment the 8×64 hyperplane signs would be precomputed once and
-    * broadcast; here they fold into codegen as constants-per-row.) */
+    * broadcast; here they fold into codegen as constants-per-row.)
+    *
+    * Measured, kept as a self-join: the DocQueries collect-ids-per-bucket
+    * pairing (which pays for itself when per-row lineage is md5-over-
+    * shingles heavy) was tried here and LOST at both sf0.1 and a 10×
+    * dup-heavy corpus (knn 3.4 s → 4.8 s at 10×) — the sign projection
+    * the self-join duplicates is linear and cheap, while materializing id
+    * pairs and re-joining both sides' embeddings adds two hash joins on
+    * the O(pairs) stream, which dominates. */
   val lshPairs: NamedQuery = {
     NamedQuery(
       "emb_lsh_pairs",
