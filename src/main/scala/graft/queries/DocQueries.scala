@@ -606,7 +606,282 @@ object DocQueries {
       .orderBy("lang", "split")
   }
 
+  /** Per-lang sampling percentages for the stratified sample: downsample
+    * the over-represented language, keep more of the rest — the standard
+    * training-mix rebalance. Interpolated into BOTH twins. */
+  private val SamplePct: Map[String, Int] = Map("en" -> 25).withDefaultValue(60)
+
+  private def pctCaseSql(langCol: String): String =
+    s"CASE WHEN $langCol = 'en' THEN 25 ELSE 60 END"
+
+  /** Deterministic stratified sampling — per-language hash-threshold
+    * sampling (en 25 %, others 60 %): membership is a pure function of
+    * `md5(doc_id)`, so re-runs, backfills and other engines draw the
+    * SAME sample (no RNG, unlike `TABLESAMPLE`). The salt prefix
+    * decorrelates this draw from the train/val/test assignment
+    * ([[trainSplit]] buckets on unsalted md5). Map-side only + one
+    * low-cardinality aggregation — no shuffle grows with the corpus. */
+  val stratifiedSample: NamedQuery = NamedQuery(
+    "docs_stratified_sample",
+    s"""WITH s AS (
+       |  SELECT lang, n_chars,
+       |         CAST('0x' || substr(md5('s-' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |              AS BIGINT) % 100 AS h,
+       |         ${pctCaseSql("lang")} AS pct
+       |  FROM documents
+       |)
+       |SELECT lang,
+       |       count(*) AS n_total,
+       |       CAST(count(*) FILTER (WHERE h < pct) AS BIGINT) AS n_sampled,
+       |       CAST(coalesce(sum(n_chars) FILTER (WHERE h < pct), 0) AS BIGINT)
+       |         AS sampled_chars
+       |FROM s
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val h = expr(
+      "cast(conv(substr(md5(concat('s-', cast(doc_id AS string))), 1, 8), 16, 10) AS bigint) % 100")
+    val pct = when(col("lang") === "en", SamplePct("en"))
+      .otherwise(SamplePct("other"))
+    docs(s, d)
+      .select(col("lang"), col("n_chars"), h.as("h"), pct.as("pct"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("h") < col("pct"), 1)).as("n_sampled"),
+        coalesce(sum(when(col("h") < col("pct"), col("n_chars"))), lit(0L))
+          .as("sampled_chars"))
+      .orderBy("lang")
+  }
+
+  /** Shared per-document composite quality score (same formulation as
+    * [[quality]]): identical IEEE evaluation order in both engines. */
+  private val scoreDuck: String =
+    s"""0.4 * least(CAST(n_chars AS DOUBLE) / 500, CAST(1 AS DOUBLE))
+       | + 0.3 * (CAST(len(list_filter($tokDuck,
+       |       t -> list_contains(['the','a','of','to','and','in',
+       |                           'is','for','on','with'], t)))
+       |     AS DOUBLE) / len($tokDuck))
+       | + 0.3 * (CAST(len(regexp_extract_all(text, '[a-z]+')) AS DOUBLE)
+       |     / len($tokDuck))""".stripMargin.replace("\n", " ")
+
+  private def scoreSpark: org.apache.spark.sql.Column =
+    lit(0.4) * least(col("n_chars").cast("double") / 500, lit(1.0)) +
+      lit(0.3) * (expr(
+        s"""size(filter($tokSpark,
+           |  t -> array_contains(array('the','a','of','to','and','in',
+           |                            'is','for','on','with'), t)))"""
+          .stripMargin.replace("\n", " ")).cast("double") /
+        expr(s"size($tokSpark)")) +
+      lit(0.3) * (expr("size(regexp_extract_all(text, '[a-z]+', 0))")
+        .cast("double") / expr(s"size($tokSpark)"))
+
+  /** Quality-quartile bucketing — `ntile(4)` per language over the
+    * composite score (quartile membership is what a curriculum/filtering
+    * stage consumes). The window partitions BY LANG, so each sort is
+    * per-group; tie-free total order via (score, doc_id). Scale note: a
+    * GLOBAL quantile bucketing at 100 TB should compute boundary values
+    * first (the `trades_price_quantiles` exact-rank shape, or a sketch)
+    * and band-join them broadcast — a windowed ntile over one partition
+    * would funnel the corpus through one task; per-lang partitions keep
+    * parallelism = #langs here, acceptable for bounded strata. */
+  val qualityQuartiles: NamedQuery = NamedQuery(
+    "docs_quality_quartiles",
+    s"""WITH q AS (
+       |  SELECT lang, n_chars, $scoreDuck AS score,
+       |         ntile(4) OVER (PARTITION BY lang
+       |                        ORDER BY $scoreDuck, doc_id) AS quartile
+       |  FROM documents
+       |)
+       |SELECT lang, quartile,
+       |       count(*) AS n_docs,
+       |       min(score) AS min_score,
+       |       max(score) AS max_score,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM q
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score"), col("doc_id"))
+    docs(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        scoreSpark.as("score"))
+      // ntile is INT in Spark, BIGINT in DuckDB — align the key type
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("lang", "quartile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "quartile")
+  }
+
+  /** Near-dup pairs become CLUSTERS here — both twins use this Jaccard
+    * threshold over the same char-4-gram profiles as [[ngramJaccard]]. */
+  private val ClusterTau = 0.9
+
+  /** Duplicate-cluster resolution — the step after pair generation that a
+    * real dedup pipeline needs (near-dup is transitive only through
+    * chains: A~B, B~C ⇒ one cluster even when A≁C, and keep-one-per-PAIR
+    * would over- or under-drop). Connected components over the
+    * ngram-Jaccard near-dup graph via iterative min-label propagation:
+    * each round, every node takes the min label among itself and its
+    * neighbors — a hash join + aggregation per round, converging in
+    * O(graph diameter) rounds (near-dup cliques are shallow; 20 is a hard
+    * safety cap). This is the standard distributed-CC shape: nothing is
+    * ever collected driver-side except the 2-value convergence probe, and
+    * the edge set is checkpointed so each round re-reads materialized
+    * edges, not the md5-heavy gram lineage. The oracle derives the same
+    * fixpoint independently via a recursive CTE (min reachable id), so
+    * the iteration count cannot leak into the result. Output: cluster
+    * size histogram + min/max cluster representative. */
+  val dupClusters: NamedQuery = NamedQuery(
+    "docs_dup_clusters",
+    s"""WITH RECURSIVE g AS (
+       |  SELECT doc_id,
+       |         md5(array_to_string(($tokDuck)[1:3], ' ')) AS bucket,
+       |         list_distinct(list_transform(range(1, len(text) - 2, 4),
+       |           i -> substr(text, i, 4))) AS grams
+       |  FROM documents
+       |  WHERE len(text) >= 4
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM g a
+       |  JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |        / len(list_distinct(a.grams || b.grams)) >= $ClusterTau
+       |),
+       |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |reach AS (
+       |  SELECT id, id AS label FROM nodes
+       |  UNION
+       |  SELECT e.src AS id, r.label FROM e JOIN reach r ON e.dst = r.id
+       |),
+       |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY 1)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |       count(*) AS n_clusters,
+       |       min(cluster) AS min_rep,
+       |       max(cluster) AS max_rep
+       |FROM sizes
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val g = docs(s, d)
+      .where(expr("char_length(text) >= 4"))
+      .select(col("doc_id"),
+        md5(expr(s"array_join(slice($tokSpark, 1, 3), ' ')")).as("bucket"),
+        expr(
+          """array_distinct(transform(
+            |  sequence(1, char_length(text) - 3, 4),
+            |  i -> substring(text, i, 4)))""".stripMargin.replace("\n", " "))
+          .as("grams"))
+    val cand = g
+      .groupBy("bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(pairsExpr)).as("p"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+    val pairs = cand
+      .join(g.as("x"), col("x.doc_id") === col("src"))
+      .join(g.as("y"), col("y.doc_id") === col("dst"))
+      .where(
+        size(array_intersect(col("x.grams"), col("y.grams"))).cast("double") /
+          size(array_distinct(concat(col("x.grams"), col("y.grams"))))
+          >= ClusterTau)
+      .select(col("src"), col("dst"))
+    // materialize the edge set once: every propagation round re-reads
+    // THIS, not the md5/gram lineage (at cluster scale: persist to disk)
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val prop = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = prop.unionByName(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint() // truncate the per-round lineage
+      // O(1)-row convergence probe (monotone labels: fixpoint when the
+      // label sum stops falling — the only driver-side data in the loop)
+      val Array(prevSum, nextSum) = Seq(labels, next).map(df =>
+        df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0))
+        .toArray
+      converged = prevSum == nextSum
+      labels = next
+      rounds += 1
+    }
+    labels
+      .groupBy("label").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        min(col("label")).as("min_rep"),
+        max(col("label")).as("max_rep"))
+      .orderBy("cluster_size")
+  }
+
+  /** Bigram language-model counts — the n-gram statistics stage of an LM
+    * data pipeline: adjacent-token pairs per document, global bigram
+    * counts, then the top-3 continuations for each of the 10 most
+    * frequent head tokens (count-desc, token-asc tie-breaks everywhere).
+    * Pair generation is a per-row array transform (no self-join); counts
+    * are two hash aggregations; the head filter joins against a 10-row
+    * broadcast. */
+  val bigramLm: NamedQuery = NamedQuery(
+    "docs_bigram_lm",
+    s"""WITH t AS (SELECT doc_id, $tokDuck AS toks FROM documents),
+       |bg AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |           i -> struct_pack(prev := toks[i], nxt := toks[i+1]))) AS b
+       |  FROM t WHERE len(toks) >= 2
+       |),
+       |counts AS (
+       |  SELECT b.prev AS prev, b.nxt AS nxt, count(*) AS c
+       |  FROM bg GROUP BY 1, 2
+       |),
+       |heads AS (
+       |  SELECT prev, CAST(sum(c) AS BIGINT) AS head_n
+       |  FROM counts GROUP BY 1
+       |  ORDER BY head_n DESC, prev LIMIT 10
+       |)
+       |SELECT h.prev AS prev, h.head_n, c.nxt, c.c AS n
+       |FROM heads h
+       |JOIN counts c ON c.prev = h.prev
+       |QUALIFY row_number() OVER (PARTITION BY h.prev
+       |                           ORDER BY c.c DESC, c.nxt) <= 3
+       |ORDER BY head_n DESC, h.prev, n DESC, nxt""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(expr(tokSpark).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val counts = t
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS prev,
+          |              element_at(toks, i + 1) AS nxt))"""
+          .stripMargin.replace("\n", " "))).as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.nxt").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val heads = counts.groupBy("prev")
+      .agg(sum(col("c")).as("head_n"))
+      .orderBy(col("head_n").desc, col("prev"))
+      .limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("prev").orderBy(col("c").desc, col("nxt"))
+    counts
+      .join(broadcast(heads), "prev")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("prev"), col("head_n"), col("nxt"), col("c").as("n"))
+      .orderBy(col("head_n").desc, col("prev"), col("n").desc, col("nxt"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
-    fingerprint, normalizedDedup, ngramJaccard, tfidfTop, trainSplit)
+    fingerprint, normalizedDedup, ngramJaccard, tfidfTop, trainSplit,
+    stratifiedSample, qualityQuartiles, dupClusters, bigramLm)
 }

@@ -426,7 +426,77 @@ object EmbQueries {
       .orderBy("label", "rank")
   }
 
+  /** Symmetric int8 quantization + quantized-cosine top-k — the
+    * shuffle-compression path for similarity search at 100 TB: an int8
+    * vector is 4× smaller than float32 (16× smaller than the double
+    * math), so candidate generation runs on quantized codes and only the
+    * final ranking re-scores in full precision (both scores are emitted
+    * here to show the recall story). Quantization is exact-deterministic
+    * in both engines: per-vector scale `127 / max|x|`, code
+    * `sign(x) · floor(|x|·scale + 0.5)` (half-away rounding spelled as
+    * floor so neither engine's `round` tie rule is involved), and the
+    * quantized dot/norms are pure ≤2^21 integer arithmetic. */
+  val quantizedTopK: NamedQuery = {
+    // quantized code array of vector column `v` given its max-abs `mx`
+    def q8Duck(v: String, mx: String) =
+      s"""list_transform($v, x -> CASE WHEN $mx = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE CAST((CASE WHEN CAST(x AS DOUBLE) < 0 THEN -1 ELSE 1 END)
+         |       * floor(abs(CAST(x AS DOUBLE)) * (127.0 / $mx) + 0.5)
+         |       AS BIGINT) END)""".stripMargin.replace("\n", " ")
+    val mxDuck = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    def idotDuck(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS DOUBLE)"
+    NamedQuery(
+      "emb_quantized_topk",
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding, $mxDuck AS mx FROM embeddings
+         |),
+         |c AS (
+         |  SELECT vec_id, label, embedding,
+         |         ${q8Duck("embedding", "mx")} AS q
+         |  FROM b
+         |),
+         |qv AS (
+         |  SELECT q AS qq, embedding AS qemb FROM c WHERE vec_id = 0
+         |)
+         |SELECT c.vec_id, c.label,
+         |       ${idotDuck("qq", "q")}
+         |         / (sqrt(${idotDuck("qq", "qq")}) * sqrt(${idotDuck("q", "q")}))
+         |         AS sim_q8,
+         |       ${cosDuck("qemb", "c.embedding")} AS sim_exact
+         |FROM c, qv
+         |WHERE c.vec_id <> 0
+         |ORDER BY sim_q8 DESC, c.vec_id
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      val q8Spark =
+        """transform(embedding, x -> CASE WHEN mx = 0 THEN cast(0 AS bigint)
+          |  ELSE cast((CASE WHEN cast(x AS double) < 0 THEN -1 ELSE 1 END)
+          |       * floor(abs(cast(x AS double)) * (127.0D / mx) + 0.5D)
+          |       AS bigint) END)""".stripMargin.replace("\n", " ")
+      def idot(a: String, b: String) =
+        s"cast(aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+          s"cast(0 AS bigint), (acc, v) -> acc + v) AS double)"
+      val coded = emb(s, d)
+        .withColumn("mx", expr(
+          "aggregate(embedding, cast(0.0 AS double), " +
+            "(acc, x) -> greatest(acc, abs(cast(x AS double))))"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(q8Spark).as("q"))
+      val qv = coded.where(col("vec_id") === 0)
+        .select(col("q").as("qq"), col("embedding").as("qemb"))
+      coded.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("label"),
+          (expr(idot("qq", "q")) /
+            (sqrt(expr(idot("qq", "qq"))) * sqrt(expr(idot("q", "q")))))
+            .as("sim_q8"),
+          expr(cosSpark("qemb", "embedding")).as("sim_exact"))
+        .orderBy(col("sim_q8").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
-    topKPerLabel)
+    topKPerLabel, quantizedTopK)
 }

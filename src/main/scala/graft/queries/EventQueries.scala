@@ -529,8 +529,115 @@ object EventQueries {
       .orderBy("event_type", "day")
   }
 
+  /** The value-band dimension: (band_id, lo, hi) half-open intervals,
+    * shared verbatim by both twins. Sorted, non-overlapping, covering. */
+  private val ValueBands: Seq[(Int, Double, Double)] = Seq(
+    (0, 0.0, 25.0), (1, 25.0, 100.0), (2, 100.0, 250.0),
+    (3, 250.0, 1000000.0))
+
+  /** Range (non-equi) join — classify events into value bands via
+    * `lo <= value < hi` against a broadcast band dimension. Spark plans a
+    * BroadcastNestedLoopJoin: with a CONSTANT-size band table that is the
+    * correct 100 TB plan — O(bands) comparisons per row, map-side, no
+    * shuffle of the fact table at all (the general big-big range join
+    * instead needs bucketing on a coarsened key; the as-of operator
+    * covers the ordered flavor of that problem). Sorted non-overlapping
+    * bands could also compile to a binary-search CASE chain; the join
+    * formulation keeps the dimension data-driven. */
+  val valueBands: NamedQuery = {
+    val bandsSql = ValueBands.map { case (id, lo, hi) =>
+      s"($id, CAST($lo AS DOUBLE), CAST($hi AS DOUBLE))"
+    }.mkString(", ")
+    NamedQuery(
+      "events_value_bands",
+      s"""SELECT band_id, lo, hi,
+         |       count(*) AS n_events,
+         |       ${Sql.dsum("value")} AS total_value
+         |FROM events
+         |JOIN (VALUES $bandsSql) AS b(band_id, lo, hi)
+         |  ON value >= lo AND value < hi
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val bands = ValueBands.toDF("band_id", "lo", "hi")
+      Tables.events(s, d)
+        .join(broadcast(bands),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+          count(lit(1)).as("n_events"),
+          Ops.dsum(col("value")).as("total_value"))
+        .orderBy("band_id")
+    }
+  }
+
+  /** Count-min sketch dimensions, shared by both twins: d hash rows ×
+    * w slots. Each row's 4 slot indices come from 32-bit md5 prefixes —
+    * exact in BIGINT in both engines. */
+  private val CmsD = 4
+  private val CmsW = 256
+
+  /** Count-min-sketch heavy hitters — the purely-relational CMS
+    * formulation: the sketch IS `GROUP BY (row, slot) → count`, so
+    * building it shuffles at most d·w = 1024 partial counts
+    * regardless of input rows (the 100 TB win: frequency estimation with
+    * a fixed-size exchange). Estimates (min over the d rows' counters,
+    * upward-biased by construction) are checked against exact counts for
+    * the exact top-10 users. Everything is counting + md5 → fully
+    * deterministic cross-engine, unlike sketches with RNG seeds. */
+  val cmsHeavy: NamedQuery = NamedQuery(
+    "events_cms_heavy",
+    s"""WITH pos AS (
+       |  SELECT j,
+       |         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+       |              || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |           % $CmsW AS slot
+       |  FROM events, unnest(range(0, $CmsD)) AS u(j)
+       |),
+       |cms AS (
+       |  SELECT j, slot, count(*) AS c FROM pos GROUP BY 1, 2
+       |),
+       |top AS (
+       |  SELECT user_id, count(*) AS exact_n
+       |  FROM events GROUP BY 1
+       |  ORDER BY exact_n DESC, user_id LIMIT 10
+       |),
+       |probe AS (
+       |  SELECT user_id, exact_n, j,
+       |         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+       |              || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |           % $CmsW AS slot
+       |  FROM top, unnest(range(0, $CmsD)) AS u(j)
+       |)
+       |SELECT p.user_id, p.exact_n,
+       |       CAST(min(cms.c) AS BIGINT) AS cms_est
+       |FROM probe p
+       |JOIN cms ON cms.j = p.j AND cms.slot = p.slot
+       |GROUP BY 1, 2
+       |ORDER BY exact_n DESC, user_id""".stripMargin) { (s, d) =>
+    def slot(j: org.apache.spark.sql.Column) = expr(
+      s"cast(conv(substr(md5(concat(cast(j AS string), ':', " +
+        s"cast(user_id AS string))), 1, 8), 16, 10) AS bigint) % $CmsW")
+      .as("slot")
+    val ev = Tables.events(s, d).select("user_id")
+    val withJ = ev.select(col("user_id"),
+      explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
+    val cms = withJ.select(col("j"), slot(col("j")))
+      .groupBy("j", "slot").agg(count(lit(1)).as("c"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+    top
+      .select(col("user_id"), col("exact_n"),
+        explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
+      .select(col("user_id"), col("exact_n"), col("j"), slot(col("j")))
+      .join(broadcast(cms), Seq("j", "slot"))
+      .groupBy("user_id", "exact_n")
+      .agg(min(col("c")).as("cms_est"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
     asofAttribution, asofNative, funnel, typePivot, approxUsers, kmvUsers,
-    typeCube)
+    typeCube, valueBands, cmsHeavy)
 }

@@ -190,7 +190,63 @@ object JoinQueries {
       .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
   }
 
+  /** Explicit GROUPING SETS — the general grouping-set form (ROLLUP and
+    * CUBE are its shorthands; both are covered elsewhere): detail,
+    * one-key subtotal, and grand total in one pass, tagged by
+    * `grouping_id()` (bit = 1 where the column is aggregated away — the
+    * same convention as DuckDB's GROUPING). Same single-shuffle profile
+    * as a flat group-by: partial aggs per grouping set. */
+  val groupingSets: NamedQuery = NamedQuery(
+    "joins_grouping_sets",
+    s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       |       GROUPING(l_returnflag, l_linestatus) AS gid,
+       |       count(*) AS n_items,
+       |       ${Sql.dsum("l_quantity")} AS qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+       |                        (l_returnflag), ())
+       |ORDER BY 3, 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_items"),
+        Ops.dsum(col("l_quantity")).as("qty"))
+      .select(
+        col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"),
+        col("gid"), col("n_items"), col("qty"))
+      .orderBy(col("gid"),
+        col("returnflag").asc_nulls_first, col("linestatus").asc_nulls_first)
+  }
+
+  /** Customers with at least one urgent order, per segment — left-SEMI
+    * join (the EXISTS shape, completing the semi/anti pair with
+    * [[customersNoOrders]]): the probe side streams, the build side
+    * carries only the join key, and each customer emits at most once
+    * regardless of match multiplicity. */
+  val urgentSemi: NamedQuery = NamedQuery(
+    "joins_urgent_semi",
+    """SELECT c_mktsegment AS segment, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("segment")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     revenueRegionMonth, topSuppliers, segmentPriority, brandVolume,
-    customersNoOrders, revenueRollup)
+    customersNoOrders, revenueRollup, groupingSets, urgentSemi)
 }

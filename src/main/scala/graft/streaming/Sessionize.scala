@@ -129,4 +129,30 @@ object Sessionize {
     sessions(events.withWatermark("ts", s"$latenessMinutes minutes")
       .as[SessionEvent])
   }
+
+  /** The same gap sessions through Spark's NATIVE `session_window`
+    * aggregation — the built-in operator the custom
+    * `flatMapGroupsWithState` path should be preferred over whenever its
+    * semantics suffice (Spark-first rule): windows merge on overlap, the
+    * state store holds one open window per (user, session), and append
+    * mode emits a session once the watermark passes `last event + gap`.
+    * What it CANNOT express (why the custom path exists): monotone
+    * per-user session NUMBERS across emissions — the native operator
+    * identifies sessions by start time only. Emits
+    * (user_id, n_events, duration_sec, session_start). */
+  def sessionsNativeWindow(
+      events: Dataset[SessionEvent],
+      latenessMinutes: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.withWatermark("ts", s"$latenessMinutes minutes")
+      .groupBy(
+        session_window(col("ts"), s"${GapUs / 60000000L} minutes"),
+        col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          / 1000000.0).as("duration_sec"))
+      .select(col("user_id"), col("n_events"), col("duration_sec"),
+        col("session_window.start").as("session_start"))
+  }
 }

@@ -121,6 +121,58 @@ class SessionizeSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L) == want)
   }
 
+  test("native session_window emits the same sessions as the batch twin") {
+    val src = tmpDir("sess-src-native")
+    // other-user sentinels advance the watermark past every real
+    // session's end (last + gap); the sentinels' own windows stay open
+    // and are never emitted in append mode
+    writeBatchFile(src, "b0.json", 0, realEvents)
+    writeBatchFile(src, "b1.json", 1, Seq((9001L, (T0 + 864000L) * 1000000L)))
+    writeBatchFile(src, "b2.json", 2, Seq((9002L, (T0 + 964000L) * 1000000L)))
+    val events = spark.readStream
+      .schema("user_id LONG, ts LONG")
+      .option("maxFilesPerTrigger", "1")
+      .json(src)
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .as[SessionEvent]
+    val out = tmpDir("sess-native-out")
+    val q = Sessionize.sessionsNativeWindow(events)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("sess-native-ckpt"))
+      .option("path", out)
+      .format("parquet")
+      .start()
+    q.awaitTermination(120000)
+    // sentinel 9001's own session closes once sentinel 9002 advances the
+    // watermark — restrict the compare to the real users (as the
+    // timeout test does)
+    val got = spark.read.parquet(out)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("duration_sec"),
+        r.getAs[java.sql.Timestamp]("session_start").toInstant
+          .getEpochSecond * 1000000L))
+      .toSet
+      .filter(_._1 <= 5L)
+    // batch twin keyed by session START (the native operator has no sid)
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val want = realEvents.toDF("user_id", "us")
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > Sessionize.GapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(w))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_sec"),
+        min(col("us")).as("start_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(got == want)
+  }
+
   test("event-time timeout emits and evicts idle users' open sessions") {
     val src = tmpDir("sess-src-to")
     // sentinels belong to OTHER users: real users go idle, so their last

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DocQueries, EmbQueries, EventQueries, JoinQueries}
+
+/** Invariants of the round-5 operators: int8 quantization, count-min
+  * sketch, stratified sampling, range-join bands, grouping sets. The
+  * DuckDB hash-compare covers exact values; these pin the properties
+  * that must hold at ANY scale factor. */
+class SketchQuantizeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("quantized cosine tracks exact cosine and ranks a shared top set") {
+    val rows = EmbQueries.quantizedTopK.run(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val q8 = r.getAs[Double]("sim_q8")
+      val ex = r.getAs[Double]("sim_exact")
+      assert(!q8.isNaN && !ex.isNaN)
+      // int8 codes keep ~2 decimal digits of the direction: the top
+      // scores here are well separated, so the error stays small
+      assert(math.abs(q8 - ex) < 0.02, s"quantization error too big: $r")
+    }
+    val exactTop = EmbQueries.cosineTopK.run(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val q8Top = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert((exactTop & q8Top).size >= 6,
+      s"quantized top-10 diverged from exact top-10: $q8Top vs $exactTop")
+  }
+
+  test("quantization maps the zero vector to zero codes, not NaN") {
+    val df = spark.sql(
+      """SELECT transform(array(cast(0.0 AS float), cast(0.0 AS float)),
+        |  x -> CASE WHEN mx = 0 THEN cast(0 AS bigint)
+        |       ELSE cast((CASE WHEN cast(x AS double) < 0 THEN -1 ELSE 1 END)
+        |            * floor(abs(cast(x AS double)) * (127.0D / mx) + 0.5D)
+        |            AS bigint) END) AS q
+        |FROM (SELECT cast(0.0 AS double) AS mx)""".stripMargin)
+    assert(df.collect()(0).getSeq[Long](0) == Seq(0L, 0L))
+  }
+
+  test("count-min estimates are upward-biased and exact for the top user") {
+    val rows = EventQueries.cmsHeavy.run(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("cms_est")
+      // CMS never under-counts; collisions only inflate
+      assert(est >= exact, s"CMS under-counted: $r")
+    }
+  }
+
+  test("stratified sample matches a direct recomputation and its strata") {
+    val got = DocQueries.stratifiedSample.run(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_sampled"))).toSet
+    val h = expr(
+      "cast(conv(substr(md5(concat('s-', cast(doc_id AS string))), 1, 8), 16, 10) AS bigint) % 100")
+    val want = Tables.documents(spark, sf)
+      .select(col("lang"), h.as("h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("t"),
+        count(when(col("h") < when(col("lang") === "en", 25).otherwise(60), 1))
+          .as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // every stratum drew SOMETHING and no stratum kept everything
+    got.foreach { case (lang, t, s) =>
+      assert(s > 0 && s < t, s"degenerate stratum $lang: $s of $t")
+    }
+  }
+
+  test("value bands partition the events exactly") {
+    val rows = EventQueries.valueBands.run(spark, sf).collect()
+    val banded = rows.map(_.getAs[Long]("n_events")).sum
+    val total = Tables.events(spark, sf).count()
+    assert(banded == total,
+      s"bands are not a partition: $banded banded vs $total events")
+  }
+
+  test("grouping sets levels are mutually consistent") {
+    val rows = JoinQueries.groupingSets.run(spark, sf).collect()
+    def items(r: Row) = r.getAs[Long]("n_items")
+    val detail = rows.filter(_.getAs[Long]("gid") == 0L)
+    val subtotal = rows.filter(_.getAs[Long]("gid") == 1L)
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1)
+    assert(detail.map(items).sum == items(grand.head))
+    assert(subtotal.map(items).sum == items(grand.head))
+    subtotal.foreach { st =>
+      val flag = st.getAs[String]("returnflag")
+      assert(detail.filter(_.getAs[String]("returnflag") == flag)
+        .map(items).sum == items(st))
+    }
+  }
+}
