@@ -342,22 +342,45 @@ object DocQueries {
       .orderBy("lang", "predicted")
   }
 
+  /** The three per-document quality components, one definition per
+    * engine — shared by [[quality]] (per-lang averages) and
+    * [[qualityQuartiles]] (composite-score bucketing) so the two queries
+    * cannot drift. Per-row double arithmetic is identical IEEE
+    * evaluation order in both engines. */
+  private val lenScoreDuck: String =
+    "least(CAST(n_chars AS DOUBLE) / 500, CAST(1 AS DOUBLE))"
+  private val stopRatioDuck: String =
+    s"""(CAST(len(list_filter($tokDuck,
+       |    t -> list_contains(['the','a','of','to','and','in',
+       |                        'is','for','on','with'], t)))
+       |  AS DOUBLE) / len($tokDuck))""".stripMargin.replace("\n", " ")
+  private val alphaRatioDuck: String =
+    s"(CAST(len(regexp_extract_all(text, '[a-z]+')) AS DOUBLE)" +
+      s" / len($tokDuck))"
+
+  private def lenScoreCol: org.apache.spark.sql.Column =
+    least(col("n_chars").cast("double") / 500, lit(1.0))
+  private def stopRatioCol: org.apache.spark.sql.Column =
+    expr(
+      s"""size(filter($tokSpark,
+         |  t -> array_contains(array('the','a','of','to','and','in',
+         |                            'is','for','on','with'), t)))"""
+        .stripMargin.replace("\n", " ")).cast("double") /
+      expr(s"size($tokSpark)")
+  private def alphaRatioCol: org.apache.spark.sql.Column =
+    expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("double") /
+      expr(s"size($tokSpark)")
+
   /** Heuristic quality scoring per document, aggregated per lang:
     * length score (chars/500 capped at 1), stopword ratio, alphabetic
-    * ratio, and a weighted composite. Per-row double arithmetic is
-    * identical IEEE order in both engines; averages are decimal-exact. */
+    * ratio, and a weighted composite; averages are decimal-exact. */
   val quality: NamedQuery = NamedQuery(
     "docs_quality",
     s"""WITH q AS (
        |  SELECT lang,
-       |         least(CAST(n_chars AS DOUBLE) / 500, CAST(1 AS DOUBLE))
-       |           AS len_score,
-       |         CAST(len(list_filter($tokDuck,
-       |                t -> list_contains(['the','a','of','to','and','in',
-       |                                    'is','for','on','with'], t)))
-       |              AS DOUBLE) / len($tokDuck) AS stop_ratio,
-       |         CAST(len(regexp_extract_all(text, '[a-z]+')) AS DOUBLE)
-       |           / len($tokDuck) AS alpha_ratio
+       |         $lenScoreDuck AS len_score,
+       |         $stopRatioDuck AS stop_ratio,
+       |         $alphaRatioDuck AS alpha_ratio
        |  FROM documents
        |)
        |SELECT lang, count(*) AS n_docs,
@@ -371,15 +394,9 @@ object DocQueries {
        |ORDER BY 1""".stripMargin) { (s, d) =>
     val q = docs(s, d).select(
       col("lang"),
-      least(col("n_chars").cast("double") / 500, lit(1.0)).as("len_score"),
-      (expr(
-        s"""size(filter($tokSpark,
-           |  t -> array_contains(array('the','a','of','to','and','in',
-           |                            'is','for','on','with'), t)))"""
-          .stripMargin.replace("\n", " ")).cast("double") /
-        expr(s"size($tokSpark)")).as("stop_ratio"),
-      (expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("double") /
-        expr(s"size($tokSpark)")).as("alpha_ratio"))
+      lenScoreCol.as("len_score"),
+      stopRatioCol.as("stop_ratio"),
+      alphaRatioCol.as("alpha_ratio"))
     q.groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -457,40 +474,31 @@ object DocQueries {
       .orderBy("lang")
   }
 
-  /** Standalone character-4-gram Jaccard near-dup — the n-gram-Jaccard
-    * family as its own pipeline (minhash uses WORD-3-gram Jaccard only as
-    * its verify stage). Candidates are docs sharing the same first-THREE-
-    * token prefix bucket — a deterministic blocking key that keeps bucket
-    * sizes bounded as the corpus grows (max 4 members at sf0.1 vs 14 for
-    * a 2-token key), so pair generation is bucket-local at any scale.
-    * Grams are NON-OVERLAPPING (stride 4): a 4× smaller profile with the
-    * same discriminative power for near-dup ranking, which keeps the
-    * per-pair set ops and the joined gram payloads lean. Docs shorter
-    * than one gram are excluded up front (their Jaccard is 0/0). */
-  val ngramJaccard: NamedQuery = NamedQuery(
-    "docs_ngram_jaccard",
-    s"""WITH g AS (
+  /** Char-4-gram profile (stride 4, docs ≥ 4 chars) + first-3-token
+    * blocking bucket — the shared front end of the n-gram-Jaccard pair
+    * query AND the duplicate-cluster resolution (one definition per
+    * engine so the two queries' candidate sets cannot drift). The
+    * 3-token prefix is a deterministic blocking key that keeps bucket
+    * sizes bounded as the corpus grows (max 4 members at sf0.1 vs 14
+    * for a 2-token key); grams are NON-OVERLAPPING (stride 4): a 4×
+    * smaller profile with the same discriminative power for near-dup
+    * ranking. Docs shorter than one gram are excluded (Jaccard 0/0). */
+  private val gramCteDuck: String =
+    s"""g AS (
        |  SELECT doc_id,
        |         md5(array_to_string(($tokDuck)[1:3], ' ')) AS bucket,
        |         list_distinct(list_transform(range(1, len(text) - 2, 4),
        |           i -> substr(text, i, 4))) AS grams
        |  FROM documents
        |  WHERE len(text) >= 4
-       |),
-       |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM g a
-       |  JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |)
-       |SELECT doc_a, doc_b,
-       |       CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
-       |         / len(list_distinct(x.grams || y.grams)) AS jaccard
-       |FROM cand
-       |JOIN g x ON x.doc_id = doc_a
-       |JOIN g y ON y.doc_id = doc_b
-       |ORDER BY jaccard DESC, doc_a, doc_b
-       |LIMIT 20""".stripMargin) { (s, d) =>
-    val g = docs(s, d)
+       |)""".stripMargin
+
+  private def jaccardDuck(x: String, y: String): String =
+    s"CAST(len(list_intersect($x.grams, $y.grams)) AS DOUBLE) " +
+      s"/ len(list_distinct($x.grams || $y.grams))"
+
+  private def gramProfiles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .where(expr("char_length(text) >= 4"))
       .select(col("doc_id"),
         md5(expr(s"array_join(slice($tokSpark, 1, 3), ' ')")).as("bucket"),
@@ -499,22 +507,47 @@ object DocQueries {
             |  sequence(1, char_length(text) - 3, 4),
             |  i -> substring(text, i, 4)))""".stripMargin.replace("\n", " "))
           .as("grams"))
-    // pairs inside each bucket via collect_list (not a self-join on the
-    // full gram arrays): the slim (bucket, ids) aggregate pairs ids, and
-    // only the surviving pairs re-join the gram sets
-    val cand = g
-      .groupBy("bucket")
+
+  /** In-bucket candidate pairs (doc_a < doc_b) of a gram-profile frame —
+    * collect_list pairing (not a self-join on the full gram arrays): the
+    * slim (bucket, ids) aggregate pairs ids, and only surviving pairs
+    * re-join the gram sets. */
+  private def inBucketPairs(g: DataFrame): DataFrame =
+    g.groupBy("bucket")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(pairsExpr)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-    cand
+
+  /** Exact char-4-gram Jaccard of joined profiles aliased x / y. */
+  private def jaccardCol: org.apache.spark.sql.Column =
+    size(array_intersect(col("x.grams"), col("y.grams"))).cast("double") /
+      size(array_distinct(concat(col("x.grams"), col("y.grams"))))
+
+  /** Standalone character-4-gram Jaccard near-dup — the n-gram-Jaccard
+    * family as its own pipeline (minhash uses WORD-3-gram Jaccard only as
+    * its verify stage); candidate generation is bucket-local at any
+    * scale (see [[gramCteDuck]]). */
+  val ngramJaccard: NamedQuery = NamedQuery(
+    "docs_ngram_jaccard",
+    s"""WITH $gramCteDuck,
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM g a
+       |  JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       ${jaccardDuck("x", "y")} AS jaccard
+       |FROM cand
+       |JOIN g x ON x.doc_id = doc_a
+       |JOIN g y ON y.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val g = gramProfiles(s, d)
+    inBucketPairs(g)
       .join(g.as("x"), col("x.doc_id") === col("doc_a"))
       .join(g.as("y"), col("y.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("x.grams"), col("y.grams"))).cast("double") /
-          size(array_distinct(concat(col("x.grams"), col("y.grams")))))
-          .as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), jaccardCol.as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -612,7 +645,8 @@ object DocQueries {
   private val SamplePct: Map[String, Int] = Map("en" -> 25).withDefaultValue(60)
 
   private def pctCaseSql(langCol: String): String =
-    s"CASE WHEN $langCol = 'en' THEN 25 ELSE 60 END"
+    s"CASE WHEN $langCol = 'en' THEN ${SamplePct("en")} " +
+      s"ELSE ${SamplePct("other")} END"
 
   /** Deterministic stratified sampling — per-language hash-threshold
     * sampling (en 25 %, others 60 %): membership is a pure function of
@@ -653,27 +687,14 @@ object DocQueries {
       .orderBy("lang")
   }
 
-  /** Shared per-document composite quality score (same formulation as
-    * [[quality]]): identical IEEE evaluation order in both engines. */
+  /** Per-document composite quality score — built from the SAME shared
+    * component expressions as [[quality]] (see [[lenScoreDuck]] etc.). */
   private val scoreDuck: String =
-    s"""0.4 * least(CAST(n_chars AS DOUBLE) / 500, CAST(1 AS DOUBLE))
-       | + 0.3 * (CAST(len(list_filter($tokDuck,
-       |       t -> list_contains(['the','a','of','to','and','in',
-       |                           'is','for','on','with'], t)))
-       |     AS DOUBLE) / len($tokDuck))
-       | + 0.3 * (CAST(len(regexp_extract_all(text, '[a-z]+')) AS DOUBLE)
-       |     / len($tokDuck))""".stripMargin.replace("\n", " ")
+    s"0.4 * $lenScoreDuck + 0.3 * $stopRatioDuck + 0.3 * $alphaRatioDuck"
 
   private def scoreSpark: org.apache.spark.sql.Column =
-    lit(0.4) * least(col("n_chars").cast("double") / 500, lit(1.0)) +
-      lit(0.3) * (expr(
-        s"""size(filter($tokSpark,
-           |  t -> array_contains(array('the','a','of','to','and','in',
-           |                            'is','for','on','with'), t)))"""
-          .stripMargin.replace("\n", " ")).cast("double") /
-        expr(s"size($tokSpark)")) +
-      lit(0.3) * (expr("size(regexp_extract_all(text, '[a-z]+', 0))")
-        .cast("double") / expr(s"size($tokSpark)"))
+    lit(0.4) * lenScoreCol + lit(0.3) * stopRatioCol +
+      lit(0.3) * alphaRatioCol
 
   /** Quality-quartile bucketing — `ntile(4)` per language over the
     * composite score (quartile membership is what a curriculum/filtering
@@ -737,20 +758,12 @@ object DocQueries {
     * size histogram + min/max cluster representative. */
   val dupClusters: NamedQuery = NamedQuery(
     "docs_dup_clusters",
-    s"""WITH RECURSIVE g AS (
-       |  SELECT doc_id,
-       |         md5(array_to_string(($tokDuck)[1:3], ' ')) AS bucket,
-       |         list_distinct(list_transform(range(1, len(text) - 2, 4),
-       |           i -> substr(text, i, 4))) AS grams
-       |  FROM documents
-       |  WHERE len(text) >= 4
-       |),
+    s"""WITH RECURSIVE $gramCteDuck,
        |pairs AS (
        |  SELECT a.doc_id AS src, b.doc_id AS dst
        |  FROM g a
        |  JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-       |        / len(list_distinct(a.grams || b.grams)) >= $ClusterTau
+       |  WHERE ${jaccardDuck("a", "b")} >= $ClusterTau
        |),
        |e AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
        |nodes AS (SELECT DISTINCT src AS id FROM e),
@@ -768,54 +781,45 @@ object DocQueries {
        |FROM sizes
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, d) =>
-    val g = docs(s, d)
-      .where(expr("char_length(text) >= 4"))
-      .select(col("doc_id"),
-        md5(expr(s"array_join(slice($tokSpark, 1, 3), ' ')")).as("bucket"),
-        expr(
-          """array_distinct(transform(
-            |  sequence(1, char_length(text) - 3, 4),
-            |  i -> substring(text, i, 4)))""".stripMargin.replace("\n", " "))
-          .as("grams"))
-    val cand = g
-      .groupBy("bucket")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(pairsExpr)).as("p"))
-      .select(col("p.a").as("src"), col("p.b").as("dst"))
-    val pairs = cand
-      .join(g.as("x"), col("x.doc_id") === col("src"))
-      .join(g.as("y"), col("y.doc_id") === col("dst"))
-      .where(
-        size(array_intersect(col("x.grams"), col("y.grams"))).cast("double") /
-          size(array_distinct(concat(col("x.grams"), col("y.grams"))))
-          >= ClusterTau)
-      .select(col("src"), col("dst"))
+    val g = gramProfiles(s, d)
+    val pairs = inBucketPairs(g)
+      .join(g.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(g.as("y"), col("y.doc_id") === col("doc_b"))
+      .where(jaccardCol >= ClusterTau)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // materialize the edge set once: every propagation round re-reads
     // THIS, not the md5/gram lineage (at cluster scale: persist to disk)
     val edges = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    // O(1)-row convergence probe (monotone labels: fixpoint when the
+    // label sum stops falling — the only driver-side data in the loop);
+    // each round computes ONE new sum, the previous carries forward
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val MaxRounds = 50 // >> any near-dup component diameter
+    while (!converged && rounds < MaxRounds) {
       val prop = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
       val next = prop.unionByName(labels)
         .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint() // truncate the per-round lineage
-      // O(1)-row convergence probe (monotone labels: fixpoint when the
-      // label sum stops falling — the only driver-side data in the loop)
-      val Array(prevSum, nextSum) = Seq(labels, next).map(df =>
-        df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0))
-        .toArray
+      val nextSum = labelSum(next)
       converged = prevSum == nextSum
+      prevSum = nextSum
       labels = next
       rounds += 1
     }
+    // wrong silently is worse than loud: the oracle computes the true
+    // fixpoint, so a capped-out loop MUST fail, not return a near-answer
+    if (!converged) throw new IllegalStateException(
+      s"docs_dup_clusters: label propagation did not converge in $MaxRounds rounds")
     labels
       .groupBy("label").agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))

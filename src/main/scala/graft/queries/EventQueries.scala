@@ -615,21 +615,21 @@ object EventQueries {
        |JOIN cms ON cms.j = p.j AND cms.slot = p.slot
        |GROUP BY 1, 2
        |ORDER BY exact_n DESC, user_id""".stripMargin) { (s, d) =>
-    def slot(j: org.apache.spark.sql.Column) = expr(
-      s"cast(conv(substr(md5(concat(cast(j AS string), ':', " +
+    def slot(jCol: String) = expr(
+      s"cast(conv(substr(md5(concat(cast($jCol AS string), ':', " +
         s"cast(user_id AS string))), 1, 8), 16, 10) AS bigint) % $CmsW")
       .as("slot")
     val ev = Tables.events(s, d).select("user_id")
     val withJ = ev.select(col("user_id"),
       explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
-    val cms = withJ.select(col("j"), slot(col("j")))
+    val cms = withJ.select(col("j"), slot("j"))
       .groupBy("j", "slot").agg(count(lit(1)).as("c"))
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("user_id")).limit(10)
     top
       .select(col("user_id"), col("exact_n"),
         explode(sequence(lit(0), lit(CmsD - 1))).as("j"))
-      .select(col("user_id"), col("exact_n"), col("j"), slot(col("j")))
+      .select(col("user_id"), col("exact_n"), col("j"), slot("j"))
       .join(broadcast(cms), Seq("j", "slot"))
       .groupBy("user_id", "exact_n")
       .agg(min(col("c")).as("cms_est"))

@@ -38,10 +38,23 @@ object Readers {
       .option("mode", "PERMISSIVE")
       .json(path)
 
-  /** Trade-row exports in either format. */
+  /** ORC with explicit schema — the other columnar at-rest format Spark
+    * carries natively (predicate pushdown + column pruning work the same
+    * as parquet; schema is asserted, not inferred, like every reader
+    * here). Avro is deliberately absent: `spark-avro` is an external
+    * module, not part of the core distribution this engine pins to. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .orc(path)
+
+  /** Trade-row exports in any supported format. */
   def tradesCsv(spark: SparkSession, path: String): DataFrame =
     csv(spark, path, TradeIngest.tradeSchema)
 
   def tradesJson(spark: SparkSession, path: String): DataFrame =
     jsonLines(spark, path, TradeIngest.tradeSchema)
+
+  def tradesOrc(spark: SparkSession, path: String): DataFrame =
+    orc(spark, path, TradeIngest.tradeSchema)
 }

@@ -146,7 +146,9 @@ object Sessionize {
     import org.apache.spark.sql.functions._
     events.withWatermark("ts", s"$latenessMinutes minutes")
       .groupBy(
-        session_window(col("ts"), s"${GapUs / 60000000L} minutes"),
+        // express the gap in MICROseconds — a "minutes" rendering would
+        // silently truncate any future non-whole-minute GapUs
+        session_window(col("ts"), s"$GapUs microseconds"),
         col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),

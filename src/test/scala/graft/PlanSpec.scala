@@ -51,6 +51,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range join plans a broadcast nested-loop over the tiny band dim") {
+    val p = plan(graft.queries.EventQueries.valueBands)
+    // the correct plan for a CONSTANT-size non-equi dim: broadcast NLJ
+    // (O(bands) per row, map-side) — anything shuffling the fact side
+    // or a cartesian is a regression
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "value-band range join lost its broadcast NLJ shape")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semi join stays a LeftSemi, not an inner join + distinct") {
+    val p = plan(JoinQueries.urgentSemi)
+    assert(p.contains("LeftSemi"), "EXISTS shape lost its semi join")
+  }
+
+  test("CMS probe joins against a broadcast sketch") {
+    val p = plan(graft.queries.EventQueries.cmsHeavy)
+    assert(p.contains("BroadcastHashJoin"),
+      "CMS probe should broadcast the fixed-size sketch")
+  }
+
+  test("quantized top-k plans TakeOrderedAndProject") {
+    assert(plan(graft.queries.EmbQueries.quantizedTopK)
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("scans read only the projected columns (column pruning)") {
     val p = plan(TradeQueries.countAll)
     // count over the time window needs ts only — the ReadSchema must not

@@ -40,6 +40,21 @@ class ReadersSpec extends SparkSpec {
     assert(c.schema("ts").dataType.typeName == "timestamp")
   }
 
+  test("orc round-trips the trade schema with pushdown-capable scans") {
+    val (csvDir, _) = writeFixtures()
+    val orcDir = tmpDir("readers-orc") + "/t"
+    Readers.tradesCsv(spark, csvDir).write.orc(orcDir)
+    val o = Readers.tradesOrc(spark, orcDir)
+    assert(o.schema == Readers.tradesCsv(spark, csvDir).schema)
+    assert(o.count() == 2)
+    // the columnar contract: an equality filter reaches the ORC scan
+    val p = o.where(col("symbol") === "BTC")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(symbol,BTC)"),
+      s"ORC scan did not receive the pushed filter:\n$p")
+  }
+
   test("corrupt json rows null out instead of aborting (permissive mode)") {
     val (_, jsonDir) = writeFixtures()
     val all = Readers.tradesJson(spark, jsonDir)

@@ -1,8 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-import java.nio.file.attribute.FileTime
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,15 +48,9 @@ class SessionizeSpec extends SparkSpec {
   }
 
   private def writeBatchFile(dir: String, name: String, order: Int,
-                             rows: Seq[(Long, Long)]): Unit = {
-    val p = Paths.get(dir, name)
-    Files.writeString(p,
-      rows.map { case (u, us) => s"""{"user_id":$u,"ts":$us}""" }
-        .mkString("\n"))
-    // file-source ordering is by modification time — make it explicit
-    Files.setLastModifiedTime(p, FileTime.fromMillis(1000000000L + order * 10000L))
-    ()
-  }
+                             rows: Seq[(Long, Long)]): Unit =
+    writeOrderedFile(dir, name, order,
+      rows.map { case (u, us) => s"""{"user_id":$u,"ts":$us}""" })
 
   private def streamSessions(src: String): Set[(Long, Long, Long, Double)] = {
     val events = spark.readStream

@@ -37,4 +37,17 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Write a JSON-lines file whose modification time encodes `order` —
+    * the ONE file-source batch-ordering convention the streaming specs
+    * share (the file source lists by modification time). */
+  def writeOrderedFile(dir: String, name: String, order: Int,
+                       lines: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.writeString(p, lines.mkString("\n"))
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        1000000000L + order * 10000L))
+    ()
+  }
 }

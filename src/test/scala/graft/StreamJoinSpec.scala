@@ -1,8 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-import java.nio.file.attribute.FileTime
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -32,13 +29,8 @@ class StreamJoinSpec extends SparkSpec {
     (1L to 4L).flatMap(u => Seq((u, 2700L), (u, 5400L)))
 
   private def writeFile(dir: String, name: String, order: Int,
-                        rows: Seq[String]): Unit = {
-    val p = Paths.get(dir, name)
-    Files.writeString(p, rows.mkString("\n"))
-    Files.setLastModifiedTime(p,
-      FileTime.fromMillis(1000000000L + order * 10000L))
-    ()
-  }
+                        rows: Seq[String]): Unit =
+    writeOrderedFile(dir, name, order, rows)
 
   private def clickJson(rows: Seq[(Long, Long, Double)]): Seq[String] =
     rows.map { case (u, off, v) =>
