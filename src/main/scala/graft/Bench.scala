@@ -29,12 +29,22 @@ object Bench {
     val registry = SparkEntry.registry
     try exec(registry.head) catch { case _: Throwable => () } // warmup
 
+    // a query that THROWS must be visible in the output — a swallowed
+    // failure would register as a suspiciously fast time and read as a
+    // round-over-round speedup
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = registry.map { q =>
       val t0 = System.nanoTime()
-      try exec(q) catch { case _: Throwable => () }
+      try exec(q) catch {
+        case e: Throwable =>
+          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+      }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // r1 subset total keeps round-over-round comparison meaningful as the
@@ -44,7 +54,7 @@ object Bench {
       "trades_count", "trades_latest10", "trades_top10_6h",
       "trades_minute_trend", "trades_candle_merge", "trades_dedup_replay")
     val r1Total = results.filter(r => r1Names(r._1)).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"r1_subset_total":$r1Total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errJson,"r1_subset_total":$r1Total}""")
     spark.stop()
   }
 }

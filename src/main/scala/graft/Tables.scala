@@ -119,6 +119,15 @@ object Tables {
     * predicates vs a broadcast scalar). A literal predicate is the
     * 100 TB-safe formulation: it prunes row groups and partitions.
     */
+  /** Epoch-micros → `java.sql.Timestamp` at FULL micro precision — the
+    * one conversion shared by every JVM-side anchor consumer (a
+    * millisecond-based constructor would silently drop the µs remainder
+    * and shift window cutoffs up to 999 µs). floorDiv/floorMod keep
+    * pre-epoch instants exact too. */
+  def microsToTimestamp(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
   def anchorMicros(spark: SparkSession, dir: String): Long = {
     val perSession = anchorCache.synchronized {
       var m = anchorCache.get(spark)

@@ -45,11 +45,8 @@ object SqlApi {
     * precision — the corpus timestamps are not millisecond-aligned, so a
     * ms-truncated anchor would shift every window cutoff up to 999 µs
     * from the builder path's. */
-  def anchor(spark: SparkSession, dir: String): java.sql.Timestamp = {
-    val us = Tables.anchorMicros(spark, dir)
-    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-      us / 1000000L, (us % 1000000L) * 1000L))
-  }
+  def anchor(spark: SparkSession, dir: String): java.sql.Timestamp =
+    Tables.microsToTimestamp(Tables.anchorMicros(spark, dir))
 
   /** Spark-SQL rendering of the engine's order-insensitive decimal-exact
     * sum — the SAME formula as the DuckDB oracles', single-sourced in
@@ -64,15 +61,16 @@ object SqlApi {
   private def dsumIf(e: String, cond: String): String =
     graft.queries.Sql.sumIf(e, cond, graft.queries.Sql.SparkStr)
 
-  /** Q1 `/ohlcv` (reference: api/server.py:57-84). */
+  /** Spark-SQL rendering of the shared VWAP formula. */
+  private def vwap(cond: String): String =
+    graft.queries.Sql.vwap("price", "qty", cond, graft.queries.Sql.SparkStr)
+
+  /** Q1 `/ohlcv` (reference: api/server.py:57-84) — the SAME candle
+    * select list the oracles use ([[graft.queries.Sql.ohlcvSelect]]),
+    * in the Spark string-type spelling. */
   val ohlcvSql: String =
     s"""SELECT date_trunc('minute', ts) AS minute,
-       |       min_by(price, ts) AS open,
-       |       max(price) AS high,
-       |       min(price) AS low,
-       |       max_by(price, ts) AS close,
-       |       ${dsum("qty")} AS volume,
-       |       count(*) AS trades
+       |       ${graft.queries.Sql.ohlcvSelect(graft.queries.Sql.SparkStr)}
        |FROM trades
        |WHERE symbol = :symbol
        |  AND ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
@@ -88,38 +86,46 @@ object SqlApi {
        |ORDER BY volume DESC, symbol
        |LIMIT :limit""".stripMargin
 
-  /** Q3 `/live_trades` (reference: api/server.py:108-132). */
+  /** Q3 `/live_trades` (reference: api/server.py:108-132) — same row
+    * shape as the builder twin (`trade_id` included: reference line 116
+    * returns it and the tie-broken ordering exposes it). */
   val liveTradesSql: String =
-    """SELECT ts, symbol, price, qty, is_buyer_maker
+    """SELECT ts, symbol, trade_id, price, qty, is_buyer_maker
       |FROM trades
       |WHERE symbol = :symbol
       |  AND ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
       |ORDER BY ts DESC, trade_id DESC
       |LIMIT :limit""".stripMargin
 
-  /** Q4 `/live_buy_sell` (reference: api/server.py:135-169). Spark SQL
+  /** Q4 `/live_buy_sell` (reference: api/server.py:135-169) — the full
+    * builder row shape (volumes, VWAPs, trade rate, total). Spark SQL
     * cannot reuse sibling SELECT aliases (SURVEY.md §7.5-3), so the
     * aggregate stage is a subquery. */
   val liveBuySellSql: String =
-    s"""SELECT symbol, buy_volume, sell_volume,
-       |       buy_volume + sell_volume AS total_vol,
-       |       trades_cnt / :minutes AS trades_per_min
+    s"""SELECT symbol, buy_volume, sell_volume, buy_vwap, sell_vwap, trades,
+       |       trades / CAST(:minutes AS DOUBLE) AS trades_per_min,
+       |       buy_volume + sell_volume AS total_volume
        |FROM (
        |  SELECT symbol,
        |         ${dsumIf("qty", "is_buyer_maker = 0")} AS buy_volume,
        |         ${dsumIf("qty", "is_buyer_maker = 1")} AS sell_volume,
-       |         count(*) AS trades_cnt
+       |         ${vwap("is_buyer_maker = 0")} AS buy_vwap,
+       |         ${vwap("is_buyer_maker = 1")} AS sell_vwap,
+       |         count(*) AS trades
        |  FROM trades
        |  WHERE ts >= timestampadd(MINUTE, -:minutes, CAST(:asof AS TIMESTAMP))
        |  GROUP BY 1)
-       |ORDER BY total_vol DESC, symbol
+       |ORDER BY total_volume DESC, symbol
        |LIMIT :top""".stripMargin
 
-  /** Q5 `/hist_buy_sell` (reference: api/server.py:172-200). */
+  /** Q5 `/hist_buy_sell` (reference: api/server.py:172-200) — full
+    * builder row shape including the per-minute VWAPs. */
   val histBuySellSql: String =
     s"""SELECT date_trunc('minute', ts) AS minute,
        |       ${dsumIf("qty", "is_buyer_maker = 0")} AS buy_volume,
        |       ${dsumIf("qty", "is_buyer_maker = 1")} AS sell_volume,
+       |       ${vwap("is_buyer_maker = 0")} AS buy_vwap,
+       |       ${vwap("is_buyer_maker = 1")} AS sell_vwap,
        |       count(*) AS trades
        |FROM trades
        |WHERE symbol = :symbol

@@ -91,6 +91,11 @@ object Media {
     * byte); a real decoder drops into the same loop. */
   def sampleFrames(media: Dataset[MediaRow], frameLen: Int = 64,
                    stride: Int = 4): Dataset[FrameSample] = {
+    // fail at plan time with a clear message, not with an executor-side
+    // ArithmeticException (frameLen = 0) or a silent one-frame result
+    // (stride < 0 keeps only frame 0)
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>

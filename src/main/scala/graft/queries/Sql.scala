@@ -44,8 +44,8 @@ object Sql {
 
   /** Exact `sum(a * b)` with the multiply in decimal — see
     * [[graft.ops.Ops.dsumProd]]. */
-  def dsumProd(a: String, b: String): String =
-    d2d(s"sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6)))")
+  def dsumProd(a: String, b: String, strTy: String = DuckStr): String =
+    d2d(s"sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6)))", strTy)
 
   /** ClickHouse sumIf (0 on empty match set) — see [[graft.ops.Ops.sumIf]]. */
   def sumIf(expr: String, cond: String, strTy: String = DuckStr): String =
@@ -54,14 +54,18 @@ object Sql {
 
   /** Conditional decimal-multiply sum — see [[graft.ops.Ops.sumIfProd]]:
     * the multiply happens in decimal so no double product is ever
-    * quantized (which rounds differently across engines above ~1e5). */
-  def sumIfProd(a: String, b: String, cond: String): String =
+    * quantized (which rounds differently across engines above ~1e5).
+    * `FILTER (WHERE …)` parses in both dialects. */
+  def sumIfProd(a: String, b: String, cond: String,
+                strTy: String = DuckStr): String =
     d2d(s"coalesce(sum(CAST($a AS DECIMAL(18,6)) * CAST($b AS DECIMAL(18,6)))" +
-      s" FILTER (WHERE $cond), 0)")
+      s" FILTER (WHERE $cond), 0)", strTy)
 
   /** VWAP over the rows matching `cond` — see [[graft.ops.Ops.vwap]]. */
-  def vwap(price: String, qty: String, cond: String): String =
-    s"${sumIfProd(price, qty, cond)} / nullif(${sumIf(qty, cond)}, CAST(0 AS DOUBLE))"
+  def vwap(price: String, qty: String, cond: String,
+           strTy: String = DuckStr): String =
+    s"${sumIfProd(price, qty, cond, strTy)} / " +
+      s"nullif(${sumIf(qty, cond, strTy)}, CAST(0 AS DOUBLE))"
 
   /** Exact mean — see [[graft.ops.Ops.avgExact]]. */
   def avgExact(expr: String): String = s"${dsum(expr)} / count(*)"
@@ -72,12 +76,14 @@ object Sql {
     d2d(s"round(sum(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,25))), 12)") +
       " / count(*)"
 
-  /** The OHLCV candle select list — see [[graft.ops.Ops.ohlcvAggs]]. */
-  val ohlcvSelect: String =
+  /** The OHLCV candle select list — see [[graft.ops.Ops.ohlcvAggs]].
+    * Single-sourced for the DuckDB oracles AND the Spark SQL entry path
+    * ([[graft.api.SqlApi]]) so the candle formula cannot drift. */
+  def ohlcvSelect(strTy: String = DuckStr): String =
     s"""min_by(price, ts) AS open,
        |       max(price) AS high,
        |       min(price) AS low,
        |       max_by(price, ts) AS close,
-       |       ${dsum("qty")} AS volume,
+       |       ${dsum("qty", strTy)} AS volume,
        |       count(*) AS trades""".stripMargin
 }

@@ -54,7 +54,7 @@ object TradeQueries {
     "trades_ohlcv_1m",
     s"""$tradesWith
        |SELECT date_trunc('minute', ts) AS minute,
-       |       $ohlcvSelect
+       |       ${ohlcvSelect()}
        |FROM trades, anchor
        |WHERE symbol = 'click' AND ts >= t_anchor - INTERVAL 1440 MINUTE
        |GROUP BY 1
@@ -622,9 +622,54 @@ object TradeQueries {
       .orderBy("minute", "field")
   }
 
+  /** EWMA (α = 1/2) of the per-minute close series per symbol — the
+    * classic recursive smoother, exactly cross-engine: each fold step is
+    * `0.5·acc + 0.5·x` (two EXACT halvings + one identically-rounded
+    * add), and both engines left-fold the same minute-ascending list
+    * (Spark `aggregate` seeded with the first close == DuckDB
+    * `list_reduce`, which seeds from the head). The per-symbol candle
+    * list is bounded by the window (minutes), so the collect_list state
+    * is O(window) per group — this is a small-series smoother, not an
+    * unbounded aggregation; an unbounded-history EWMA would be the
+    * streaming-state formulation instead. */
+  val ewma: NamedQuery = NamedQuery(
+    "trades_ewma",
+    s"""$tradesWith,
+       |c AS (
+       |  SELECT symbol, date_trunc('minute', ts) AS minute,
+       |         max_by(price, ts) AS close
+       |  FROM trades, anchor
+       |  WHERE ts >= t_anchor - INTERVAL 60 MINUTE
+       |  GROUP BY 1, 2
+       |),
+       |series AS (
+       |  SELECT symbol, count(*) AS n_minutes,
+       |         list(CAST(close AS DOUBLE) ORDER BY minute) AS cl
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT symbol, n_minutes,
+       |       cl[len(cl)] AS last_close,
+       |       list_reduce(cl, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma
+       |FROM series
+       |ORDER BY symbol""".stripMargin) { (s, d) =>
+    windowed(s, d, 60)
+      .groupBy(col("symbol"), Ops.minuteOf(col("ts")).as("minute"))
+      .agg(max_by(col("price"), col("ts")).as("close"))
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).as("n_minutes"),
+        expr("transform(array_sort(collect_list(struct(minute, close))), " +
+          "p -> p.close)").as("cl"))
+      .select(col("symbol"), col("n_minutes"),
+        expr("element_at(cl, size(cl))").as("last_close"),
+        expr("aggregate(slice(cl, 2, size(cl)), element_at(cl, 1), " +
+          "(acc, x) -> 0.5D * acc + 0.5D * x)").as("ewma"))
+      .orderBy("symbol")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
-    priceHistogram, priceStats, minuteReturns, unpivotOhlc)
+    priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma)
 }

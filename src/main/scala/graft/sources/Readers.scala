@@ -25,6 +25,10 @@ object Readers {
     spark.read
       .schema(schema)
       .option("header", "true")
+      // validate the header NAMES against the declared schema instead of
+      // binding columns by position: a legitimately exported CSV with a
+      // different column order must be REJECTED, not silently misparsed
+      .option("enforceSchema", "false")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
       .option("mode", "PERMISSIVE")
       .csv(path)

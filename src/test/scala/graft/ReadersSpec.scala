@@ -55,6 +55,23 @@ class ReadersSpec extends SparkSpec {
       s"ORC scan did not receive the pushed filter:\n$p")
   }
 
+  test("csv with a reordered header is rejected, not silently misparsed") {
+    val dir = tmpDir("readers-csv-misordered")
+    // legitimate export, different column order: positional binding would
+    // map ts-strings into `symbol` and produce shape-valid garbage
+    Files.writeString(Paths.get(dir, "t.csv"),
+      """ts,symbol,trade_id,price,qty,is_buyer_maker
+        |2024-01-01 00:00:05,BTC,1,100.5,1.0,0
+        |""".stripMargin)
+    val e = intercept[Throwable] {
+      Readers.tradesCsv(spark, dir).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.toLowerCase.contains("header") ||
+      msgs.toLowerCase.contains("schema"), s"unexpected failure: $msgs")
+  }
+
   test("corrupt json rows null out instead of aborting (permissive mode)") {
     val (_, jsonDir) = writeFixtures()
     val all = Readers.tradesJson(spark, jsonDir)

@@ -56,11 +56,30 @@ class SqlApiSpec extends SparkSpec {
       physical.contains("GreaterThanOrEqual(ts,"))
   }
 
-  test("five endpoint texts all execute") {
+  test("buy/sell endpoints match the builders' row shape AND values") {
     SqlApi.registerViews(spark, dir)
-    assert(SqlApi.query(spark, SqlApi.liveBuySellSql,
-      args("minutes" -> 1440L, "top" -> 5)).collect().nonEmpty)
-    assert(SqlApi.query(spark, SqlApi.histBuySellSql,
-      args("symbol" -> "purchase", "minutes" -> 2880L)).collect().nonEmpty)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val sqlQ4 = SqlApi.query(spark, SqlApi.liveBuySellSql,
+      args("minutes" -> 1440L, "top" -> 5))
+    val builderQ4 = TradeQueries.liveBuySellFor(1440, 5)(spark, dir)
+    assert(sqlQ4.columns.toSeq == builderQ4.columns.toSeq,
+      "Q4 column shape diverged from the builder endpoint")
+    assert(rows(sqlQ4) == rows(builderQ4) && rows(sqlQ4).nonEmpty)
+    val sqlQ5 = SqlApi.query(spark, SqlApi.histBuySellSql,
+      args("symbol" -> "purchase", "minutes" -> 2880L))
+    val builderQ5 = TradeQueries.histBuySellFor("purchase", 2880)(spark, dir)
+    assert(sqlQ5.columns.toSeq == builderQ5.columns.toSeq,
+      "Q5 column shape diverged from the builder endpoint")
+    assert(rows(sqlQ5) == rows(builderQ5) && rows(sqlQ5).nonEmpty)
+  }
+
+  test("live_trades carries the full builder row shape incl. trade_id") {
+    SqlApi.registerViews(spark, dir)
+    val q3 = SqlApi.query(spark, SqlApi.liveTradesSql,
+      args("symbol" -> "view", "minutes" -> 240L, "limit" -> 500))
+    assert(q3.columns.toSeq ==
+      Seq("ts", "symbol", "trade_id", "price", "qty", "is_buyer_maker"))
+    assert(q3.collect().nonEmpty)
   }
 }
