@@ -71,12 +71,19 @@ object MonthPruningRule extends Rule[LogicalPlan] {
       }
   }
 
-  /** The store layout contract: `month` is a PARTITION column (string or
-    * inferred int) and the data schema carries a `ts` timestamp. */
+  /** The store layout contract — OPT-IN, not duck-typed: the relation
+    * must have been opened with the `graft.monthFromTs` reader option
+    * ([[graft.store.Store.readTrades]] sets it), which asserts
+    * `month = yyyyMM(ts)` actually holds for this data. A schema-only
+    * check (month partition + ts column) would also fire on foreign
+    * tables whose `month` derives from a DIFFERENT timestamp — and an
+    * optimizer rewrite that guesses the layout turns that guess into
+    * silently dropped rows. The shape checks stay as defense in depth. */
   private def isStoreLayout(fs: HadoopFsRelation): Boolean =
-    fs.partitionSchema.fields.exists(f =>
-      f.name.equalsIgnoreCase("month") &&
-        (f.dataType == StringType || f.dataType == IntegerType)) &&
+    fs.options.get("graft.monthFromTs").contains("true") &&
+      fs.partitionSchema.fields.exists(f =>
+        f.name.equalsIgnoreCase("month") &&
+          (f.dataType == StringType || f.dataType == IntegerType)) &&
       fs.dataSchema.fields.exists(f =>
         f.name.equalsIgnoreCase("ts") && f.dataType == TimestampType)
 
@@ -97,6 +104,8 @@ object MonthPruningRule extends Rule[LogicalPlan] {
       case GreaterThan(a: Attribute, Literal(v: Long, TimestampType))
         if a.semanticEquals(ts) => v
       case EqualTo(a: Attribute, Literal(v: Long, TimestampType))
+        if a.semanticEquals(ts) => v
+      case EqualTo(Literal(v: Long, TimestampType), a: Attribute)
         if a.semanticEquals(ts) => v
       case LessThanOrEqual(Literal(v: Long, TimestampType), a: Attribute)
         if a.semanticEquals(ts) => v

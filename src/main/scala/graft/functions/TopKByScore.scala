@@ -61,9 +61,13 @@ case class TopKByScore(
 
   override def prettyName: String = "graft_topk"
 
-  // total (score DESC, id ASC) precedence: true when `a` ranks before `b`
+  // total (score DESC, id ASC) precedence: true when `a` ranks before `b`.
+  // `+ 0.0` collapses -0.0 to +0.0 first (NaN passes through): engine
+  // ORDER BY treats signed zeros as EQUAL and falls to the id tie-break,
+  // while a raw Double.compare would let the sign decide — a latent
+  // divergence from the window-formulation oracles this aggregate twins
   private def ranksBefore(a: (Double, Long), b: (Double, Long)): Boolean = {
-    val c = java.lang.Double.compare(a._1, b._1)
+    val c = java.lang.Double.compare(a._1 + 0.0, b._1 + 0.0)
     c > 0 || (c == 0 && a._2 < b._2)
   }
 

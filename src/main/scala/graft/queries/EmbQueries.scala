@@ -210,6 +210,19 @@ object EmbQueries {
       .orderBy("label")
   }
 
+  /** The exploded (label, dim, v) view of the embedding matrix plus its
+    * DuckDB twin fragments — ONE definition of the 1-based dim
+    * convention and the double cast, shared by the centroid aggregation
+    * and the IVF coarse quantizer so the two cannot drift. */
+  private val embDimsFromDuck = "FROM embeddings, unnest(range(1, 65)) AS u(i)"
+  private val embDimValDuck = "CAST(embedding[i] AS DOUBLE)"
+
+  private def embDims(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+
   /** Per-(label, dimension) centroid components — posexplode → two-key
     * hash aggregation with decimal-exact means. Partial aggregation
     * collapses to (10 labels × 64 dims) rows before the shuffle, so the
@@ -217,15 +230,12 @@ object EmbQueries {
   val labelCentroids: NamedQuery = NamedQuery(
     "emb_label_centroids",
     s"""SELECT label, i AS dim,
-       |       ${Sql.avgFloat("CAST(embedding[i] AS DOUBLE)")} AS mean_val,
+       |       ${Sql.avgFloat(embDimValDuck)} AS mean_val,
        |       count(*) AS n
-       |FROM embeddings, unnest(range(1, 65)) AS u(i)
+       |$embDimsFromDuck
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    emb(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-        col("v").cast("double").as("v"))
+    embDims(s, d)
       .groupBy("label", "dim")
       .agg(
         Ops.avgFloat(col("v")).as("mean_val"),
@@ -337,8 +347,8 @@ object EmbQueries {
          |),
          |comp AS (
          |  SELECT label, i AS dim,
-         |         ${Sql.avgFloat("CAST(embedding[i] AS DOUBLE)")} AS m
-         |  FROM embeddings, unnest(range(1, 65)) AS u(i)
+         |         ${Sql.avgFloat(embDimValDuck)} AS m
+         |  $embDimsFromDuck
          |  GROUP BY 1, 2
          |),
          |cents AS (
@@ -363,11 +373,7 @@ object EmbQueries {
       val e = emb(s, d)
       val q = e.where(col("vec_id") === 0)
         .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
-      val comp = e
-        .select(col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-          col("v").cast("double").as("v"))
+      val comp = embDims(s, d)
         .groupBy("label", "dim")
         .agg(Ops.avgFloat(col("v")).as("m"))
       val cents = comp.groupBy("label")

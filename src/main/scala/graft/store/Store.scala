@@ -105,7 +105,13 @@ object Store {
           org.apache.spark.sql.types.DataType.fromJson(
             Files.readString(manifest)).asInstanceOf[StructType])
       else spark.read
-    reader.parquet(path).withColumn("month", col("month").cast("string"))
+    reader
+      // explicit opt-in for MonthPruningRule: ONLY relations opened
+      // through this reader assert the `month = yyyyMM(ts)` layout
+      // contract the rule's rewrite depends on (a foreign table that
+      // merely HAS month+ts columns must never be pruned by it)
+      .option("graft.monthFromTs", "true")
+      .parquet(path).withColumn("month", col("month").cast("string"))
   }
 
   /** The 100 TB windowed read path over a partitioned store: a `month`

@@ -53,6 +53,23 @@ class MonthPruningSpec extends SparkSpec {
     assert(explicit.count() == 0) // user's month predicate respected, not overridden
   }
 
+  test("rule never fires on a foreign table that merely has month+ts") {
+    // a table whose `month` derives from a DIFFERENT timestamp (billing
+    // month ≠ event ts): the row below is legitimate under that layout
+    // but violates month = yyyyMM(ts) — pruning it would be data loss
+    // months behind ts by far more than the rule's 27 h zone-skew margin,
+    // so a (wrongly) derived bound month >= 202312 WOULD drop the row
+    val path = tmpDir("prune-foreign") + "/t"
+    Seq(("202310", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1L))
+      .toDF("month", "ts", "id")
+      .write.partitionBy("month").parquet(path)
+    // plain reader — NOT Store.readTrades, so no graft.monthFromTs opt-in
+    val df = ruleSession.read.parquet(path)
+      .where(col("ts") >= java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(df.count() == 1,
+      "rule pruned a foreign month+ts table it has no layout contract for")
+  }
+
   test("results match the rule-free plan exactly") {
     val cutoff = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
     val withRule = Store.readTrades(ruleSession, storePath)
