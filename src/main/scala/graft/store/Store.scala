@@ -123,11 +123,9 @@ object Store {
   def readTradesSince(spark: SparkSession, path: String,
                       sinceMicros: Long): DataFrame = {
     val sinceMonth = monthLowerBound(sinceMicros, sessionZone(spark))
-    val sinceTs = java.time.Instant.ofEpochSecond(
-      sinceMicros / 1000000L, (sinceMicros % 1000000L) * 1000L)
     readTrades(spark, path)
       .where(col("month") >= sinceMonth &&
-        col("ts") >= lit(java.sql.Timestamp.from(sinceTs)))
+        col("ts") >= lit(graft.Tables.microsToTimestamp(sinceMicros)))
   }
 
   /** The zone partition month keys are derived in — the SESSION zone,
@@ -207,7 +205,21 @@ object Store {
     * orchestration layer. */
   def compactMonth(spark: SparkSession, path: String, month: String): Unit = {
     val dir = s"$path/month=$month"
-    if (Files.exists(Paths.get(dir))) {
+    val target = Paths.get(dir)
+    val old = Paths.get(s"$path/.old_month=$month")
+    // CRASH RECOVERY first — a previous run may have died mid-swap:
+    //  - old exists, target missing: died between the two moves; the
+    //    month's only copy is the dot-prefixed dir Spark readers ignore
+    //    — roll BACK so the partition is visible again (and a fresh
+    //    compaction can rerun from scratch)
+    //  - old exists, target exists: died after the swap, before cleanup
+    //    — the compacted copy is live; just finish the cleanup (leaving
+    //    old in place would also make the next swap's move throw)
+    if (Files.exists(old)) {
+      if (!Files.exists(target)) Files.move(old, target)
+      else deleteRecursively(old)
+    }
+    if (Files.exists(target)) {
       val tmp = s"$path/.compact_month=$month"
       try {
         spark.read.parquet(dir)
@@ -217,12 +229,10 @@ object Store {
           .option("compression", "zstd")
           .parquet(tmp)
         // swap order matters: the live partition is only removed AFTER
-        // the compacted copy is in place under a visible name. A crash
-        // between the two moves leaves data readable (either the .old
-        // copy still movable back, or both — never neither); deleting
-        // first would make the month vanish if the final move failed.
-        val target = Paths.get(dir)
-        val old = Paths.get(s"$path/.old_month=$month")
+        // the compacted copy is in place under a visible name, and every
+        // crash window is covered by the recovery block above (mid-swap
+        // → roll back; post-swap → cleanup); deleting first would make
+        // the month vanish if the final move failed.
         Files.move(target, old)
         try Files.move(Paths.get(tmp), target)
         catch {

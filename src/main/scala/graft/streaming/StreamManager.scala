@@ -120,9 +120,16 @@ final class StreamManager(name: String) {
     * and lossless. Retries only while an error is recorded: a query that
     * ran to successful completion (e.g. `Trigger.AvailableNow` draining
     * its input) also lands at Idle but must NOT be relaunched. */
+  // serializes CONCURRENT startWithRetry callers without holding the
+  // instance monitor: the retry loop waits out graceMs per attempt, and
+  // the monitor is what the progress LISTENER takes per batch — holding
+  // it across the waits would block a shared listener-bus dispatch
+  // thread (and every status poll) for up to (retries+1)·graceMs
+  private val retryLock = new java.util.concurrent.locks.ReentrantLock()
+
   def startWithRetry(launch: () => StreamingQuery,
                      maxRetries: Int = 3,
-                     graceMs: Long = 2000): this.type = synchronized {
+                     graceMs: Long = 2000): this.type = {
     // Startup failure is ASYNCHRONOUS: launch() hands back a live query
     // that can die milliseconds later (socket connect refused, bad
     // path), which a same-instant state poll would still see as
@@ -133,15 +140,18 @@ final class StreamManager(name: String) {
       try q.awaitTermination(graceMs)
       catch { case _: Exception => () } // cause surfaced via q.exception
     }
-    var attempts = 0
-    start(launch)
-    awaitEarlyFailure()
-    while (currentState == "idle" && lastError.get().isDefined &&
-        attempts < maxRetries) {
-      attempts += 1
-      start(launch)
+    retryLock.lock()
+    try {
+      var attempts = 0
+      start(launch) // takes the instance monitor only per call
       awaitEarlyFailure()
-    }
+      while (currentState == "idle" && lastError.get().isDefined &&
+          attempts < maxRetries) {
+        attempts += 1
+        start(launch)
+        awaitEarlyFailure()
+      }
+    } finally retryLock.unlock()
     this
   }
 

@@ -157,6 +157,31 @@ class StoreSpec extends SparkSpec {
     assert(tss == tss.sorted)
   }
 
+  test("compactMonth recovers from both mid-swap crash windows") {
+    // window 1: crashed between the two moves — the month's only copy
+    // sits under the dot-prefixed name Spark readers ignore
+    val p1 = tmpDir("store-compact-crash1")
+    Store.writeTrades(mkTrades(Seq("2024-01")), p1)
+    Files.move(Paths.get(p1 + "/month=202401"),
+      Paths.get(p1 + "/.old_month=202401"))
+    // the loss scenario: the store is now unreadable (readTrades can't
+    // even infer a schema — no visible partition remains)
+    intercept[Exception] { Store.readTrades(spark, p1).count() }
+    Store.compactMonth(spark, p1, "202401")
+    assert(Store.readTrades(spark, p1).count() == 10,
+      "mid-swap crash left the partition invisible")
+
+    // window 2: crashed after the swap, before cleanup — stale .old dir
+    // must not make every future compaction of the month fail
+    val p2 = tmpDir("store-compact-crash2")
+    Store.writeTrades(mkTrades(Seq("2024-01")), p2)
+    Store.writeTrades(mkTrades(Seq("2024-01")), p2)
+    Files.createDirectory(Paths.get(p2 + "/.old_month=202401"))
+    Store.compactMonth(spark, p2, "202401")
+    assert(!Files.exists(Paths.get(p2 + "/.old_month=202401")))
+    assert(Store.readTrades(spark, p2).count() == 20)
+  }
+
   test("bootstrap migrations create the warehouse layout idempotently") {
     val wh = tmpDir("store-boot")
     assert(graft.store.Bootstrap(spark, wh) == Seq(1, 2))

@@ -79,6 +79,18 @@ class TopKSpec extends SparkSpec {
     assert(out.take(2).forall(_._1.isNaN))
   }
 
+  test("signed-zero ties break by id, not by the zero's sign") {
+    // engine ORDER BY treats -0.0 = +0.0 and falls to the id tie-break;
+    // a raw Double.compare would rank +0.0 (id 2) above -0.0 (id 1)
+    val df = Seq(("a", 1.0, 3L), ("a", -0.0, 1L), ("a", 0.0, 2L))
+      .toDF("g", "score", "id").repartition(2)
+    val out = df.groupBy("g")
+      .agg(expr("graft_topk(score, id, 2)").as("topk"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.map(_._2) == Seq(3L, 1L), s"zero sign decided the order: $out")
+  }
+
   test("k must be a positive literal") {
     intercept[Exception] {
       skewed.groupBy("g").agg(expr("graft_topk(score, id, 0)")).collect()
