@@ -138,6 +138,15 @@ object GraftFunctions {
     KMinValues(children.head, k).toAggregateExpression()
   }
 
+  private val hammingInfo = new ExpressionInfo(
+    classOf[HammingDistance].getName, "graft_hamming")
+
+  private val hammingBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_hamming expects 2 arguments, got ${children.length}")
+    HammingDistance(children.head, children(1))
+  }
+
   private val vecSumInfo = new ExpressionInfo(
     classOf[VectorSum].getName, "graft_vec_sum")
 
@@ -148,7 +157,8 @@ object GraftFunctions {
   }
 
   /** Register every engine function (`graft_cosine`, `graft_topk`,
-    * `graft_kmv`, `graft_vec_sum`) on an already-built session
+    * `graft_kmv`, `graft_vec_sum`, `graft_hamming`) on an already-built
+    * session
     * (idempotent) — the path for driver-owned sessions that can't opt
     * into [[GraftExtensions]] at build time. */
   def register(spark: SparkSession): Unit =
@@ -160,7 +170,8 @@ object GraftFunctions {
     (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
     (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder),
     (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
-    (FunctionIdentifier("graft_vec_sum"), vecSumInfo, vecSumBuilder))
+    (FunctionIdentifier("graft_vec_sum"), vecSumInfo, vecSumBuilder),
+    (FunctionIdentifier("graft_hamming"), hammingInfo, hammingBuilder))
 
   /** Install the engine's optimizer rules on a live session (idempotent;
     * the build-time path is [[GraftExtensions]]). */

@@ -235,9 +235,11 @@ object DocQueries {
     * two-shuffle built-in route. The oracle keeps the explode+two-level
     * aggregation formulation — an independent derivation of the same
     * bits. */
-  val simhash: NamedQuery = NamedQuery(
-    "docs_simhash",
-    s"""WITH tok AS (
+  /** The (doc_id, simhash) signature pipeline shared by the display
+    * query and the hamming pairing query — one definition per engine.
+    * DuckDB side: a CTE chain ending in `sh(doc_id, simhash)`. */
+  private val simhashCteDuck: String =
+    s"""tok AS (
        |  SELECT doc_id, unnest($tokDuck) AS tok FROM documents
        |),
        |bits AS (
@@ -248,26 +250,27 @@ object DocQueries {
        |              THEN 1 ELSE -1 END AS sgn
        |  FROM tok, unnest(range(0, 32)) AS u(i)
        |),
-       |sums AS (SELECT doc_id, pos, sum(sgn) AS s FROM bits GROUP BY 1, 2)
-       |SELECT doc_id,
-       |       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
-       |                  '' ORDER BY pos) AS simhash
-       |FROM sums
-       |GROUP BY 1
-       |ORDER BY doc_id
-       |LIMIT 50""".stripMargin) { (s, d) =>
-    // Hash DISTINCT (doc, token) pairs weighted by occurrence count —
-    // identical vote sums, but the md5 runs once per distinct term
-    // instead of once per token instance (the dedup-before-expensive-op
-    // rule). `h` is bound to a column BEFORE the transform lambda so the
-    // md5 evaluates once per row, not once per lambda element.
+       |sums AS (SELECT doc_id, pos, sum(sgn) AS s FROM bits GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id,
+       |         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,
+       |                    '' ORDER BY pos) AS simhash
+       |  FROM sums
+       |  GROUP BY 1
+       |)""".stripMargin
+
+  /** Spark side of [[simhashCteDuck]]. Hash DISTINCT (doc, token) pairs
+    * weighted by occurrence count — identical vote sums, but the md5
+    * runs once per distinct term instead of once per token instance
+    * (the dedup-before-expensive-op rule). `h32` is bound to a column
+    * BEFORE the transform lambda so the md5 evaluates once per row, not
+    * once per lambda element; bit pos i of the big-endian
+    * first-8-hex-digit word is bit (31 - i) of the parsed 32-bit value. */
+  private def simhashFrames(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val tf = docs(s, d)
       .select(col("doc_id"), explode(expr(tokSpark)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    // one hex parse per term (codegen'd), pure integer shifts inside the
-    // interpreted lambda: bit pos i of the big-endian first-8-hex-digit
-    // word is bit (31 - i) of the parsed 32-bit value
     val votes = tf
       .select(col("doc_id"), col("cnt"),
         expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint)").as("h32"))
@@ -282,8 +285,60 @@ object DocQueries {
       .select(col("doc_id"),
         expr("array_join(transform(sums, " +
           "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')").as("simhash"))
+  }
+
+  val simhash: NamedQuery = NamedQuery(
+    "docs_simhash",
+    s"""WITH $simhashCteDuck
+       |SELECT doc_id, simhash
+       |FROM sh
+       |ORDER BY doc_id
+       |LIMIT 50""".stripMargin) { (s, d) =>
+    simhashFrames(s, d)
       .orderBy("doc_id")
       .limit(50)
+  }
+
+  /** SimHash near-dup RANKING — the stage the signature exists for:
+    * docs sharing an 8-bit signature prefix (the standard simhash
+    * blocking key; production runs several bit-rotations of it) pair up
+    * bucket-locally and rank by Hamming distance, computed by the
+    * engine's codegen'd [[graft.functions.HammingDistance]] expression —
+    * one fused byte loop per pair where the built-in spelling would run
+    * interpreted per-character lambdas per candidate. The bucket
+    * collect is sorted by doc_id, so pair order (doc_a < doc_b) falls
+    * out of the array order without a distinct. */
+  val simhashHamming: NamedQuery = NamedQuery(
+    "docs_simhash_hamming",
+    s"""WITH $simhashCteDuck,
+       |b AS (
+       |  SELECT doc_id, simhash, substr(simhash, 1, 8) AS bucket FROM sh
+       |)
+       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |       CAST(list_sum(list_transform(range(1, 33),
+       |              i -> CASE WHEN substr(a.simhash, i, 1)
+       |                             <> substr(b2.simhash, i, 1)
+       |                        THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+       |FROM b a
+       |JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+       |ORDER BY hamming, doc_a, doc_b
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val pairsOfStructs =
+      """flatten(transform(xs, (x, i) ->
+        |  transform(slice(xs, i + 2, size(xs)),
+        |    y -> struct(x.doc_id AS doc_a, x.simhash AS sig_a,
+        |                y.doc_id AS doc_b, y.simhash AS sig_b))))"""
+        .stripMargin.replace("\n", " ")
+    simhashFrames(s, d)
+      .withColumn("bucket", expr("substring(simhash, 1, 8)"))
+      .groupBy("bucket")
+      .agg(expr("array_sort(collect_list(struct(doc_id, simhash)))").as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(expr(pairsOfStructs)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        expr("graft_hamming(p.sig_a, p.sig_b)").as("hamming"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20)
   }
 
   /** Language-ID train/classify pipeline: learn top-20 tokens per lang
@@ -887,5 +942,6 @@ object DocQueries {
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
     fingerprint, normalizedDedup, ngramJaccard, tfidfTop, trainSplit,
-    stratifiedSample, qualityQuartiles, dupClusters, bigramLm)
+    stratifiedSample, qualityQuartiles, dupClusters, bigramLm,
+    simhashHamming)
 }
