@@ -939,9 +939,77 @@ object DocQueries {
       .orderBy(col("head_n").desc, col("prev"), col("n").desc, col("nxt"))
   }
 
+  /** The full training-corpus build as ONE dataflow — the capstone the
+    * individual operators exist for: exact dedup (keep smallest doc_id
+    * per text hash) → quality gate (composite score ≥ 0.5, the shared
+    * [[scoreDuck]]/[[scoreSpark]] formulation) → per-language stratified
+    * sample (the [[SamplePct]] rates, salted hash) → deterministic
+    * train/val/test assignment — reporting (lang, split) doc counts and
+    * char volume. Every stage is a pure function of content/ids, so the
+    * whole pipeline re-runs reproducibly on any engine; plan shape is a
+    * window on the dedup hash (near-unique key) plus map-side stages and
+    * one final low-cardinality aggregation. */
+  val corpusBuild: NamedQuery = NamedQuery(
+    "docs_corpus_build",
+    s"""WITH dedup AS (
+       |  SELECT lang, n_chars, text, doc_id FROM (
+       |    SELECT lang, n_chars, text, doc_id,
+       |           row_number() OVER (PARTITION BY md5(text)
+       |                              ORDER BY doc_id) AS rn
+       |    FROM documents)
+       |  WHERE rn = 1
+       |),
+       |gated AS (
+       |  SELECT lang, n_chars, doc_id FROM dedup
+       |  WHERE $scoreDuck >= 0.5
+       |),
+       |sampled AS (
+       |  SELECT lang, n_chars, doc_id FROM gated
+       |  WHERE CAST('0x' || substr(md5('s-' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |             AS BIGINT) % 100 < ${pctCaseSql("lang")}
+       |),
+       |assigned AS (
+       |  SELECT lang, n_chars,
+       |         CASE WHEN b < 8 THEN 'train'
+       |              WHEN b = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM (SELECT lang, n_chars,
+       |               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+       |                    AS BIGINT) % 10 AS b
+       |        FROM sampled)
+       |)
+       |SELECT lang, split,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM assigned
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val dedup = docs(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    val gated = dedup.where(scoreSpark >= 0.5)
+    val sampleH = expr(
+      "cast(conv(substr(md5(concat('s-', cast(doc_id AS string))), 1, 8), 16, 10) AS bigint) % 100")
+    val sampled = gated.where(sampleH <
+      when(col("lang") === "en", SamplePct("en")).otherwise(SamplePct("other")))
+    val b = expr(
+      "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10")
+    sampled
+      .select(col("lang"), col("n_chars"),
+        when(b < 8, "train").when(b === 8, "val").otherwise("test")
+          .as("split"))
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "split")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
     fingerprint, normalizedDedup, ngramJaccard, tfidfTop, trainSplit,
     stratifiedSample, qualityQuartiles, dupClusters, bigramLm,
-    simhashHamming)
+    simhashHamming, corpusBuild)
 }
