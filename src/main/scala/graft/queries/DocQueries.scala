@@ -1007,9 +1007,56 @@ object DocQueries {
       .orderBy("lang", "split")
   }
 
+  /** ASYMMETRIC containment |A∩B| / |A| — the near-dup metric Jaccard
+    * misses: a short document wholly embedded in a long one scores low
+    * Jaccard (the union is dominated by the long side) but containment
+    * ≈ 1 in the short→long direction, which is exactly the
+    * sub-document-duplication case corpus dedup cares about. Same shared
+    * candidate front end as [[ngramJaccard]] ([[gramCteDuck]] /
+    * [[gramProfiles]] — bucket-local, never all-pairs); both directions
+    * plus the max are emitted, ranked by the max. Exact cross-engine:
+    * integer set sizes under one IEEE division. */
+  val containment: NamedQuery = NamedQuery(
+    "docs_containment",
+    s"""WITH $gramCteDuck,
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM g a
+       |  JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+       |         / len(x.grams) AS cont_a,
+       |       CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+       |         / len(y.grams) AS cont_b,
+       |       greatest(
+       |         CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+       |           / len(x.grams),
+       |         CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+       |           / len(y.grams)) AS cont_max
+       |FROM cand
+       |JOIN g x ON x.doc_id = doc_a
+       |JOIN g y ON y.doc_id = doc_b
+       |ORDER BY cont_max DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val g = gramProfiles(s, d)
+    def inter = size(array_intersect(col("x.grams"), col("y.grams")))
+      .cast("double")
+    inBucketPairs(g)
+      .join(g.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(g.as("y"), col("y.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter / size(col("x.grams"))).as("cont_a"),
+        (inter / size(col("y.grams"))).as("cont_b"),
+        greatest(inter / size(col("x.grams")),
+          inter / size(col("y.grams"))).as("cont_max"))
+      .orderBy(col("cont_max").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
     fingerprint, normalizedDedup, ngramJaccard, tfidfTop, trainSplit,
     stratifiedSample, qualityQuartiles, dupClusters, bigramLm,
-    simhashHamming, corpusBuild)
+    simhashHamming, corpusBuild, containment)
 }

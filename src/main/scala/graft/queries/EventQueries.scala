@@ -636,8 +636,54 @@ object EventQueries {
       .orderBy(col("exact_n").desc, col("user_id"))
   }
 
+  /** ClickHouse `sequenceMatch('(?1)(?t<=600)(?2)')` — did a `view` get
+    * followed by a `click` within 10 minutes? Formulated as ONE window
+    * pass, not a pair join: each event learns its user's earliest
+    * FOLLOWING click via `min(CASE …) OVER (… ROWS 1 FOLLOWING →
+    * UNBOUNDED)`, and a view matches iff that click lands inside the
+    * bound (the earliest following click is in-window iff any is). One
+    * shuffle on user_id, zero pair explosion — the view×click interval
+    * join formulation would square on hot users; this never does. Total
+    * order (ts, event_id) makes same-timestamp sequences deterministic
+    * in both engines. */
+  val seqMatch: NamedQuery = NamedQuery(
+    "events_seq_match",
+    """WITH w AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |         min(CASE WHEN event_type = 'click'
+      |                  THEN CAST(ts AS TIMESTAMP) END)
+      |           OVER (PARTITION BY user_id
+      |                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |           AS next_click
+      |  FROM events
+      |)
+      |SELECT count(DISTINCT user_id) AS n_users,
+      |       count(DISTINCT CASE WHEN event_type = 'view'
+      |                 AND next_click <= ts + INTERVAL 10 MINUTE
+      |                 THEN user_id END) AS n_matched_users,
+      |       count(CASE WHEN event_type = 'view'
+      |                 AND next_click <= ts + INTERVAL 10 MINUTE
+      |                 THEN 1 END) AS n_matched_views
+      |FROM w""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val matched = col("event_type") === "view" &&
+      unix_micros(col("next_click")) <=
+        unix_micros(col("ts")) + 600L * 1000000L
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("next_click",
+        min(when(col("event_type") === "click", col("ts"))).over(w))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(matched, col("user_id"))).as("n_matched_users"),
+        count(when(matched, 1)).as("n_matched_views"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
     asofAttribution, asofNative, funnel, typePivot, approxUsers, kmvUsers,
-    typeCube, valueBands, cmsHeavy)
+    typeCube, valueBands, cmsHeavy, seqMatch)
 }

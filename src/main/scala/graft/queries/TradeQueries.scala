@@ -667,9 +667,112 @@ object TradeQueries {
       .orderBy("symbol")
   }
 
+  /** Per-symbol maximum drawdown over the last 4 h of per-minute closes —
+    * ClickHouse `groupArray`-style sequence analytics: the minute-close
+    * series is collected per symbol (`collect_list` of (minute, close)
+    * structs, array-sorted) and folded with a TWO-FIELD struct accumulator
+    * — `aggregate` carrying (running peak, max peak−close so far) — the
+    * general "scan with state" shape that covers any groupArray-then-fold
+    * reference query. Exact cross-engine: the fold is only `greatest` and
+    * one IEEE subtract over identical close values; the oracle states the
+    * same recurrence as a running-max window + max, which is the UNBOUNDED
+    * formulation (the array state here is O(window minutes) per symbol —
+    * bounded by the query's own lookback, never by history). */
+  val drawdown: NamedQuery = NamedQuery(
+    "trades_drawdown",
+    s"""$tradesWith,
+       |c AS (
+       |  SELECT symbol, date_trunc('minute', ts) AS minute,
+       |         max_by(price, ts) AS close
+       |  FROM trades, anchor
+       |  WHERE ts >= t_anchor - INTERVAL 240 MINUTE
+       |  GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT symbol, close,
+       |         max(close) OVER (PARTITION BY symbol ORDER BY minute) AS peak
+       |  FROM c
+       |)
+       |SELECT symbol, count(*) AS n_minutes,
+       |       max(peak) AS peak_close,
+       |       max(peak - close) AS max_drawdown
+       |FROM r
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    windowed(s, d, 240)
+      .groupBy(col("symbol"), Ops.minuteOf(col("ts")).as("minute"))
+      .agg(max_by(col("price"), col("ts")).as("close"))
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).as("n_minutes"),
+        expr("transform(array_sort(collect_list(struct(minute, close))), " +
+          "p -> p.close)").as("cl"))
+      .select(col("symbol"), col("n_minutes"),
+        expr("array_max(cl)").as("peak_close"),
+        expr("""aggregate(slice(cl, 2, size(cl)),
+          |  named_struct('peak', element_at(cl, 1), 'mdd', 0.0D),
+          |  (acc, x) -> named_struct(
+          |    'peak', greatest(acc.peak, x),
+          |    'mdd', greatest(acc.mdd, greatest(acc.peak, x) - x)),
+          |  acc -> acc.mdd)""".stripMargin.replace("\n", " "))
+          .as("max_drawdown"))
+      .orderBy("symbol")
+  }
+
+  /** Hourly candles REBUILT FROM the 1-minute partials — the cascading-MV
+    * shape (ClickHouse chains 1m → 1h materialized views the same way):
+    * open/close re-select by minute key (`min_by`/`max_by` on the unique
+    * minute — deterministic), high/low/trades re-aggregate directly, and
+    * volume merges as the EXACT decimal partial ([[Ops.dsumPartial]] →
+    * [[Ops.decFinal]]) so rollup == direct aggregation bit-for-bit (a
+    * double-valued minute volume re-quantized at the hour level would
+    * drift in the last ulp). At scale this is the whole point of candle
+    * partials: the hour rollup reads O(minutes) rows, never raw trades. */
+  val ohlcv1h: NamedQuery = NamedQuery(
+    "trades_ohlcv_1h",
+    s"""$tradesWith,
+       |m AS (
+       |  SELECT date_trunc('minute', ts) AS minute,
+       |         min_by(price, ts) AS open,
+       |         max(price) AS high,
+       |         min(price) AS low,
+       |         max_by(price, ts) AS close,
+       |         sum(CAST(qty AS DECIMAL(38,10))) AS volume,
+       |         count(*) AS trades
+       |  FROM trades, anchor
+       |  WHERE symbol = 'click' AND ts >= t_anchor - INTERVAL 1440 MINUTE
+       |  GROUP BY 1
+       |)
+       |SELECT date_trunc('hour', minute) AS hour,
+       |       min_by(open, minute) AS open,
+       |       max(high) AS high,
+       |       min(low) AS low,
+       |       max_by(close, minute) AS close,
+       |       CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS volume,
+       |       CAST(sum(trades) AS BIGINT) AS trades
+       |FROM m
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    Ops.aggSeq(
+      windowed(s, d, 1440)
+        .where(col("symbol") === "click")
+        .groupBy(Ops.minuteOf(col("ts")).as("minute")),
+      Ops.ohlcvPartialAggs(col("price"), col("qty"), col("ts")))
+      .groupBy(date_trunc("hour", col("minute")).as("hour"))
+      .agg(
+        min_by(col("open"), col("minute")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("minute")).as("close"),
+        Ops.decFinal(col("volume")).as("volume"),
+        sum(col("trades")).as("trades"))
+      .orderBy("hour")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
-    priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma)
+    priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,
+    drawdown, ohlcv1h)
 }
