@@ -71,10 +71,22 @@ object Tables {
         // integer division: a double division would lose precision above 2^53 ns
         pruned.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
-        sinceMicros
+        // Non-nanos sources land here. TIMESTAMP_NTZ (what e.g. DuckDB-
+        // written parquet reads back as) is normalized to TimestampType:
+        // under the engine's fixed UTC session the cast is instant-
+        // preserving, and downstream epoch math (unix_micros & co.)
+        // requires the zoned type. The filter goes on the SOURCE column
+        // before the cast so it still pushes down to the scan.
+        val pruned = sinceMicros
           .map(us => raw.where(col("ts") >=
-            lit(java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))))
+            lit(java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+              .cast(raw.schema("ts").dataType)))
           .getOrElse(raw)
+        pruned.schema("ts").dataType match {
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            pruned.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => pruned
+        }
     }
   }
 

@@ -78,4 +78,35 @@ class ReadersSpec extends SparkSpec {
     assert(all.count() == 3)
     assert(all.where(col("symbol").isNull).count() == 1)
   }
+
+  test("events with TIMESTAMP_NTZ ts normalize to TimestampType, pruned") {
+    // parquet written by other engines (e.g. DuckDB) reads back as
+    // TIMESTAMP_NTZ; Tables.events must hand downstream the zoned type
+    // (epoch math requires it) and still push the sinceMicros filter down
+    import spark.implicits._
+    val dir = tmpDir("readers-ntz")
+    Seq(
+      (1L, "2024-01-01 00:00:05", 7L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 01:00:05", 7L, "click", 2.0, "{}"))
+      .toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp_ntz(col("s"))).drop("s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val all = Tables.events(spark, dir)
+    assert(all.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // unix_micros (the engine's epoch math) must resolve on the result
+    assert(all.select(unix_micros(col("ts"))).collect().length == 2)
+
+    val cutoff = java.time.Instant.parse("2024-01-01T00:30:00Z")
+      .getEpochSecond * 1000000L
+    val late = Tables.events(spark, dir, Some(cutoff))
+    assert(late.count() == 1)
+    val plan = late.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts"),
+      s"NTZ source filter did not push down:\n$plan")
+  }
 }
