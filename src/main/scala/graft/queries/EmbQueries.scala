@@ -321,14 +321,16 @@ object EmbQueries {
     }
   }
 
-  /** IVF-style top-k: per-label centroids act as the coarse quantizer;
-    * the query probes its nearest centroid's cell only, then ranks that
-    * cell's vectors by exact cosine. The centroid table is O(cells) —
-    * broadcastable at any corpus size; only one cell's vectors are
-    * scored. (A production IVF would train cells with k-means; the cell
-    * *mechanics* — coarse probe then cell-local exact search — are
-    * identical.) */
-  val ivfTopK: NamedQuery = {
+  /** IVF top-k parameterized by `nprobe`: per-label centroids act as the
+    * coarse quantizer; the query probes its `nprobe` nearest centroids'
+    * cells, then ranks those cells' vectors by exact cosine. The centroid
+    * table is O(cells) — broadcastable at any corpus size; only the
+    * probed cells' vectors are scored, so `nprobe` is THE recall↔cost
+    * knob (cost grows linearly in probed rows, recall approaches
+    * brute-force as nprobe → cells). (A production IVF would train cells
+    * with k-means; the mechanics — coarse probe then cell-local exact
+    * search — are identical.) */
+  private def ivf(name: String, nprobe: Int): NamedQuery = {
     val dotD = "aggregate(zip_with(%A, %B, (x, y) -> x * y), " +
       "cast(0.0 AS double), (acc, v) -> acc + v)"
     def dotSparkD(a: String, b: String) =
@@ -340,7 +342,7 @@ object EmbQueries {
     def cosDuckD(a: String, b: String) =
       s"${dotDuckD(a, b)} / (sqrt(${dotDuckD(a, a)}) * sqrt(${dotDuckD(b, b)}))"
     NamedQuery(
-      "emb_ivf_topk",
+      name,
       s"""WITH q AS (
          |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
          |  FROM embeddings WHERE vec_id = 0
@@ -359,7 +361,7 @@ object EmbQueries {
          |  SELECT label AS cell
          |  FROM cents, q
          |  ORDER BY ${cosDuckD("centroid", "qv")} DESC, label
-         |  LIMIT 1
+         |  LIMIT $nprobe
          |)
          |SELECT e.vec_id, e.label,
          |       ${cosDuck("q.qv2", "e.embedding")} AS sim
@@ -381,7 +383,7 @@ object EmbQueries {
           .as("centroid"))
       val best = cents.crossJoin(broadcast(q))
         .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("label"))
-        .limit(1)
+        .limit(nprobe)
         .select(col("label").as("cell"))
       val q2 = e.where(col("vec_id") === 0)
         .select(col("embedding").as("qv2"))
@@ -394,6 +396,14 @@ object EmbQueries {
         .limit(10)
     }
   }
+
+  /** Single-probe IVF (nprobe = 1). */
+  val ivfTopK: NamedQuery = ivf("emb_ivf_topk", 1)
+
+  /** Multi-probe IVF (nprobe = 3): the standard recall fix for queries
+    * landing near cell boundaries — 3× the scored rows of single-probe,
+    * still a fraction of brute force (3 of 10 cells here). */
+  val ivfMultiprobe: NamedQuery = ivf("emb_ivf_multiprobe", 3)
 
   /** Top-3 most-similar vectors to the query vector PER LABEL — driven
     * by the custom bounded-top-k aggregate
@@ -504,5 +514,5 @@ object EmbQueries {
 
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
-    topKPerLabel, quantizedTopK)
+    ivfMultiprobe, topKPerLabel, quantizedTopK)
 }

@@ -77,6 +77,39 @@ class PlanSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("shuffle join injects a runtime bloom filter on the fact side") {
+    // the 100 TB story for selective dim filters when the dim is too big
+    // to broadcast: Catalyst builds a bloom filter from the filtered
+    // creation side and semi-filters the fact scan BEFORE the shuffle.
+    // Thresholds are tuned down to fire at test scale; broadcast is
+    // disabled because broadcast joins don't need (or get) the filter.
+    import org.apache.spark.sql.functions.col
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val p = Tables.lineitem(spark, sf)
+        .join(Tables.part(spark, sf).where(col("p_size") === 1),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").count()
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter in shuffle-join plan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("scans read only the projected columns (column pruning)") {
     val p = plan(TradeQueries.countAll)
     // count over the time window needs ts only — the ReadSchema must not
