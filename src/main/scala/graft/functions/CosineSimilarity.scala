@@ -138,6 +138,24 @@ object GraftFunctions {
     KMinValues(children.head, k).toAggregateExpression()
   }
 
+  private val mgInfo = new ExpressionInfo(
+    classOf[MisraGries].getName, "graft_mg")
+
+  private val mgBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_mg expects (item, k), got ${children.length} arguments")
+    val k = children(1) match {
+      case e if e.foldable => e.eval() match {
+        case n: Number => n.intValue()
+        case _ => throw new IllegalArgumentException(
+          "graft_mg: k must be a non-null integer literal")
+      }
+      case _ => throw new IllegalArgumentException(
+        "graft_mg: k must be a literal")
+    }
+    MisraGries(children.head, k).toAggregateExpression()
+  }
+
   private val hammingInfo = new ExpressionInfo(
     classOf[HammingDistance].getName, "graft_hamming")
 
@@ -170,6 +188,7 @@ object GraftFunctions {
     (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
     (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder),
     (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
+    (FunctionIdentifier("graft_mg"), mgInfo, mgBuilder),
     (FunctionIdentifier("graft_vec_sum"), vecSumInfo, vecSumBuilder),
     (FunctionIdentifier("graft_hamming"), hammingInfo, hammingBuilder))
 

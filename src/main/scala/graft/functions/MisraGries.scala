@@ -1,0 +1,127 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Misra-Gries frequent-items summary — the mergeable-sketch engine
+  * behind a ClickHouse-`topK`-style heavy-hitters query. Keeps at most
+  * `k` (item → counter) entries per group; the classic stream update
+  * decrements ALL counters when a new item arrives at capacity, and the
+  * merge (Agarwal et al., "Mergeable Summaries") adds counters then
+  * subtracts the (k+1)-th largest so at most k survive. Both operations
+  * preserve the guarantee that matters:
+  *
+  *   any item with true count > n / (k+1) is IN the summary,
+  *
+  * regardless of input order, partial/merge tree shape, or partition
+  * layout. The summary's counters and its extra (sub-threshold) members
+  * ARE order-dependent — so [[eval]] exposes only the candidate id set,
+  * and the consuming query re-counts candidates EXACTLY and filters on
+  * the threshold, making the end-to-end answer deterministic and
+  * oracle-checkable while the sketch does the scale work: O(k) state per
+  * task, O(k·tasks) shuffled bytes, where an exact group-by would
+  * shuffle every distinct item.
+  *
+  * Null inputs are ignored (SQL aggregate convention).
+  */
+case class MisraGries(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.LongMap[Long]] {
+
+  require(k > 0, s"graft_mg: k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_mg expects a long/int item, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "graft_mg"
+
+  override def createAggregationBuffer(): mutable.LongMap[Long] =
+    mutable.LongMap.empty[Long]
+
+  override def update(buf: mutable.LongMap[Long],
+                      input: InternalRow): mutable.LongMap[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[Number].longValue()
+      if (buf.contains(item)) buf(item) += 1L
+      else if (buf.size < k) buf(item) = 1L
+      else {
+        // decrement-all: drains one "vote" from every tracked item in
+        // lieu of tracking the newcomer — O(k), amortized O(1)/item
+        // since each stored vote is drained at most once
+        val dead = mutable.ArrayBuffer.empty[Long]
+        buf.mapValuesInPlace((_, c) => c - 1L)
+        buf.foreach { case (i, c) => if (c <= 0L) dead += i }
+        dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.LongMap[Long],
+                     other: mutable.LongMap[Long]): mutable.LongMap[Long] = {
+    other.foreach { case (i, c) => buf(i) = buf.getOrElse(i, 0L) + c }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest counter from everything — the
+      // mergeable-summaries reduction: ≤ k survive, total error across
+      // any merge tree stays ≤ n/(k+1)
+      val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[Long]
+      buf.mapValuesInPlace((_, c) => c - cut)
+      buf.foreach { case (i, c) => if (c <= 0L) dead += i }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
+
+  /** Candidate ids only, ascending — the deterministic-by-construction
+    * part of the state (see class doc for why counters stay private). */
+  override def eval(buf: mutable.LongMap[Long]): Any =
+    new GenericArrayData(buf.keys.toArray.sorted)
+
+  override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (i, c) => bb.putLong(i); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf(bb.getLong) = bb.getLong)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGries =
+    copy(child = newChildren(0))
+}

@@ -1054,9 +1054,37 @@ object DocQueries {
       .limit(20)
   }
 
+  /** ClickHouse `groupUniqArray` parity: the DISTINCT-set aggregate
+    * (`collect_set`), canonicalized by `sort_array` so the set has one
+    * deterministic rendering (set aggregation order is engine-arbitrary),
+    * serialized through the same array_to_string convention as
+    * [[fingerprint]]. Map-side partial collect keeps the shuffle at
+    * O(distinct values) per group — safe only for BOUNDED value domains
+    * like `source` here (an unbounded-domain collect_set is the
+    * anti-pattern; that shape belongs to count-distinct sketches). */
+  val langSources: NamedQuery = NamedQuery(
+    "docs_lang_sources",
+    """SELECT lang,
+      |       count(*) AS n_docs,
+      |       count(DISTINCT source) AS n_sources,
+      |       array_to_string(list_sort(list(DISTINCT source)), ',')
+      |         AS sources
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        array_join(sort_array(collect_set(col("source"))), ",")
+          .as("sources"))
+      .orderBy("lang")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
     fingerprint, normalizedDedup, ngramJaccard, tfidfTop, trainSplit,
     stratifiedSample, qualityQuartiles, dupClusters, bigramLm,
-    simhashHamming, corpusBuild, containment)
+    simhashHamming, corpusBuild, containment, langSources)
 }

@@ -682,8 +682,44 @@ object EventQueries {
         count(when(matched, 1)).as("n_matched_views"))
   }
 
+  private val MgK = 128
+
+  /** ClickHouse-`topK`-style exact heavy hitters in TWO passes, driven by
+    * the [[graft.functions.MisraGries]] mergeable summary: pass 1 reduces
+    * the stream to ≤ [[MgK]] candidate ids (O(k) state per task, O(k·tasks)
+    * shuffled — an exact group-by would shuffle every distinct user);
+    * pass 2 re-counts ONLY candidate rows (broadcast semi-filter on the
+    * scan) and keeps those exceeding the n/k threshold. The MG guarantee —
+    * any item with count > n/(k+1) survives every update/merge order —
+    * makes the candidate set provably complete above the threshold, so
+    * the final output is deterministic and oracle-checkable even though
+    * the summary's extra members are order-noise: the oracle computes the
+    * same answer with a full exact group-by + HAVING. */
+  val mgHeavy: NamedQuery = NamedQuery(
+    "events_mg_heavy",
+    s"""WITH t AS (SELECT count(*) AS total FROM events)
+       |SELECT user_id, count(*) AS n_events
+       |FROM events, t
+       |GROUP BY user_id, t.total
+       |HAVING count(*) > t.total / $MgK.0
+       |ORDER BY n_events DESC, user_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables.events(s, d).select("user_id")
+    val cand = ev
+      .agg(expr(s"graft_mg(user_id, $MgK)").as("cand"))
+      .select(explode(col("cand")).as("user_id"))
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.join(broadcast(cand), "user_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total))
+      .where(col("n_events") > col("total") / lit(MgK.toDouble))
+      .select(col("user_id"), col("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
     asofAttribution, asofNative, funnel, typePivot, approxUsers, kmvUsers,
-    typeCube, valueBands, cmsHeavy, seqMatch)
+    typeCube, valueBands, cmsHeavy, seqMatch, mgHeavy)
 }

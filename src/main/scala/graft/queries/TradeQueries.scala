@@ -769,10 +769,59 @@ object TradeQueries {
       .orderBy("hour")
   }
 
+  /** Exact QUANTITY-WEIGHTED median price per symbol — ClickHouse
+    * `medianExactWeighted(price, qty)` parity, and the robust sibling of
+    * VWAP (a few huge prints move VWAP but not the weighted median).
+    * Exact rank selection, like `trades_price_quantiles`: weights
+    * accumulate in decimal (order-insensitive, so the cumulative window
+    * cannot drift cross-engine), and the median is the FIRST price, in
+    * price order, whose cumulative weight reaches half the total — a
+    * deterministic selection of an actual data value, no interpolation
+    * in either engine. Two exchanges, both cheap: the (symbol, price)
+    * group-by compresses raw trades to one row per distinct price
+    * map-side, and the symbol-partitioned window then re-shuffles only
+    * those compressed rows — never the fact table. */
+  val weightedMedian: NamedQuery = NamedQuery(
+    "trades_weighted_median",
+    s"""$tradesWith,
+       |w AS (
+       |  SELECT symbol, price,
+       |         sum(CAST(qty AS DECIMAL(38,10))) AS wt
+       |  FROM trades, anchor
+       |  WHERE ts >= t_anchor - INTERVAL 1440 MINUTE
+       |  GROUP BY 1, 2
+       |),
+       |c AS (
+       |  SELECT symbol, price,
+       |         sum(wt) OVER (PARTITION BY symbol ORDER BY price) AS cum,
+       |         sum(wt) OVER (PARTITION BY symbol) AS total
+       |  FROM w
+       |)
+       |SELECT symbol,
+       |       min(price) AS weighted_median
+       |FROM c
+       |WHERE cum * 2 >= total
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byPrice = Window.partitionBy("symbol").orderBy("price")
+    val whole = Window.partitionBy("symbol")
+    windowed(s, d, 1440)
+      .groupBy("symbol", "price")
+      .agg(Ops.dsumPartial(col("qty")).as("wt"))
+      .select(col("symbol"), col("price"),
+        sum(col("wt")).over(byPrice).as("cum"),
+        sum(col("wt")).over(whole).as("total"))
+      .where(col("cum") * 2 >= col("total"))
+      .groupBy("symbol")
+      .agg(min(col("price")).as("weighted_median"))
+      .orderBy("symbol")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
     priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,
-    drawdown, ohlcv1h)
+    drawdown, ohlcv1h, weightedMedian)
 }
