@@ -246,7 +246,60 @@ object JoinQueries {
       .orderBy("segment")
   }
 
+  /** ClickHouse `LEFT ANY JOIN` semantics — each left row pairs with AT
+    * MOST ONE right match instead of fanning out. CH picks an arbitrary
+    * match; an engine whose answers must be reproducible cannot, so the
+    * "any" is made deterministic the standard way: the right side is
+    * reduced to one row per key FIRST (earliest order by
+    * (o_orderdate, o_orderkey) — min_by on a zero-padded fixed-width
+    * tie-break key, the COVERAGE.md playbook). This is also the
+    * scale-correct shape: the dedup is a partial-aggregating shuffle on
+    * the join key that can only SHRINK the build side, and the join
+    * itself becomes 1:≤1 — no multiplicity explosion to re-aggregate
+    * away downstream. */
+  val anyLeft: NamedQuery = NamedQuery(
+    "joins_any_left",
+    """WITH first_order AS (
+      |  SELECT o_custkey,
+      |         min_by(o_orderstatus,
+      |                printf('%020d-%020d',
+      |                       epoch_us(o_orderdate), o_orderkey))
+      |           AS first_status,
+      |         min(o_orderdate) AS first_date
+      |  FROM orders
+      |  GROUP BY 1
+      |)
+      |SELECT c_mktsegment AS segment,
+      |       coalesce(first_status, 'NONE') AS status,
+      |       count(*) AS n_customers,
+      |       CAST(min(first_date) AS DATE) AS earliest
+      |FROM customer
+      |LEFT JOIN first_order ON c_custkey = o_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val firstOrder = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        // o_orderdate is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+        // the cast is instant-preserving under the fixed UTC session and
+        // unix_micros requires the zoned type
+        min_by(col("o_orderstatus"),
+          format_string("%020d-%020d",
+            unix_micros(col("o_orderdate").cast("timestamp")),
+            col("o_orderkey"))).as("first_status"),
+        min(col("o_orderdate")).as("first_date"))
+    Tables.customer(s, d)
+      .join(firstOrder, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(
+        col("c_mktsegment").as("segment"),
+        coalesce(col("first_status"), lit("NONE")).as("status"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min(col("first_date")).cast("date").as("earliest"))
+      .orderBy("segment", "status")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     revenueRegionMonth, topSuppliers, segmentPriority, brandVolume,
-    customersNoOrders, revenueRollup, groupingSets, urgentSemi)
+    customersNoOrders, revenueRollup, groupingSets, urgentSemi, anyLeft)
 }
