@@ -156,6 +156,24 @@ object GraftFunctions {
     MisraGries(children.head, k).toAggregateExpression()
   }
 
+  private val mgPairsInfo = new ExpressionInfo(
+    classOf[MisraGries].getName, "graft_mg_pairs")
+
+  private val mgPairsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_mg_pairs expects (item, k), got ${children.length} arguments")
+    val k = children(1) match {
+      case e if e.foldable => e.eval() match {
+        case n: Number => n.intValue()
+        case _ => throw new IllegalArgumentException(
+          "graft_mg_pairs: k must be a non-null integer literal")
+      }
+      case _ => throw new IllegalArgumentException(
+        "graft_mg_pairs: k must be a literal")
+    }
+    MisraGries(children.head, k, withCounts = true).toAggregateExpression()
+  }
+
   private val hammingInfo = new ExpressionInfo(
     classOf[HammingDistance].getName, "graft_hamming")
 
@@ -189,6 +207,7 @@ object GraftFunctions {
     (FunctionIdentifier("graft_topk"), topkInfo, topkBuilder),
     (FunctionIdentifier("graft_kmv"), kmvInfo, kmvBuilder),
     (FunctionIdentifier("graft_mg"), mgInfo, mgBuilder),
+    (FunctionIdentifier("graft_mg_pairs"), mgPairsInfo, mgPairsBuilder),
     (FunctionIdentifier("graft_vec_sum"), vecSumInfo, vecSumBuilder),
     (FunctionIdentifier("graft_hamming"), hammingInfo, hammingBuilder))
 

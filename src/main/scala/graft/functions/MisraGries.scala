@@ -35,6 +35,7 @@ import org.apache.spark.sql.types._
 case class MisraGries(
     child: Expression,
     k: Int,
+    withCounts: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.LongMap[Long]] {
@@ -50,11 +51,23 @@ case class MisraGries(
         s"graft_mg expects a long/int item, got $t")
     }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  /** `graft_mg`: candidate ids only (see class doc). `graft_mg_pairs`
+    * (`withCounts`): (id, cnt) structs — the MERGEABLE partial form for
+    * sketch stores that keep merging across batches; counters are
+    * lower bounds with order-dependent noise ≤ n/(k+1), so this form is
+    * for state, not for directly-compared results. */
+  override def dataType: DataType =
+    if (withCounts)
+      ArrayType(StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("cnt", LongType, nullable = false))),
+        containsNull = false)
+    else ArrayType(LongType, containsNull = false)
 
   override def nullable: Boolean = false
 
-  override def prettyName: String = "graft_mg"
+  override def prettyName: String =
+    if (withCounts) "graft_mg_pairs" else "graft_mg"
 
   override def createAggregationBuffer(): mutable.LongMap[Long] =
     mutable.LongMap.empty[Long]
@@ -95,10 +108,16 @@ case class MisraGries(
     buf
   }
 
-  /** Candidate ids only, ascending — the deterministic-by-construction
-    * part of the state (see class doc for why counters stay private). */
-  override def eval(buf: mutable.LongMap[Long]): Any =
-    new GenericArrayData(buf.keys.toArray.sorted)
+  /** Candidate ids ascending; with `withCounts`, (id, cnt) structs in
+    * the same id order. */
+  override def eval(buf: mutable.LongMap[Long]): Any = {
+    val ids = buf.keys.toArray.sorted
+    if (withCounts)
+      new GenericArrayData(ids.map(i =>
+        org.apache.spark.sql.catalyst.InternalRow(i, buf(i))
+          .asInstanceOf[Any]))
+    else new GenericArrayData(ids)
+  }
 
   override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + buf.size * 16)

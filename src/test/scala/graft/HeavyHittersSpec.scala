@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.HeavyHitters
+
+/** Streaming MG sketch store: per-batch partials, cross-batch merge
+  * bounds, candidate completeness, and replay absorption. */
+class HeavyHittersSpec extends SparkSpec {
+
+  private def eventJson(id: Long, user: Long): String =
+    s"""{"event_id":$id,"user_id":$user}"""
+
+  private def eventStream(dir: String) =
+    spark.readStream
+      .schema("event_id LONG, user_id LONG")
+      .json(dir)
+
+  test("streamed sketch: bounds bracket exact counts, heavy set complete") {
+    val src = tmpDir("hh-src")
+    val partials = tmpDir("hh-partials")
+    val ckpt = tmpDir("hh-ckpt")
+    val k = 4
+
+    // delivery 1: user 1 heavy (60), users 100-119 singletons
+    var id = 0L
+    def rows(user: Long, n: Int): Seq[String] =
+      (1 to n).map { _ => id += 1; eventJson(id, user) }
+    Files.writeString(Paths.get(src, "b1.json"),
+      (rows(1L, 60) ++ (100L to 119L).flatMap(rows(_, 1))).mkString("\n"))
+    HeavyHitters.sketchSink(eventStream(src), "user_id", k, partials, ckpt,
+      Trigger.AvailableNow()).awaitTermination(60000)
+
+    // delivery 2: user 2 surges (50), user 1 keeps going (20), more noise
+    Files.writeString(Paths.get(src, "b2.json"),
+      (rows(2L, 50) ++ rows(1L, 20) ++ (200L to 219L).flatMap(rows(_, 1)))
+        .mkString("\n"))
+    HeavyHitters.sketchSink(eventStream(src), "user_id", k, partials, ckpt,
+      Trigger.AvailableNow()).awaitTermination(60000)
+
+    val n = HeavyHitters.totalN(spark.read.parquet(partials))
+    assert(n == id, s"totalN=$n, streamed=$id")
+
+    val cand = HeavyHitters.candidates(spark, partials, k, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact counts: user1=80, user2=50; n=170, frac 0.25 → 42.5
+    val exact = Map(1L -> 80L, 2L -> 50L)
+    exact.foreach { case (u, c) =>
+      val row = cand.find(_._1 == u)
+      assert(row.isDefined, s"true heavy hitter $u missing from $cand")
+      val (_, lb, ub) = row.get
+      assert(lb <= c, s"user $u: lower bound $lb overcounts true $c")
+      assert(ub >= c, s"user $u: upper bound $ub undercounts true $c")
+    }
+
+    // replay absorption: re-append byte-identical partial rows (the
+    // at-least-once double-fire) — candidates must not change
+    val before = cand.toSeq
+    val copy = spark.read.parquet(partials)
+    copy.write.mode("append").parquet(partials)
+    val after = HeavyHitters.candidates(spark, partials, k, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before, "replayed partials changed the answer")
+  }
+
+  test("noise floor: frac at or below 1/(k+1) is rejected") {
+    intercept[IllegalArgumentException] {
+      HeavyHitters.candidates(spark, "/nonexistent", 4, 0.2)
+    }
+  }
+}
