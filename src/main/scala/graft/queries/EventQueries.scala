@@ -718,8 +718,43 @@ object EventQueries {
       .orderBy(col("n_events").desc, col("user_id"))
   }
 
+  /** Cohort arithmetic via the remaining SET OPERATIONS (SURVEY §2.5/C4
+    * closes with this: UNION ALL is exercised by `trades_dedup_replay` /
+    * the unpivot oracle; INTERSECT and EXCEPT land here): viewers who
+    * never purchased (EXCEPT) vs viewers who also purchased (INTERSECT).
+    * Both set ops plan as aggregations/joins over the DISTINCT user sets
+    * — hash shuffles on the near-unique user key, no pair explosion; the
+    * counts are set cardinalities so the answer is order-free by
+    * construction. */
+  val cohortSetOps: NamedQuery = NamedQuery(
+    "events_cohort_set_ops",
+    """WITH v AS (SELECT DISTINCT user_id FROM events
+      |           WHERE event_type = 'view'),
+      |p AS (SELECT DISTINCT user_id FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT 'view_and_purchase' AS cohort,
+      |       (SELECT count(*) FROM (SELECT * FROM v INTERSECT
+      |                              SELECT * FROM p)) AS n_users
+      |UNION ALL
+      |SELECT 'view_only',
+      |       (SELECT count(*) FROM (SELECT * FROM v EXCEPT
+      |                              SELECT * FROM p))
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def users(t: String) = ev.where(col("event_type") === t)
+      .select("user_id").distinct()
+    val v = users("view")
+    val p = users("purchase")
+    v.intersect(p).agg(count(lit(1)).as("n_users"))
+      .select(lit("view_and_purchase").as("cohort"), col("n_users"))
+      .unionAll(
+        v.except(p).agg(count(lit(1)).as("n_users"))
+          .select(lit("view_only").as("cohort"), col("n_users")))
+      .orderBy("cohort")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
     asofAttribution, asofNative, funnel, typePivot, approxUsers, kmvUsers,
-    typeCube, valueBands, cmsHeavy, seqMatch, mgHeavy)
+    typeCube, valueBands, cmsHeavy, seqMatch, mgHeavy, cohortSetOps)
 }
