@@ -1082,9 +1082,60 @@ object DocQueries {
       .orderBy("lang")
   }
 
+  /** Sensitive-term scrubbing — the redaction pass a training-data
+    * pipeline runs before release (PII patterns, banned terms): count
+    * matches (`regexp_extract_all`, full-match), measure the redacted
+    * rewrite (`regexp_replace`, replace-ALL in both engines — DuckDB
+    * needs the explicit 'g'), report per-lang hit rates and char deltas.
+    * The term list compiles into ONE scan-side regex — per-row work is
+    * O(len·terms) with zero joins, embarrassingly parallel at any scale;
+    * word boundaries (`\b`) behave identically in Java regex and RE2.
+    * (The synthetic corpus has no digit/email-shaped PII — the
+    * dictionary variant exercises the identical plumbing on terms that
+    * actually occur.) */
+  val redaction: NamedQuery = {
+    val pat = "\\b(customer|supplier)\\b"
+    val mark = "[X]"
+    NamedQuery(
+      "docs_redaction",
+      s"""WITH r AS (
+         |  SELECT lang,
+         |         len(regexp_extract_all(text, '$pat')) AS hits,
+         |         len(text) AS len_before,
+         |         len(regexp_replace(text, '$pat', '$mark', 'g'))
+         |           AS len_after
+         |  FROM documents
+         |)
+         |SELECT lang,
+         |       count(*) AS n_docs,
+         |       CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT)
+         |         AS docs_hit,
+         |       CAST(sum(hits) AS BIGINT) AS n_redactions,
+         |       CAST(sum(len_before - len_after) AS BIGINT)
+         |         AS chars_removed
+         |FROM r
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("lang"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .as("hits"),
+          length(col("text")).as("len_before"),
+          length(regexp_replace(col("text"), pat, mark)).as("len_after"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("hits") > 0, 1)).as("docs_hit"),
+          sum(col("hits")).cast("long").as("n_redactions"),
+          sum(col("len_before") - col("len_after")).cast("long")
+            .as("chars_removed"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
     fingerprint, normalizedDedup, ngramJaccard, tfidfTop, trainSplit,
     stratifiedSample, qualityQuartiles, dupClusters, bigramLm,
-    simhashHamming, corpusBuild, containment, langSources)
+    simhashHamming, corpusBuild, containment, langSources, redaction)
 }
