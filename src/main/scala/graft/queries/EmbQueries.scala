@@ -330,17 +330,21 @@ object EmbQueries {
     * brute-force as nprobe → cells). (A production IVF would train cells
     * with k-means; the mechanics — coarse probe then cell-local exact
     * search — are identical.) */
+  // double-typed cosine fragments (centroid arrays are already double)
+  // — shared by the IVF builder and the recall harness so the coarse
+  // quantizer's ranking cannot drift between them
+  private val dotD = "aggregate(zip_with(%A, %B, (x, y) -> x * y), " +
+    "cast(0.0 AS double), (acc, v) -> acc + v)"
+  private def dotSparkD(a: String, b: String) =
+    dotD.replace("%A", a).replace("%B", b)
+  private def cosSparkD(a: String, b: String) =
+    s"${dotSparkD(a, b)} / (sqrt(${dotSparkD(a, a)}) * sqrt(${dotSparkD(b, b)}))"
+  private def dotDuckD(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+  private def cosDuckD(a: String, b: String) =
+    s"${dotDuckD(a, b)} / (sqrt(${dotDuckD(a, a)}) * sqrt(${dotDuckD(b, b)}))"
+
   private def ivf(name: String, nprobe: Int): NamedQuery = {
-    val dotD = "aggregate(zip_with(%A, %B, (x, y) -> x * y), " +
-      "cast(0.0 AS double), (acc, v) -> acc + v)"
-    def dotSparkD(a: String, b: String) =
-      dotD.replace("%A", a).replace("%B", b)
-    def cosSparkD(a: String, b: String) =
-      s"${dotSparkD(a, b)} / (sqrt(${dotSparkD(a, a)}) * sqrt(${dotSparkD(b, b)}))"
-    def dotDuckD(a: String, b: String) =
-      s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
-    def cosDuckD(a: String, b: String) =
-      s"${dotDuckD(a, b)} / (sqrt(${dotDuckD(a, a)}) * sqrt(${dotDuckD(b, b)}))"
     NamedQuery(
       name,
       s"""WITH q AS (
@@ -512,7 +516,77 @@ object EmbQueries {
     }
   }
 
+  /** ANN quality harness — recall@10 of the IVF probes against the
+    * brute-force exact top-10: the measurement loop every approximate
+    * index needs before it replaces the linear scan. Both the exact and
+    * the probed rankings are recomputed inline from the SAME shared
+    * fragments as their standalone queries (one definition, no drift),
+    * intersected on vec_id, and reported as one row per nprobe. Cheap by
+    * construction: top-10 lists are O(k) however large the corpus. */
+  val ivfRecall: NamedQuery = {
+    def probedDuck(nprobe: Int): String =
+      s"""SELECT e.vec_id
+         |FROM embeddings e
+         |JOIN (SELECT label AS cell
+         |      FROM cents, q
+         |      ORDER BY ${cosDuckD("centroid", "qv")} DESC, label
+         |      LIMIT $nprobe) b ON e.label = b.cell
+         |CROSS JOIN (SELECT embedding AS qv2 FROM embeddings
+         |            WHERE vec_id = 0) q2
+         |WHERE e.vec_id <> 0
+         |ORDER BY ${cosDuck("q2.qv2", "e.embedding")} DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+    NamedQuery(
+      "emb_ivf_recall",
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0
+         |),
+         |comp AS (
+         |  SELECT label, i AS dim,
+         |         ${Sql.avgFloat(embDimValDuck)} AS m
+         |  $embDimsFromDuck
+         |  GROUP BY 1, 2
+         |),
+         |cents AS (
+         |  SELECT label, list(m ORDER BY dim) AS centroid
+         |  FROM comp GROUP BY 1
+         |),
+         |exact AS (
+         |  SELECT b.vec_id
+         |  FROM embeddings b
+         |  CROSS JOIN (SELECT embedding AS qv0 FROM embeddings
+         |              WHERE vec_id = 0) q0
+         |  WHERE b.vec_id <> 0
+         |  ORDER BY ${cosDuck("q0.qv0", "b.embedding")} DESC, b.vec_id
+         |  LIMIT 10
+         |)
+         |SELECT nprobe,
+         |       CAST(hits AS BIGINT) AS hits,
+         |       hits / 10.0 AS recall_at_10
+         |FROM (
+         |  SELECT 1 AS nprobe,
+         |         (SELECT count(*) FROM (${probedDuck(1)}) p
+         |          JOIN exact ON p.vec_id = exact.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 3,
+         |         (SELECT count(*) FROM (${probedDuck(3)}) p
+         |          JOIN exact ON p.vec_id = exact.vec_id)
+         |)
+         |ORDER BY nprobe""".stripMargin) { (s, d) =>
+      val exact = cosineTopK.run(s, d).select("vec_id")
+      def probed(q: NamedQuery, nprobe: Int): DataFrame =
+        q.run(s, d).select("vec_id")
+          .join(exact, "vec_id")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(nprobe).as("nprobe"), col("hits"),
+            (col("hits") / lit(10.0)).as("recall_at_10"))
+      probed(ivfTopK, 1).unionAll(probed(ivfMultiprobe, 3))
+        .orderBy("nprobe")
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
-    ivfMultiprobe, topKPerLabel, quantizedTopK)
+    ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall)
 }

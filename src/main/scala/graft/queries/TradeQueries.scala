@@ -818,10 +818,58 @@ object TradeQueries {
       .orderBy("symbol")
   }
 
+  /** TWAP — TIME-weighted average price per symbol (the execution-quality
+    * benchmark next to [[Ops.vwap]]'s volume weighting): each trade's
+    * price holds until the next trade, so its weight is that holding
+    * interval, `lead(ts) − ts` in micros (the window's last trade has no
+    * successor and carries no interval — exactly the lead-null case).
+    * Weights are exact integer micros and the price×dt products multiply
+    * in decimal ([[Ops.dsumProd]]'s discipline with a wider integer
+    * operand), so the single final divide is the only IEEE step. One
+    * shuffle on symbol for the lead window; the division of two exact
+    * sums is bit-identical cross-engine. */
+  val twap: NamedQuery = NamedQuery(
+    "trades_twap",
+    s"""$tradesWith,
+       |iv AS (
+       |  SELECT symbol, price,
+       |         lead(epoch_us(ts)) OVER (PARTITION BY symbol
+       |                                  ORDER BY ts, trade_id)
+       |           - epoch_us(ts) AS dt
+       |  FROM trades, anchor
+       |  WHERE ts >= t_anchor - INTERVAL 240 MINUTE
+       |)
+       |SELECT symbol,
+       |       CAST(count(*) FILTER (WHERE dt IS NOT NULL) AS BIGINT)
+       |         AS n_intervals,
+       |       CAST(CAST(sum(CAST(price AS DECIMAL(18,6))
+       |                     * CAST(dt AS DECIMAL(18,0))) AS VARCHAR)
+       |            AS DOUBLE)
+       |         / CAST(CAST(sum(dt) AS VARCHAR) AS DOUBLE)
+       |         AS twap
+       |FROM iv
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol").orderBy("ts", "trade_id")
+    windowed(s, d, 240)
+      .select(col("symbol"), col("price"),
+        (lead(unix_micros(col("ts")), 1).over(w) -
+          unix_micros(col("ts"))).as("dt"))
+      .groupBy("symbol")
+      .agg(
+        count(when(col("dt").isNotNull, 1)).as("n_intervals"),
+        (sum(col("price").cast(Ops.Money) *
+          col("dt").cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+          .cast("string").cast("double") /
+          sum(col("dt")).cast("string").cast("double")).as("twap"))
+      .orderBy("symbol")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
     priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,
-    drawdown, ohlcv1h, weightedMedian)
+    drawdown, ohlcv1h, weightedMedian, twap)
 }
