@@ -102,22 +102,25 @@ object GraftFunctions {
     CosineSimilarity(children.head, children(1))
   }
 
+  /** The shared k-argument contract of the bounded aggregates: a
+    * foldable integer literal (state size must be fixed at plan time). */
+  private def literalInt(fn: String, e: Expression): Int = e match {
+    case l if l.foldable => l.eval() match {
+      case n: Number => n.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$fn: k must be a non-null integer literal")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn: k must be a literal")
+  }
+
   private val topkInfo = new ExpressionInfo(
     classOf[TopKByScore].getName, "graft_topk")
 
   private val topkBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 3,
       s"graft_topk expects (score, id, k), got ${children.length} arguments")
-    val k = children(2) match {
-      case e if e.foldable => e.eval() match {
-        case n: Number => n.intValue()
-        case _ => throw new IllegalArgumentException(
-          "graft_topk: k must be a non-null integer literal")
-      }
-      case _ => throw new IllegalArgumentException(
-        "graft_topk: k must be a literal")
-    }
-    TopKByScore(children.head, children(1), k).toAggregateExpression()
+    TopKByScore(children.head, children(1),
+      literalInt("graft_topk", children(2))).toAggregateExpression()
   }
 
   private val kmvInfo = new ExpressionInfo(
@@ -126,16 +129,8 @@ object GraftFunctions {
   private val kmvBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 2,
       s"graft_kmv expects (hash, k), got ${children.length} arguments")
-    val k = children(1) match {
-      case e if e.foldable => e.eval() match {
-        case n: Number => n.intValue()
-        case _ => throw new IllegalArgumentException(
-          "graft_kmv: k must be a non-null integer literal")
-      }
-      case _ => throw new IllegalArgumentException(
-        "graft_kmv: k must be a literal")
-    }
-    KMinValues(children.head, k).toAggregateExpression()
+    KMinValues(children.head, literalInt("graft_kmv", children(1)))
+      .toAggregateExpression()
   }
 
   private val mgInfo = new ExpressionInfo(
@@ -144,16 +139,8 @@ object GraftFunctions {
   private val mgBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 2,
       s"graft_mg expects (item, k), got ${children.length} arguments")
-    val k = children(1) match {
-      case e if e.foldable => e.eval() match {
-        case n: Number => n.intValue()
-        case _ => throw new IllegalArgumentException(
-          "graft_mg: k must be a non-null integer literal")
-      }
-      case _ => throw new IllegalArgumentException(
-        "graft_mg: k must be a literal")
-    }
-    MisraGries(children.head, k).toAggregateExpression()
+    MisraGries(children.head, literalInt("graft_mg", children(1)))
+      .toAggregateExpression()
   }
 
   private val mgPairsInfo = new ExpressionInfo(
@@ -162,16 +149,8 @@ object GraftFunctions {
   private val mgPairsBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 2,
       s"graft_mg_pairs expects (item, k), got ${children.length} arguments")
-    val k = children(1) match {
-      case e if e.foldable => e.eval() match {
-        case n: Number => n.intValue()
-        case _ => throw new IllegalArgumentException(
-          "graft_mg_pairs: k must be a non-null integer literal")
-      }
-      case _ => throw new IllegalArgumentException(
-        "graft_mg_pairs: k must be a literal")
-    }
-    MisraGries(children.head, k, withCounts = true).toAggregateExpression()
+    MisraGries(children.head, literalInt("graft_mg_pairs", children(1)),
+      withCounts = true).toAggregateExpression()
   }
 
   private val hammingInfo = new ExpressionInfo(

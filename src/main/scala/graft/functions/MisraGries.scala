@@ -72,6 +72,18 @@ case class MisraGries(
   override def createAggregationBuffer(): mutable.LongMap[Long] =
     mutable.LongMap.empty[Long]
 
+  /** The one MG reduction both paths share: subtract `amount` from every
+    * counter, drop the non-positive — update's decrement-all and merge's
+    * cut-subtraction must stay in lockstep or the two error accountings
+    * silently diverge. */
+  private def subtractAndPrune(buf: mutable.LongMap[Long],
+                               amount: Long): Unit = {
+    val dead = mutable.ArrayBuffer.empty[Long]
+    buf.mapValuesInPlace((_, c) => c - amount)
+    buf.foreach { case (i, c) => if (c <= 0L) dead += i }
+    dead.foreach(buf.remove)
+  }
+
   override def update(buf: mutable.LongMap[Long],
                       input: InternalRow): mutable.LongMap[Long] = {
     val v = child.eval(input)
@@ -79,15 +91,11 @@ case class MisraGries(
       val item = v.asInstanceOf[Number].longValue()
       if (buf.contains(item)) buf(item) += 1L
       else if (buf.size < k) buf(item) = 1L
-      else {
+      else
         // decrement-all: drains one "vote" from every tracked item in
         // lieu of tracking the newcomer — O(k), amortized O(1)/item
         // since each stored vote is drained at most once
-        val dead = mutable.ArrayBuffer.empty[Long]
-        buf.mapValuesInPlace((_, c) => c - 1L)
-        buf.foreach { case (i, c) => if (c <= 0L) dead += i }
-        dead.foreach(buf.remove)
-      }
+        subtractAndPrune(buf, 1L)
     }
     buf
   }
@@ -95,16 +103,12 @@ case class MisraGries(
   override def merge(buf: mutable.LongMap[Long],
                      other: mutable.LongMap[Long]): mutable.LongMap[Long] = {
     other.foreach { case (i, c) => buf(i) = buf.getOrElse(i, 0L) + c }
-    if (buf.size > k) {
+    if (buf.size > k)
       // subtract the (k+1)-th largest counter from everything — the
       // mergeable-summaries reduction: ≤ k survive, total error across
       // any merge tree stays ≤ n/(k+1)
-      val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[Long]
-      buf.mapValuesInPlace((_, c) => c - cut)
-      buf.foreach { case (i, c) => if (c <= 0L) dead += i }
-      dead.foreach(buf.remove)
-    }
+      subtractAndPrune(buf,
+        buf.values.toArray.sorted(Ordering[Long].reverse).apply(k))
     buf
   }
 

@@ -6,12 +6,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming heavy-hitters materialized view on the Misra-Gries
   * mergeable summary ([[graft.functions.MisraGries]]) — the sketch
-  * sibling of [[CandlePipeline.partialSink]]'s append-partials /
-  * merge-on-read discipline, for the live "top users/symbols" dashboard
-  * query over an unbounded stream.
+  * sibling of [[CandlePipeline.partialSink]]'s partials-then-merge
+  * discipline, for the live "top users/symbols" dashboard query over an
+  * unbounded stream.
   *
   * Each micro-batch reduces to ≤ k (item, cnt) rows plus its row count —
-  * ZERO streaming state, O(k) appended bytes per batch no matter the
+  * ZERO streaming state, O(k) stored bytes per batch no matter the
   * input rate (an exact streaming `groupBy(item).count()` in update mode
   * holds every distinct item in the state store forever). Read time
   * merges the partials by summing counters — by the mergeable-summaries
@@ -20,18 +20,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * candidates with exact upper/lower bounds and a provably complete
   * candidate set above the n/(k+1) noise floor.
   *
-  * `foreachBatch` is at-least-once: replayed batches re-append
-  * byte-identical (block, item) rows, absorbed by the same
-  * dropDuplicates convention as the candle partials. Store growth is
-  * O(k · batches); maintenance compaction (merge all partials into one
-  * summed block, MG-reduce to k rows) follows the
-  * [[graft.store.Store.compactMonth]] rewrite pattern and is elided
-  * here.
+  * Replay discipline: `foreachBatch` is at-least-once, and a replayed
+  * batch's MG summary is NOT guaranteed byte-identical (partial-merge
+  * order inside the aggregation can shift which sub-threshold items
+  * survive), so appending would store CONFLICTING rows per (block,
+  * item). Each block therefore writes to its own `block=<id>` partition
+  * directory with overwrite semantics — a replay REPLACES its block
+  * wholesale (any replay's summary is a valid summary of that batch, so
+  * last-write-wins preserves every bound), and readers see one
+  * consistent store view. Store growth is O(k · batches); maintenance
+  * compaction (merge all blocks into one summed block, MG-reduce to k
+  * rows) follows the [[graft.store.Store.compactMonth]] rewrite pattern
+  * and is elided here.
   */
 object HeavyHitters {
 
-  /** Per-batch MG partial rows `(block, item, cnt, batch_n)`. An empty
-    * batch explodes to zero rows (its n contributes nothing). */
+  /** Per-batch MG partial rows `(block, item, cnt, batch_n)`. A batch
+    * with no (non-null) items keeps its `batch_n` through a single
+    * null-item row (`explode_outer`) — dropping it would silently
+    * shrink [[totalN]] and every bound derived from it. */
   def partialSummary(events: DataFrame, itemCol: String, k: Int,
                      blockId: Long): DataFrame = {
     graft.functions.GraftFunctions.register(events.sparkSession)
@@ -39,12 +46,22 @@ object HeavyHitters {
       .agg(expr(s"graft_mg_pairs($itemCol, $k)").as("s"),
         count(lit(1)).as("batch_n"))
       .select(lit(blockId).as("block"), col("batch_n"),
-        explode(col("s")).as("p"))
+        explode_outer(col("s")).as("p"))
       .select(col("block"), col("p.id").as("item"), col("p.cnt").as("cnt"),
         col("batch_n"))
   }
 
-  /** Streaming sink: one MG partial appended per micro-batch. */
+  /** Write one batch's summary as its `block=<id>` partition, replacing
+    * any previous write for that block (see class doc: replays must
+    * REPLACE, not append). */
+  def writeBlock(events: DataFrame, itemCol: String, k: Int,
+                 partialsPath: String, blockId: Long): Unit =
+    partialSummary(events, itemCol, k, blockId)
+      .drop("block") // encoded by the partition directory
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$partialsPath/block=$blockId")
+
+  /** Streaming sink: one MG partial block per micro-batch. */
   def sketchSink(events: DataFrame, itemCol: String, k: Int,
                  partialsPath: String, checkpointPath: String,
                  trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
@@ -53,22 +70,15 @@ object HeavyHitters {
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        partialSummary(batch, itemCol, k, batchId)
-          .coalesce(1)
-          .write.mode("append").parquet(partialsPath)
-        ()
+        writeBlock(batch, itemCol, k, partialsPath, batchId)
       }
       .start()
 
-  /** Replay-absorbed partials (one row per (block, item); replayed
-    * copies are byte-identical). */
-  private def dedupReplays(partials: DataFrame): DataFrame =
-    partials.dropDuplicates("block", "item")
-
-  /** Total rows summarized — one `batch_n` per block (O(blocks) driver
-    * data, the anchor-resolution pattern, not a hot-path collect). */
+  /** Total rows summarized — one `batch_n` per block. Exposed for
+    * invariant checks; [[candidates]] computes it from its own single
+    * read of the store. */
   def totalN(partials: DataFrame): Long =
-    dedupReplays(partials)
+    partials
       .select("block", "batch_n").distinct()
       .agg(coalesce(sum("batch_n"), lit(0L)))
       .head().getLong(0)
@@ -82,15 +92,18 @@ object HeavyHitters {
     * exact confirmation pass (the `events_mg_heavy` pattern) is needed.
     * Requires frac > 1/(k+1), the summary's noise floor — below that
     * an empty-summary item could qualify and NO sketch of width k can
-    * answer. */
+    * answer. One scan of the store: `n` resolves from the same frame
+    * the counters aggregate over (the O(blocks) driver action is the
+    * anchor-resolution pattern, not a hot-path collect). */
   def candidates(spark: SparkSession, partialsPath: String, k: Int,
                  frac: Double): DataFrame = {
     require(frac > 1.0 / (k + 1),
       s"frac=$frac is below the k=$k summary's noise floor 1/(k+1)")
-    val partials = dedupReplays(spark.read.parquet(partialsPath))
+    val partials = spark.read.parquet(partialsPath)
     val n = totalN(partials)
     val slack = n.toDouble / (k + 1)
     partials
+      .where(col("item").isNotNull) // null-item rows only carry batch_n
       .groupBy("item")
       .agg(sum(col("cnt")).as("cnt_lb"))
       .withColumn("cnt_ub", (col("cnt_lb") + lit(slack)).cast("double"))

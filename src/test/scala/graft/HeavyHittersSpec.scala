@@ -8,7 +8,8 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.HeavyHitters
 
 /** Streaming MG sketch store: per-batch partials, cross-batch merge
-  * bounds, candidate completeness, and replay absorption. */
+  * bounds, candidate completeness, replay replacement, and the
+  * batch-count accounting edge cases. */
 class HeavyHittersSpec extends SparkSpec {
 
   private def eventJson(id: Long, user: Long): String =
@@ -55,15 +56,51 @@ class HeavyHittersSpec extends SparkSpec {
       assert(lb <= c, s"user $u: lower bound $lb overcounts true $c")
       assert(ub >= c, s"user $u: upper bound $ub undercounts true $c")
     }
+  }
 
-    // replay absorption: re-append byte-identical partial rows (the
-    // at-least-once double-fire) — candidates must not change
-    val before = cand.toSeq
-    val copy = spark.read.parquet(partials)
-    copy.write.mode("append").parquet(partials)
-    val after = HeavyHitters.candidates(spark, partials, k, 0.25)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(after == before, "replayed partials changed the answer")
+  test("replayed block REPLACES its previous write (last write wins)") {
+    import spark.implicits._
+    val partials = tmpDir("hh-replay")
+    val k = 4
+
+    val first: Seq[Long] = Seq.fill(30)(7L) ++ (100L to 109L)
+    HeavyHitters.writeBlock(first.toDF("user_id"), "user_id", k, partials, 0L)
+    // the at-least-once double-fire recomputes the batch; simulate a
+    // recomputation whose summary differs (different partial-merge
+    // order → different sub-threshold survivors / counters)
+    val replay: Seq[Long] = Seq.fill(30)(7L) ++ (100L to 109L)
+    HeavyHitters.writeBlock(
+      replay.reverse.toDF("user_id"), "user_id", k, partials, 0L)
+
+    val stored = spark.read.parquet(partials)
+    // one consistent view: a single block, at most k+ null rows, and n
+    // counted exactly once
+    assert(stored.select("block").distinct().count() == 1)
+    assert(stored.where(col("item").isNotNull).count() <= k)
+    assert(HeavyHitters.totalN(stored) == first.size)
+    // the guaranteed-heavy item survives whichever write won
+    val cand = HeavyHitters.candidates(spark, partials, k, 0.5)
+      .collect().map(_.getLong(0))
+    assert(cand.contains(7L))
+  }
+
+  test("a batch with only null items still contributes its batch_n") {
+    import spark.implicits._
+    val partials = tmpDir("hh-nulls")
+    val k = 4
+    HeavyHitters.writeBlock(
+      Seq.fill(25)(Option.empty[Long]).toDF("user_id"),
+      "user_id", k, partials, 0L)
+    HeavyHitters.writeBlock(
+      (Seq.fill(10)(Some(1L)) ++ Seq.fill(5)(Option.empty[Long]))
+        .toDF("user_id"),
+      "user_id", k, partials, 1L)
+    val stored = spark.read.parquet(partials)
+    assert(HeavyHitters.totalN(stored) == 40,
+      "all-null batch lost its batch_n")
+    val cand = HeavyHitters.candidates(spark, partials, k, 0.21)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.toSeq == Seq((1L, 10L)))
   }
 
   test("noise floor: frac at or below 1/(k+1) is rejected") {
