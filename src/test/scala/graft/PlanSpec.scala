@@ -72,6 +72,15 @@ class PlanSpec extends SparkSpec {
       "CMS probe should broadcast the fixed-size sketch")
   }
 
+  test("MG heavy hitters: candidate pass re-scans behind a broadcast") {
+    // pass 2's exact re-count must semi-filter the fact scan with the
+    // O(k) candidate set broadcast — a shuffle join here would defeat
+    // the sketch (the whole point is never shuffling the distinct keys)
+    val p = plan(graft.queries.EventQueries.mgHeavy)
+    assert(p.contains("BroadcastHashJoin"),
+      "MG candidate filter should broadcast the O(k) candidate set")
+  }
+
   test("quantized top-k plans TakeOrderedAndProject") {
     assert(plan(graft.queries.EmbQueries.quantizedTopK)
       .contains("TakeOrderedAndProject"))
