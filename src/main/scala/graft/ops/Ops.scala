@@ -117,6 +117,17 @@ object Ops {
     decToDouble(round(sum(c.cast("string").cast(DecimalType(38, 25))), 12)) /
       count(lit(1))
 
+  /** Exact, order-insensitive sum for FULL-precision doubles, 0 on an
+    * empty match set — [[avgFloat]]'s shortest-repr-string discipline
+    * (see its note for why a direct decimal cast drifts) with
+    * [[sumIf]]'s ClickHouse empty-set semantics. For conditional use
+    * pass `when(p, x)` — nulls are skipped like SQL SUM.
+    * ([[graft.queries.Sql.sumFloat0]] is the lockstep twin.) */
+  def sumFloat0(c: Column): Column =
+    decToDouble(round(
+      coalesce(sum(c.cast("string").cast(DecimalType(38, 25))),
+        lit(0).cast(DecimalType(38, 25))), 12))
+
   /** Volume-weighted average price for the rows matching `p`
     * (reference: api/server.py:148-149):
     * `sumIf(price*qty, p) / nullIf(sumIf(qty, p), 0)` — null when the

@@ -76,6 +76,12 @@ object Sql {
     d2d(s"round(sum(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,25))), 12)") +
       " / count(*)"
 
+  /** Exact full-precision-double sum, 0 on empty match set — see
+    * [[graft.ops.Ops.sumFloat0]]. */
+  def sumFloat0(expr: String): String =
+    d2d("round(coalesce(sum(CAST(CAST(" + expr +
+      " AS VARCHAR) AS DECIMAL(38,25))), CAST(0 AS DECIMAL(38,25))), 12)")
+
   /** The OHLCV candle select list — see [[graft.ops.Ops.ohlcvAggs]].
     * Single-sourced for the DuckDB oracles AND the Spark SQL entry path
     * ([[graft.api.SqlApi]]) so the candle formula cannot drift. */

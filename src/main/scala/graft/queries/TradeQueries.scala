@@ -866,10 +866,59 @@ object TradeQueries {
       .orderBy("symbol")
   }
 
+  /** ClickHouse `deltaSum` — the positive-delta accumulator for counter /
+    * price series, split into upside and downside variation per symbol
+    * (drawdown's sibling decomposition: net move = up − down). Deltas
+    * are single IEEE subtracts of identical closes (exact cross-engine);
+    * SUMMING them is where engines normally drift (association order),
+    * so the conditional sums run through [[Ops.sumFloat0]]'s
+    * shortest-repr decimal route — order-insensitive, empty-set → 0,
+    * bit-identical in both engines. One shuffle for the candles; the lag
+    * window and final aggregation reuse the symbol partitioning. */
+  val deltaSum: NamedQuery = NamedQuery(
+    "trades_delta_sum",
+    s"""$tradesWith,
+       |c AS (
+       |  SELECT symbol, date_trunc('minute', ts) AS minute,
+       |         max_by(price, ts) AS close
+       |  FROM trades, anchor
+       |  WHERE ts >= t_anchor - INTERVAL 240 MINUTE
+       |  GROUP BY 1, 2
+       |),
+       |d AS (
+       |  SELECT symbol,
+       |         close - lag(close) OVER (PARTITION BY symbol
+       |                                  ORDER BY minute) AS diff
+       |  FROM c
+       |)
+       |SELECT symbol,
+       |       CAST(count(diff) AS BIGINT) AS n_moves,
+       |       ${Sql.sumFloat0("CASE WHEN diff > 0 THEN diff END")}
+       |         AS up_sum,
+       |       ${Sql.sumFloat0("CASE WHEN diff < 0 THEN -diff END")}
+       |         AS down_sum
+       |FROM d
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("symbol").orderBy("minute")
+    windowed(s, d, 240)
+      .groupBy(col("symbol"), Ops.minuteOf(col("ts")).as("minute"))
+      .agg(max_by(col("price"), col("ts")).as("close"))
+      .select(col("symbol"),
+        (col("close") - lag(col("close"), 1).over(w)).as("diff"))
+      .groupBy("symbol")
+      .agg(
+        count(col("diff")).as("n_moves"),
+        Ops.sumFloat0(when(col("diff") > 0, col("diff"))).as("up_sum"),
+        Ops.sumFloat0(when(col("diff") < 0, -col("diff"))).as("down_sum"))
+      .orderBy("symbol")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
     priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,
-    drawdown, ohlcv1h, weightedMedian, twap)
+    drawdown, ohlcv1h, weightedMedian, twap, deltaSum)
 }
