@@ -574,7 +574,9 @@ object EmbQueries {
          |          JOIN exact ON p.vec_id = exact.vec_id)
          |)
          |ORDER BY nprobe""".stripMargin) { (s, d) =>
-      val exact = cosineTopK.run(s, d).select("vec_id")
+      // 10 rows, referenced by BOTH union branches — cached so the
+      // brute-force scan behind it runs once, not per branch
+      val exact = cosineTopK.run(s, d).select("vec_id").cache()
       def probed(q: NamedQuery, nprobe: Int): DataFrame =
         q.run(s, d).select("vec_id")
           .join(exact, "vec_id")

@@ -705,14 +705,14 @@ object EventQueries {
        |ORDER BY n_events DESC, user_id""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val ev = Tables.events(s, d).select("user_id")
+    // n rides along the sketch aggregation — TWO scans total, not three
     val cand = ev
-      .agg(expr(s"graft_mg(user_id, $MgK)").as("cand"))
-      .select(explode(col("cand")).as("user_id"))
-    val total = ev.agg(count(lit(1)).as("total"))
+      .agg(expr(s"graft_mg(user_id, $MgK)").as("cand"),
+        count(lit(1)).as("total"))
+      .select(col("total"), explode(col("cand")).as("user_id"))
     ev.join(broadcast(cand), "user_id")
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"))
-      .crossJoin(broadcast(total))
+      .agg(count(lit(1)).as("n_events"), min(col("total")).as("total"))
       .where(col("n_events") > col("total") / lit(MgK.toDouble))
       .select(col("user_id"), col("n_events"))
       .orderBy(col("n_events").desc, col("user_id"))

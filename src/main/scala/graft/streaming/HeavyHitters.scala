@@ -27,8 +27,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * item). Each block therefore writes to its own `block=<id>` partition
   * directory with overwrite semantics — a replay REPLACES its block
   * wholesale (any replay's summary is a valid summary of that batch, so
-  * last-write-wins preserves every bound), and readers see one
-  * consistent store view. Store growth is O(k · batches); maintenance
+  * last-write-wins preserves every bound); the replacement swaps via
+  * tmp-dir + rename (see [[writeBlock]]), so concurrent readers race
+  * only a rename-width window, not the whole rewrite. Store growth is
+  * O(k · batches); maintenance
   * compaction (merge all blocks into one summed block, MG-reduce to k
   * rows) follows the [[graft.store.Store.compactMonth]] rewrite pattern
   * and is elided here.
@@ -53,13 +55,46 @@ object HeavyHitters {
 
   /** Write one batch's summary as its `block=<id>` partition, replacing
     * any previous write for that block (see class doc: replays must
-    * REPLACE, not append). */
+    * REPLACE, not append). The replacement is a tmp-write + rename swap
+    * with [[graft.store.Store.compactMonth]]'s crash-recovery
+    * discipline — a plain `mode(overwrite)` on the live directory would
+    * delete the old files for the whole duration of the new write,
+    * leaving concurrent readers a wide FileNotFound window; the swap
+    * narrows that to two renames (dot-prefixed staging dirs are
+    * invisible to Spark's file listing). */
   def writeBlock(events: DataFrame, itemCol: String, k: Int,
-                 partialsPath: String, blockId: Long): Unit =
-    partialSummary(events, itemCol, k, blockId)
-      .drop("block") // encoded by the partition directory
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$partialsPath/block=$blockId")
+                 partialsPath: String, blockId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import graft.store.Store.deleteRecursively
+    val target = Paths.get(s"$partialsPath/block=$blockId")
+    val old = Paths.get(s"$partialsPath/.old_block=$blockId")
+    val tmp = s"$partialsPath/.new_block=$blockId"
+    // crash recovery from a previous swap: died mid-swap (old exists,
+    // target missing) → roll back; died post-swap (both exist) → finish
+    // the cleanup so this swap's move cannot collide
+    if (Files.exists(old)) {
+      if (!Files.exists(target)) Files.move(old, target)
+      else deleteRecursively(old)
+    }
+    try {
+      partialSummary(events, itemCol, k, blockId)
+        .drop("block") // encoded by the partition directory
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      if (Files.exists(target)) {
+        Files.move(target, old)
+        try Files.move(Paths.get(tmp), target)
+        catch {
+          case e: Exception =>
+            Files.move(old, target) // roll back to the previous block
+            throw e
+        }
+        deleteRecursively(old)
+      } else Files.move(Paths.get(tmp), target)
+    } finally {
+      if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
+    }
+  }
 
   /** Streaming sink: one MG partial block per micro-batch. */
   def sketchSink(events: DataFrame, itemCol: String, k: Int,

@@ -32,15 +32,17 @@ class HeavyHittersSpec extends SparkSpec {
       (1 to n).map { _ => id += 1; eventJson(id, user) }
     Files.writeString(Paths.get(src, "b1.json"),
       (rows(1L, 60) ++ (100L to 119L).flatMap(rows(_, 1))).mkString("\n"))
-    HeavyHitters.sketchSink(eventStream(src), "user_id", k, partials, ckpt,
-      Trigger.AvailableNow()).awaitTermination(60000)
+    assert(HeavyHitters.sketchSink(eventStream(src), "user_id", k, partials,
+      ckpt, Trigger.AvailableNow()).awaitTermination(120000),
+      "delivery 1 did not finish")
 
     // delivery 2: user 2 surges (50), user 1 keeps going (20), more noise
     Files.writeString(Paths.get(src, "b2.json"),
       (rows(2L, 50) ++ rows(1L, 20) ++ (200L to 219L).flatMap(rows(_, 1)))
         .mkString("\n"))
-    HeavyHitters.sketchSink(eventStream(src), "user_id", k, partials, ckpt,
-      Trigger.AvailableNow()).awaitTermination(60000)
+    assert(HeavyHitters.sketchSink(eventStream(src), "user_id", k, partials,
+      ckpt, Trigger.AvailableNow()).awaitTermination(120000),
+      "delivery 2 did not finish")
 
     val n = HeavyHitters.totalN(spark.read.parquet(partials))
     assert(n == id, s"totalN=$n, streamed=$id")
