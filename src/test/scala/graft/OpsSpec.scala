@@ -104,4 +104,30 @@ class OpsSpec extends SparkSpec {
     assert(once.count() == 2 && twice.count() == 2)
     assert(once.agg(Ops.dsum(col("x"))).collect()(0).getDouble(0) == 3.0)
   }
+
+  test("sumFloat0 is order/partition-insensitive on full-precision doubles") {
+    // values with binary garbage in every bit — plain double summation
+    // over these drifts with association order; the shortest-repr
+    // decimal route must not
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(500)((rnd.nextDouble() - 0.5) * 1e6)
+    def total(seq: Seq[Double], parts: Int): Double =
+      seq.toDF("x").repartition(parts)
+        .agg(Ops.sumFloat0(col("x"))).collect()(0).getDouble(0)
+    val ref = total(xs, 1)
+    for (parts <- Seq(3, 13)) {
+      assert(total(rnd.shuffle(xs), parts) == ref,
+        s"sumFloat0 drifted at parts=$parts")
+    }
+  }
+
+  test("sumFloat0 is 0 on an empty match set — CH sum semantics") {
+    val df = Seq(1.5, -2.5).toDF("x")
+    val out = df.agg(
+      Ops.sumFloat0(when(col("x") > 100, col("x"))).as("none"),
+      Ops.sumFloat0(when(col("x") > 0, col("x"))).as("some"))
+      .collect()(0)
+    assert(out.getDouble(0) == 0.0)
+    assert(out.getDouble(1) == 1.5)
+  }
 }
