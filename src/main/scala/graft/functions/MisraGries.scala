@@ -1,6 +1,7 @@
 package graft.functions
 
 import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
 
@@ -10,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Misra-Gries frequent-items summary — the mergeable-sketch engine
   * behind a ClickHouse-`topK`-style heavy-hitters query. Keeps at most
@@ -30,7 +32,12 @@ import org.apache.spark.sql.types._
   * task, O(k·tasks) shuffled bytes, where an exact group-by would
   * shuffle every distinct item.
   *
-  * Null inputs are ignored (SQL aggregate convention).
+  * Items may be integral (int/long, normalized to long) or strings (the
+  * dashboard "top symbols" shape); the result element type follows the
+  * input. Null inputs are ignored (SQL aggregate convention). Internal
+  * keys are boxed in a k-bounded map — the capacity work is O(k) either
+  * way, so the generic map costs nothing the sketch's own decrement
+  * pass doesn't already pay.
   */
 case class MisraGries(
     child: Expression,
@@ -38,7 +45,7 @@ case class MisraGries(
     withCounts: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.LongMap[Long]] {
+    extends TypedImperativeAggregate[mutable.HashMap[Any, Long]] {
 
   require(k > 0, s"graft_mg: k must be positive, got $k")
 
@@ -46,10 +53,17 @@ case class MisraGries(
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case LongType | IntegerType | StringType =>
+        TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"graft_mg expects a long/int item, got $t")
+        s"graft_mg expects a long/int/string item, got $t")
     }
+
+  private def isString: Boolean = child.dataType == StringType
+
+  /** Result element type: strings stay strings, integrals normalize to
+    * long. */
+  private def idType: DataType = if (isString) StringType else LongType
 
   /** `graft_mg`: candidate ids only (see class doc). `graft_mg_pairs`
     * (`withCounts`): (id, cnt) structs — the MERGEABLE partial form for
@@ -59,36 +73,42 @@ case class MisraGries(
   override def dataType: DataType =
     if (withCounts)
       ArrayType(StructType(Seq(
-        StructField("id", LongType, nullable = false),
+        StructField("id", idType, nullable = false),
         StructField("cnt", LongType, nullable = false))),
         containsNull = false)
-    else ArrayType(LongType, containsNull = false)
+    else ArrayType(idType, containsNull = false)
 
   override def nullable: Boolean = false
 
   override def prettyName: String =
     if (withCounts) "graft_mg_pairs" else "graft_mg"
 
-  override def createAggregationBuffer(): mutable.LongMap[Long] =
-    mutable.LongMap.empty[Long]
+  override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
+    mutable.HashMap.empty[Any, Long]
 
   /** The one MG reduction both paths share: subtract `amount` from every
     * counter, drop the non-positive — update's decrement-all and merge's
     * cut-subtraction must stay in lockstep or the two error accountings
     * silently diverge. */
-  private def subtractAndPrune(buf: mutable.LongMap[Long],
+  private def subtractAndPrune(buf: mutable.HashMap[Any, Long],
                                amount: Long): Unit = {
-    val dead = mutable.ArrayBuffer.empty[Long]
+    val dead = mutable.ArrayBuffer.empty[Any]
     buf.mapValuesInPlace((_, c) => c - amount)
     buf.foreach { case (i, c) => if (c <= 0L) dead += i }
     dead.foreach(buf.remove)
   }
 
-  override def update(buf: mutable.LongMap[Long],
-                      input: InternalRow): mutable.LongMap[Long] = {
+  override def update(buf: mutable.HashMap[Any, Long],
+                      input: InternalRow): mutable.HashMap[Any, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val item = v.asInstanceOf[Number].longValue()
+      val item: Any = v match {
+        // UTF8String may be a reused buffer view — copy to an immutable
+        // key; integrals normalize so int and long inputs summarize alike
+        case s: UTF8String => s.toString
+        case n: Number => n.longValue()
+        case other => other
+      }
       if (buf.contains(item)) buf(item) += 1L
       else if (buf.size < k) buf(item) = 1L
       else
@@ -100,8 +120,9 @@ case class MisraGries(
     buf
   }
 
-  override def merge(buf: mutable.LongMap[Long],
-                     other: mutable.LongMap[Long]): mutable.LongMap[Long] = {
+  override def merge(buf: mutable.HashMap[Any, Long],
+                     other: mutable.HashMap[Any, Long])
+      : mutable.HashMap[Any, Long] = {
     other.foreach { case (i, c) => buf(i) = buf.getOrElse(i, 0L) + c }
     if (buf.size > k)
       // subtract the (k+1)-th largest counter from everything — the
@@ -112,29 +133,59 @@ case class MisraGries(
     buf
   }
 
+  private def sortedKeys(buf: mutable.HashMap[Any, Long]): Array[Any] =
+    if (isString) buf.keys.toArray.map(_.asInstanceOf[String]).sorted
+      .map(s => UTF8String.fromString(s).asInstanceOf[Any])
+    else buf.keys.toArray.map(_.asInstanceOf[Long]).sorted
+      .map(_.asInstanceOf[Any])
+
   /** Candidate ids ascending; with `withCounts`, (id, cnt) structs in
     * the same id order. */
-  override def eval(buf: mutable.LongMap[Long]): Any = {
-    val ids = buf.keys.toArray.sorted
+  override def eval(buf: mutable.HashMap[Any, Long]): Any = {
+    val ids = sortedKeys(buf)
     if (withCounts)
-      new GenericArrayData(ids.map(i =>
-        org.apache.spark.sql.catalyst.InternalRow(i, buf(i))
-          .asInstanceOf[Any]))
+      new GenericArrayData(ids.map { i =>
+        val key: Any = i match {
+          case u: UTF8String => u.toString
+          case other => other
+        }
+        InternalRow(i, buf(key)).asInstanceOf[Any]
+      })
     else new GenericArrayData(ids)
   }
 
-  override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    buf.foreach { case (i, c) => bb.putLong(i); bb.putLong(c) }
-    bb.array()
-  }
+  override def serialize(buf: mutable.HashMap[Any, Long]): Array[Byte] =
+    if (isString) {
+      val entries = buf.toArray.map { case (i, c) =>
+        (i.asInstanceOf[String].getBytes(StandardCharsets.UTF_8), c)
+      }
+      val bb = ByteBuffer.allocate(
+        4 + entries.map(e => 4 + e._1.length + 8).sum)
+      bb.putInt(entries.length)
+      entries.foreach { case (bytes, c) =>
+        bb.putInt(bytes.length); bb.put(bytes); bb.putLong(c)
+      }
+      bb.array()
+    } else {
+      val bb = ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      buf.foreach { case (i, c) =>
+        bb.putLong(i.asInstanceOf[Long]); bb.putLong(c)
+      }
+      bb.array()
+    }
 
-  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Long] = {
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Any, Long] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf(bb.getLong) = bb.getLong)
+    if (isString) (0 until n).foreach { _ =>
+      val len = bb.getInt
+      val strBytes = new Array[Byte](len)
+      bb.get(strBytes)
+      buf(new String(strBytes, StandardCharsets.UTF_8)) = bb.getLong
+    }
+    else (0 until n).foreach(_ => buf(bb.getLong) = bb.getLong)
     buf
   }
 

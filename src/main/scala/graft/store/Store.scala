@@ -189,6 +189,17 @@ object Store {
     val root = Paths.get(path)
     if (!Files.exists(root)) Seq.empty
     else {
+      // FIRST, finish any compaction that died mid-swap — a month whose
+      // only copy is stuck under .old_month=<m> is invisible to readers
+      // AND would be invisible to the month= filter below, making it
+      // unexpirable forever (the TTL/compliance failure mode). Stale
+      // staging dirs are pure garbage.
+      listDir(root).foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(".old_month="))
+          recoverSwap(path, n.stripPrefix(".old_"))
+        else if (n.startsWith(".stage_month=")) deleteRecursively(p)
+      }
       val dropped = listDir(root)
         .filter(p => p.getFileName.toString.startsWith("month="))
         .filter(p => p.getFileName.toString.stripPrefix("month=") < cutoffMonth)
@@ -203,47 +214,69 @@ object Store {
     * periodic maintenance job over recent months; at 100 TB, compact per
     * partition (bounded work) and swap directories atomically at the
     * orchestration layer. */
-  def compactMonth(spark: SparkSession, path: String, month: String): Unit = {
-    val dir = s"$path/month=$month"
-    val target = Paths.get(dir)
-    val old = Paths.get(s"$path/.old_month=$month")
-    // CRASH RECOVERY first — a previous run may have died mid-swap:
-    //  - old exists, target missing: died between the two moves; the
-    //    month's only copy is the dot-prefixed dir Spark readers ignore
-    //    — roll BACK so the partition is visible again (and a fresh
-    //    compaction can rerun from scratch)
-    //  - old exists, target exists: died after the swap, before cleanup
-    //    — the compacted copy is live; just finish the cleanup (leaving
-    //    old in place would also make the next swap's move throw)
+  /** Crash recovery for [[swapDirectory]] — callable on its own by
+    * maintenance jobs (retention runs it for every month): a previous
+    * swap may have died between its two moves.
+    *  - old exists, target missing: died mid-swap; the dir's only copy
+    *    is the dot-prefixed backup Spark readers ignore — roll BACK so
+    *    it is visible again (a fresh swap can rerun from scratch)
+    *  - old exists, target exists: died after the swap, before cleanup
+    *    — the new copy is live; just finish the cleanup (leaving the
+    *    backup in place would also make the next swap's move throw) */
+  def recoverSwap(path: String, dirName: String): Unit = {
+    val target = Paths.get(s"$path/$dirName")
+    val old = Paths.get(s"$path/.old_$dirName")
     if (Files.exists(old)) {
       if (!Files.exists(target)) Files.move(old, target)
       else deleteRecursively(old)
     }
-    if (Files.exists(target)) {
-      val tmp = s"$path/.compact_month=$month"
-      try {
-        spark.read.parquet(dir)
+  }
+
+  /** Crash-safe replacement of `path/dirName`: `stage` writes the new
+    * content to a dot-prefixed staging dir (invisible to Spark's file
+    * listing), then the live dir swaps out via a `.old_` backup in two
+    * renames. Every crash window is covered: before the swap the live
+    * dir is untouched, mid-swap [[recoverSwap]] rolls back, post-swap it
+    * finishes the cleanup; a failed final move rolls back in place.
+    * Concurrent readers race only the rename pair, never the staging
+    * write. ONE audited implementation — compaction and the streaming
+    * block stores all swap through here. */
+  def swapDirectory(path: String, dirName: String)(
+      stage: String => Unit): Unit = {
+    recoverSwap(path, dirName)
+    val target = Paths.get(s"$path/$dirName")
+    val old = Paths.get(s"$path/.old_$dirName")
+    val tmp = s"$path/.stage_$dirName"
+    try {
+      stage(tmp)
+      if (Files.exists(target)) {
+        // the live dir is only removed AFTER the new copy is staged;
+        // deleting first would make it vanish if the final move failed
+        Files.move(target, old)
+        try Files.move(Paths.get(tmp), target)
+        catch {
+          case e: Exception =>
+            Files.move(old, target) // roll back to the previous copy
+            throw e
+        }
+        deleteRecursively(old)
+      } else Files.move(Paths.get(tmp), target)
+    } finally {
+      // never leave a stale staging dir behind on failure
+      if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
+    }
+  }
+
+  def compactMonth(spark: SparkSession, path: String, month: String): Unit = {
+    recoverSwap(path, s"month=$month")
+    if (Files.exists(Paths.get(s"$path/month=$month"))) {
+      swapDirectory(path, s"month=$month") { tmp =>
+        spark.read.parquet(s"$path/month=$month")
           .repartition(1)
           .sortWithinPartitions("ts", "symbol", "trade_id")
           .write.mode(SaveMode.Overwrite)
           .option("compression", "zstd")
           .parquet(tmp)
-        // swap order matters: the live partition is only removed AFTER
-        // the compacted copy is in place under a visible name, and every
-        // crash window is covered by the recovery block above (mid-swap
-        // → roll back; post-swap → cleanup); deleting first would make
-        // the month vanish if the final move failed.
-        Files.move(target, old)
-        try Files.move(Paths.get(tmp), target)
-        catch {
-          case e: Exception =>
-            Files.move(old, target) // roll back to the uncompacted copy
-            throw e
-        }
-        deleteRecursively(old)
-      } finally {
-        // never leave a stale temp dir behind on failure
-        if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
       }
     }
   }
@@ -297,6 +330,16 @@ object Store {
       if (Files.exists(manifest))
         Files.readAllLines(manifest).asScala.filter(_.nonEmpty).map { l =>
           l.split("\t", 3) match {
+            case Array(v, name, Pending) if v.forall(_.isDigit) =>
+              // a previous run recorded intent and died before recording
+              // completion — whether apply() ran to the end is UNKNOWABLE
+              // here, and silently re-running a non-idempotent step would
+              // duplicate its side effects. Fail stop, like Flyway's
+              // failed-migration state: a human verifies the step's
+              // effects and deletes (or completes) the line.
+              throw new IllegalStateException(
+                s"migration V$v ($name) was interrupted mid-apply — " +
+                  s"verify its effects, repair $manifest, then re-run")
             case Array(v, _, sum) if v.forall(_.isDigit) => v.toInt -> sum
             case _ => throw new IllegalStateException(
               s"corrupt migration manifest $manifest: line '$l' — " +
@@ -313,13 +356,34 @@ object Store {
           throw new IllegalStateException(
             s"migration V${m.version} (${m.name}) changed after being applied")
         case None =>
-          m.apply(spark)
+          // intent line BEFORE apply: a crash between apply and the
+          // completion record must be detected on the next run (the
+          // Pending branch above), never silently re-applied. Single
+          // concurrent runner assumed, like the reference's migrate.py.
           Files.writeString(manifest,
-            s"${m.version}\t${m.name}\t${m.checksum}\n",
+            s"${m.version}\t${m.name}\t$Pending\n",
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND)
+          m.apply(spark)
+          // completion: rewrite the manifest with the pending line
+          // resolved to the checksum, atomically (tmp + move) so no
+          // crash point leaves a torn manifest
+          val lines = Files.readAllLines(manifest).asScala
+            .filter(_.nonEmpty)
+            .map { l =>
+              if (l == s"${m.version}\t${m.name}\t$Pending")
+                s"${m.version}\t${m.name}\t${m.checksum}"
+              else l
+            }
+          val tmp = Paths.get(warehouse, "_migrations.tsv.tmp")
+          Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+          Files.move(tmp, manifest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           Some(m.version)
       }
     }
   }
+
+  private val Pending = "PENDING"
 }

@@ -134,9 +134,16 @@ object CandlePipeline {
     * affected keys' current rows, re-merge, rewrite. Readers see one
     * final row per key (no read-side merge; [[finalizeCandles]] is the
     * one-projection read path that closes the mergeable decimal volume
-    * into a double), late data still lands correctly. This is the merge-on-write point in the design space
-    * between [[partialSink]] (write-cheap, merge-on-read — the reference)
-    * and [[candleSink]] (watermark-final, drops very-late rows).
+    * into a double), late data still lands correctly. This is the
+    * merge-on-write point in the design space between [[partialSink]]
+    * (write-cheap, merge-on-read — the reference) and [[candleSink]]
+    * (watermark-final, drops very-late rows). A reader CONCURRENT with
+    * a trigger races the swap's rename pair (the data dir is briefly
+    * absent between the two moves, like every rename-swapped store
+    * here — [[graft.store.Store.swapDirectory]]'s note); a reader that
+    * must never observe that window needs a table format with
+    * transactional commits (Delta/Iceberg), which is also the 100 TB
+    * answer below.
     *
     * Scale honesty: the MERGE work is O(touched keys), but this
     * plain-parquet implementation rewrites the whole candle file per

@@ -55,46 +55,19 @@ object HeavyHitters {
 
   /** Write one batch's summary as its `block=<id>` partition, replacing
     * any previous write for that block (see class doc: replays must
-    * REPLACE, not append). The replacement is a tmp-write + rename swap
-    * with [[graft.store.Store.compactMonth]]'s crash-recovery
-    * discipline — a plain `mode(overwrite)` on the live directory would
-    * delete the old files for the whole duration of the new write,
-    * leaving concurrent readers a wide FileNotFound window; the swap
-    * narrows that to two renames (dot-prefixed staging dirs are
-    * invisible to Spark's file listing). */
+    * REPLACE, not append) through the shared crash-safe
+    * [[graft.store.Store.swapDirectory]] — a plain `mode(overwrite)` on
+    * the live directory would delete the old files for the whole
+    * duration of the new write, leaving concurrent readers a wide
+    * FileNotFound window; the swap narrows that to two renames. */
   def writeBlock(events: DataFrame, itemCol: String, k: Int,
-                 partialsPath: String, blockId: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    import graft.store.Store.deleteRecursively
-    val target = Paths.get(s"$partialsPath/block=$blockId")
-    val old = Paths.get(s"$partialsPath/.old_block=$blockId")
-    val tmp = s"$partialsPath/.new_block=$blockId"
-    // crash recovery from a previous swap: died mid-swap (old exists,
-    // target missing) → roll back; died post-swap (both exist) → finish
-    // the cleanup so this swap's move cannot collide
-    if (Files.exists(old)) {
-      if (!Files.exists(target)) Files.move(old, target)
-      else deleteRecursively(old)
-    }
-    try {
+                 partialsPath: String, blockId: Long): Unit =
+    graft.store.Store.swapDirectory(partialsPath, s"block=$blockId") { tmp =>
       partialSummary(events, itemCol, k, blockId)
         .drop("block") // encoded by the partition directory
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp)
-      if (Files.exists(target)) {
-        Files.move(target, old)
-        try Files.move(Paths.get(tmp), target)
-        catch {
-          case e: Exception =>
-            Files.move(old, target) // roll back to the previous block
-            throw e
-        }
-        deleteRecursively(old)
-      } else Files.move(Paths.get(tmp), target)
-    } finally {
-      if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
     }
-  }
 
   /** Streaming sink: one MG partial block per micro-batch. */
   def sketchSink(events: DataFrame, itemCol: String, k: Int,
@@ -127,14 +100,17 @@ object HeavyHitters {
     * exact confirmation pass (the `events_mg_heavy` pattern) is needed.
     * Requires frac > 1/(k+1), the summary's noise floor — below that
     * an empty-summary item could qualify and NO sketch of width k can
-    * answer. One scan of the store: `n` resolves from the same frame
-    * the counters aggregate over (the O(blocks) driver action is the
-    * anchor-resolution pattern, not a hot-path collect). */
+    * answer. The store is read ONCE: the (small, O(k·batches)-row)
+    * partials materialize through an eager local checkpoint, so the
+    * `n` resolution and the returned frame's aggregation both reuse
+    * those rows instead of re-listing/re-reading every block file —
+    * on a long-running store the file listing IS the dominant read
+    * cost. */
   def candidates(spark: SparkSession, partialsPath: String, k: Int,
                  frac: Double): DataFrame = {
     require(frac > 1.0 / (k + 1),
       s"frac=$frac is below the k=$k summary's noise floor 1/(k+1)")
-    val partials = spark.read.parquet(partialsPath)
+    val partials = spark.read.parquet(partialsPath).localCheckpoint(true)
     val n = totalN(partials)
     val slack = n.toDouble / (k + 1)
     partials

@@ -68,13 +68,18 @@ final class StreamManager(name: String) {
   }
 
   private def attachListener(q: StreamingQuery): Unit = {
-    val qid = q.id
+    // match on runId, not id: id is persisted in the checkpoint and thus
+    // IDENTICAL across restarts, so a stale progress event from the
+    // previous query instance still queued on the async listener bus
+    // would pass an id check after start() reset lastSeenBatch and be
+    // counted twice; runId is unique per execution
+    val rid = q.runId
     val l = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.id == qid)
+        if (e.progress.runId == rid)
           record(e.progress.batchId, e.progress.numInputRows)
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()

@@ -42,6 +42,29 @@ class MisraGriesSpec extends SparkSpec {
     assert(candidates(items, 8, 4) == (1L to 5L).toSet)
   }
 
+  test("string items: the dashboard top-symbols shape, same guarantee") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // "BTC" heavy among 400 one-off symbols, k=8 → threshold n/(k+1)=100
+    val items: Seq[String] =
+      Seq.fill(500)("BTC") ++ (1 to 400).map(i => s"ALT$i")
+    val shuffled = new scala.util.Random(11).shuffle(items)
+    val c = shuffled.toDF("symbol").repartition(7)
+      .agg(expr("graft_mg(symbol, 8)").as("c"))
+      .select(explode(col("c")).as("s"))
+      .collect().map(_.getString(0)).toSet
+    assert(c.size <= 8)
+    assert(c.contains("BTC"), s"heavy symbol missing from $c")
+    // pairs form carries counters with the string ids
+    val pairs = shuffled.toDF("symbol")
+      .agg(expr("graft_mg_pairs(symbol, 8)").as("p"))
+      .select(explode(col("p")).as("e"))
+      .select(col("e.id"), col("e.cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val btc = pairs.find(_._1 == "BTC")
+    assert(btc.isDefined && btc.get._2 <= 500 && btc.get._2 > 100)
+  }
+
   test("mg-driven heavy hitters == direct exact group-by + having") {
     val viaMg = EventQueries.mgHeavy.run(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -117,6 +117,50 @@ class StoreSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("202311", "202402"))
   }
 
+  test("retention recovers a crashed compaction, then expires the month") {
+    // a month whose only copy is stuck under .old_month= (compaction
+    // died mid-swap) must still be expirable — otherwise the TTL can
+    // never fire for it (the compliance failure mode)
+    val path = tmpDir("store-ttl-crash")
+    Store.writeTrades(mkTrades(Seq("2023-10", "2024-02")), path,
+      SaveMode.Overwrite)
+    Files.move(Paths.get(path + "/month=202310"),
+      Paths.get(path + "/.old_month=202310"))
+    Files.createDirectory(Paths.get(path + "/.stage_month=202310"))
+    val asOf = java.sql.Timestamp.valueOf("2024-02-20 00:00:00").getTime * 1000L
+    val dropped = Store.retention(spark, path, asOf, retainDays = 90)
+    assert(dropped == Seq("month=202310"))
+    assert(!Files.exists(Paths.get(path + "/.old_month=202310")))
+    assert(!Files.exists(Paths.get(path + "/.stage_month=202310")))
+    // a NON-expired month stuck the same way is recovered, not dropped
+    val p2 = tmpDir("store-ttl-crash2")
+    Store.writeTrades(mkTrades(Seq("2024-02")), p2, SaveMode.Overwrite)
+    Files.move(Paths.get(p2 + "/month=202402"),
+      Paths.get(p2 + "/.old_month=202402"))
+    assert(Store.retention(spark, p2, asOf, retainDays = 90).isEmpty)
+    assert(Store.readTrades(spark, p2).count() == 10,
+      "recovered month should be readable again")
+  }
+
+  test("migrate interrupted mid-apply fails stop on the next run") {
+    val wh = tmpDir("store-mig-crash")
+    var applies = 0
+    val boom = Store.Migration(1, "v1", "create a", _ => {
+      applies += 1
+      throw new RuntimeException("died mid-apply")
+    })
+    intercept[RuntimeException] { Store.migrate(spark, wh, Seq(boom)) }
+    assert(applies == 1)
+    // the intent line is on disk; whether apply's side effects landed is
+    // unknowable — the next run must refuse to silently re-apply
+    val benign = Store.Migration(1, "v1", "create a", _ => applies += 1)
+    val e = intercept[IllegalStateException] {
+      Store.migrate(spark, wh, Seq(benign))
+    }
+    assert(e.getMessage.contains("interrupted mid-apply"))
+    assert(applies == 1, "interrupted migration must not silently re-run")
+  }
+
   test("migrate applies in order once, records manifest, refuses drift") {
     val wh = tmpDir("store-mig")
     var log = List.empty[Int]
