@@ -103,12 +103,22 @@ object GraftFunctions {
   }
 
   /** The shared k-argument contract of the bounded aggregates: a
-    * foldable integer literal (state size must be fixed at plan time). */
+    * foldable INTEGRAL literal in int range (state size must be fixed
+    * at plan time). Fractional or overflowing values are rejected, not
+    * silently truncated — `graft_topk(s, id, 2.9)` flooring to k=2
+    * would run the wrong query without a word. */
   private def literalInt(fn: String, e: Expression): Int = e match {
     case l if l.foldable => l.eval() match {
-      case n: Number => n.intValue()
-      case _ => throw new IllegalArgumentException(
-        s"$fn: k must be a non-null integer literal")
+      case i: java.lang.Integer => i.intValue()
+      case b: java.lang.Byte => b.intValue()
+      case s: java.lang.Short => s.intValue()
+      case n: java.lang.Long =>
+        if (n.longValue() != n.intValue()) throw new IllegalArgumentException(
+          s"$fn: k=$n overflows the int range")
+        n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be a non-null integral literal, got " +
+          (if (other == null) "null" else other.toString))
     }
     case _ => throw new IllegalArgumentException(s"$fn: k must be a literal")
   }

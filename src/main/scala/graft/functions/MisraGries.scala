@@ -133,25 +133,24 @@ case class MisraGries(
     buf
   }
 
-  private def sortedKeys(buf: mutable.HashMap[Any, Long]): Array[Any] =
-    if (isString) buf.keys.toArray.map(_.asInstanceOf[String]).sorted
-      .map(s => UTF8String.fromString(s).asInstanceOf[Any])
-    else buf.keys.toArray.map(_.asInstanceOf[Long]).sorted
-      .map(_.asInstanceOf[Any])
-
   /** Candidate ids ascending; with `withCounts`, (id, cnt) structs in
-    * the same id order. */
+    * the same id order. Entries sort ONCE as (key, cnt) pairs, with one
+    * UTF8String conversion per string key at emission. */
   override def eval(buf: mutable.HashMap[Any, Long]): Any = {
-    val ids = sortedKeys(buf)
+    val entries: Array[(Any, Long)] =
+      if (isString)
+        buf.toArray.map { case (i, c) => (i.asInstanceOf[String], c) }
+          .sortBy(_._1)
+          .map { case (s, c) => (UTF8String.fromString(s): Any, c) }
+      else
+        buf.toArray.map { case (i, c) => (i.asInstanceOf[Long], c) }
+          .sortBy(_._1)
+          .map { case (i, c) => (i: Any, c) }
     if (withCounts)
-      new GenericArrayData(ids.map { i =>
-        val key: Any = i match {
-          case u: UTF8String => u.toString
-          case other => other
-        }
-        InternalRow(i, buf(key)).asInstanceOf[Any]
+      new GenericArrayData(entries.map { case (id, c) =>
+        InternalRow(id, c).asInstanceOf[Any]
       })
-    else new GenericArrayData(ids)
+    else new GenericArrayData(entries.map(_._1))
   }
 
   override def serialize(buf: mutable.HashMap[Any, Long]): Array[Byte] =

@@ -61,72 +61,49 @@ object NanoTsPushdownRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def ns(us: Long): Literal = Literal(us * 1000L, LongType)
+  /** The micros bucket [us] covers nanos [us·1000, us·1000+999] — EVERY
+    * arm's arithmetic reduces to these two bounds, pinned here once. */
+  private def nsLo(us: Long): Literal = Literal(us * 1000L, LongType)
+  private def nsHi(us: Long): Literal = Literal(us * 1000L + 999L, LongType)
 
   /** `x BETWEEN us·1000 AND us·1000+999` — null when `x` is null, like
     * the EqualTo it replaces. */
   private def nsRange(x: Expression, us: Long): Expression =
-    And(GreaterThanOrEqual(x, ns(us)),
-      LessThanOrEqual(x, Literal(us * 1000L + 999L, LongType)))
+    And(GreaterThanOrEqual(x, nsLo(us)), LessThanOrEqual(x, nsHi(us)))
 
+  /** Rewrite `e cmp l` to `mk(x, us)` when `e` is the nano conversion
+    * and `l` a safe timestamp literal; otherwise keep `orig`. */
+  private def rw(e: Expression, l: Literal, orig: Expression)(
+      mk: (Expression, Long) => Expression): Expression =
+    (nanoOfMicrosDiv(e), usOf(l)) match {
+      case (Some(x), Some(us)) => mk(x, us)
+      case _ => orig
+    }
+
+  // every output is normalized to column-on-left; the mirrored
+  // orientations flip the comparator (T cmp e  ⟺  e cmp' T), they do
+  // NOT flip operand order
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val rewritten = cond.transformUp {
-        case c @ EqualTo(e, l: Literal) =>
-          (nanoOfMicrosDiv(e), usOf(l)) match {
-            case (Some(x), Some(us)) => nsRange(x, us)
-            case _ => c
-          }
-        case c @ EqualTo(l: Literal, e) =>
-          (nanoOfMicrosDiv(e), usOf(l)) match {
-            case (Some(x), Some(us)) => nsRange(x, us)
-            case _ => c
-          }
+        case c @ EqualTo(e, l: Literal) => rw(e, l, c)(nsRange)
+        case c @ EqualTo(l: Literal, e) => rw(e, l, c)(nsRange)
         case c @ GreaterThanOrEqual(e, l: Literal) =>
-          (nanoOfMicrosDiv(e), usOf(l)) match {
-            case (Some(x), Some(us)) => GreaterThanOrEqual(x, ns(us))
-            case _ => c
-          }
+          rw(e, l, c)((x, us) => GreaterThanOrEqual(x, nsLo(us)))
         case c @ GreaterThan(e, l: Literal) =>
-          (nanoOfMicrosDiv(e), usOf(l)) match {
-            case (Some(x), Some(us)) =>
-              GreaterThan(x, Literal(us * 1000L + 999L, LongType))
-            case _ => c
-          }
+          rw(e, l, c)((x, us) => GreaterThan(x, nsHi(us)))
         case c @ LessThan(e, l: Literal) =>
-          (nanoOfMicrosDiv(e), usOf(l)) match {
-            case (Some(x), Some(us)) => LessThan(x, ns(us))
-            case _ => c
-          }
+          rw(e, l, c)((x, us) => LessThan(x, nsLo(us)))
         case c @ LessThanOrEqual(e, l: Literal) =>
-          (nanoOfMicrosDiv(e), usOf(l)) match {
-            case (Some(x), Some(us)) =>
-              LessThanOrEqual(x, Literal(us * 1000L + 999L, LongType))
-            case _ => c
-          }
-        // mirrored orientations: T cmp convert(x)  ⟺  convert(x) cmp' T
-        case c @ GreaterThanOrEqual(l: Literal, e) =>
-          (nanoOfMicrosDiv(e), usOf(l)) match {
-            case (Some(x), Some(us)) =>
-              LessThanOrEqual(x, Literal(us * 1000L + 999L, LongType))
-            case _ => c
-          }
-        case c @ GreaterThan(l: Literal, e) =>
-          (nanoOfMicrosDiv(e), usOf(l)) match {
-            case (Some(x), Some(us)) => GreaterThan(ns(us), x)
-            case _ => c
-          }
-        case c @ LessThan(l: Literal, e) =>
-          (nanoOfMicrosDiv(e), usOf(l)) match {
-            case (Some(x), Some(us)) =>
-              LessThan(Literal(us * 1000L + 999L, LongType), x)
-            case _ => c
-          }
-        case c @ LessThanOrEqual(l: Literal, e) =>
-          (nanoOfMicrosDiv(e), usOf(l)) match {
-            case (Some(x), Some(us)) => LessThanOrEqual(ns(us), x)
-            case _ => c
-          }
+          rw(e, l, c)((x, us) => LessThanOrEqual(x, nsHi(us)))
+        case c @ GreaterThanOrEqual(l: Literal, e) => // T ≥ e ⟺ e ≤ T
+          rw(e, l, c)((x, us) => LessThanOrEqual(x, nsHi(us)))
+        case c @ GreaterThan(l: Literal, e) =>        // T > e ⟺ e < T
+          rw(e, l, c)((x, us) => LessThan(x, nsLo(us)))
+        case c @ LessThan(l: Literal, e) =>           // T < e ⟺ e > T
+          rw(e, l, c)((x, us) => GreaterThan(x, nsHi(us)))
+        case c @ LessThanOrEqual(l: Literal, e) =>    // T ≤ e ⟺ e ≥ T
+          rw(e, l, c)((x, us) => GreaterThanOrEqual(x, nsLo(us)))
       }
       if (rewritten.fastEquals(cond)) f else Filter(rewritten, child)
   }

@@ -184,12 +184,17 @@ object Asof {
         spark.experimental.extraStrategies :+ AsofJoinStrategy
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
-    val clash = lPlan.output.map(_.name).toSet
-      .intersect(rPlan.output.map(_.name).toSet)
+    // the clash guard and column lookup must use the SESSION's resolver:
+    // under default case-insensitive resolution a left 'ts' and right
+    // 'TS' would pass an exact-string check here only to make every
+    // downstream select("ts") throw AMBIGUOUS_REFERENCE
+    val resolver = spark.sessionState.conf.resolver
+    val clash = lPlan.output.map(_.name)
+      .filter(l => rPlan.output.exists(r => resolver(l, r.name)))
     require(clash.isEmpty,
       s"asof join requires disjoint column names; clashing: $clash")
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
+      p.output.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(
           s"asof join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
     val lk = leftKeys.map(attr(lPlan, _))
