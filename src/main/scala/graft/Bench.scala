@@ -27,24 +27,39 @@ object Bench {
       q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
 
     val registry = SparkEntry.registry
-    try exec(registry.head) catch { case _: Throwable => () } // warmup
+    try exec(registry.head)
+    catch { case scala.util.control.NonFatal(_) => () } // warmup
 
     // a query that THROWS must be visible in the output — a swallowed
     // failure would register as a suspiciously fast time and read as a
-    // round-over-round speedup
+    // round-over-round speedup. NonFatal only: after an OOM or similar
+    // the JVM is poisoned and every later timing would be garbage
+    // reported as legitimate — better to die with rc != 0.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = registry.map { q =>
       val t0 = System.nanoTime()
       try exec(q) catch {
-        case e: Throwable =>
-          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+        case scala.util.control.NonFatal(e) =>
+          errors(q.name) =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // full JSON string escaping (same contract as Verify.q): any bare
+    // control char in an error message would make the whole bench line
+    // unparseable for the driver
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // r1 subset total keeps round-over-round comparison meaningful as the

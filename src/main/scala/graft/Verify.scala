@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -16,14 +17,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // orphan sweep: a renamed/removed query's dir from a previous round
+    // would otherwise survive in a reused outDir and be compared as if
+    // it were this round's output — the same stale-result hazard the
+    // per-query delete below guards against, one level up
+    val current = SparkEntry.queries.keySet
+    val outRoot = Paths.get(outDir)
+    Files.list(outRoot).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !current(p.getFileName.toString))
+      .foreach(graft.store.Store.deleteRecursively)
     SparkEntry.queries.foreach { case (name, fn) =>
       // remove any previous run's output FIRST: on failure a stale
       // result must not survive to be compared as if it were current
       val target = Paths.get(s"$outDir/$name")
       if (Files.exists(target)) graft.store.Store.deleteRecursively(target)
+      // NonFatal only: a fatal error (OOM) poisons the JVM — dying with
+      // rc != 0 beats emitting half-written results as if valid
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: $e")
         e.getStackTrace.take(8).foreach(f => System.err.println(s"    $f"))
       }

@@ -25,7 +25,13 @@ object SqlApi {
     * Also installs the engine's optimizer rules: SQL-path time filters
     * hit the CONVERTED events timestamp, and
     * [[graft.functions.NanoTsPushdownRule]] is what turns them back into
-    * raw-column bounds the parquet scan can push. */
+    * raw-column bounds the parquet scan can push.
+    *
+    * The views pin each table's FILE LISTING at registration time (the
+    * DataFrame-builder path re-lists per query) — after appending to or
+    * regenerating the corpus under a live session, call [[refreshViews]]
+    * alongside [[graft.Tables.invalidateAnchor]], or the SQL path reads
+    * the old files (or throws FileNotFound for replaced ones). */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     graft.functions.GraftFunctions.installRules(spark)
     Tables.corpusTables.foreach { n =>
@@ -35,6 +41,14 @@ object SqlApi {
     }
     Tables.trades(spark, dir).createOrReplaceTempView("trades")
   }
+
+  /** Re-resolve every registered view's file listing after the corpus
+    * changed on disk — [[registerViews]]'s note. Re-registration (vs
+    * `spark.catalog.refreshTable`) also picks up a changed events
+    * timestamp PHYSICAL type, which alters the view's analyzed plan,
+    * not just its file index. */
+  def refreshViews(spark: SparkSession, dir: String): Unit =
+    registerViews(spark, dir)
 
   /** Execute SQL with named parameters (`:name`). */
   def query(spark: SparkSession, sql: String,

@@ -54,9 +54,12 @@ object Media {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition "codec" init — a real decoder would open here
+      // per-partition "codec" init — a real decoder would open here.
+      // Null payloads (row has no media) are SKIPPED, the relational
+      // analogue of null-propagating scalar decode — one NPE-ing row
+      // must not abort a corpus-wide decode pass.
       val codec = MessageDigest.getInstance("SHA-256")
-      rows.map(r => decodeOne(codec, r))
+      rows.filter(_.payload != null).map(r => decodeOne(codec, r))
     }
   }
 
@@ -100,7 +103,7 @@ object Media {
     import spark.implicits._
     media.mapPartitions { rows =>
       val codec = MessageDigest.getInstance("SHA-256")
-      rows.flatMap { r =>
+      rows.filter(_.payload != null).flatMap { r =>
         val nFrames = (r.payload.length + frameLen - 1) / frameLen
         (0 until nFrames).iterator.filter(_ % stride == 0).map { i =>
           val from = i * frameLen

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructType, TimestampType}
 
 import graft.streaming.TradeIngest
 
@@ -20,18 +21,29 @@ object Readers {
 
   /** CSV with explicit schema: header expected, UTC timestamps,
     * permissive mode (corrupt rows null out, never abort a 100 TB
-    * backfill mid-way). */
-  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read
-      .schema(schema)
+    * backfill mid-way). Timestamp columns read as strings and convert
+    * via the lenient string→timestamp CAST rather than one strict
+    * `timestampFormat`: real exports legitimately vary between
+    * space-separated, ISO-'T', and offset-suffixed renderings (Spark's
+    * own CSV writer emits the 'T' form), and a single strict pattern
+    * would silently null every one of the other shapes. */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val stringized = StructType(schema.map(f =>
+      if (f.dataType == TimestampType) f.copy(dataType = StringType) else f))
+    val raw = spark.read
+      .schema(stringized)
       .option("header", "true")
       // validate the header NAMES against the declared schema instead of
       // binding columns by position: a legitimately exported CSV with a
       // different column order must be REJECTED, not silently misparsed
       .option("enforceSchema", "false")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
       .option("mode", "PERMISSIVE")
       .csv(path)
+    schema.fields.filter(_.dataType == TimestampType)
+      .foldLeft(raw)((df, f) =>
+        df.withColumn(f.name, col(f.name).cast(TimestampType)))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   /** JSON-lines with explicit schema (same contract as the streaming
     * ingest's `from_json`, batch-shaped). */

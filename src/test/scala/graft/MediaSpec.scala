@@ -21,6 +21,16 @@ class MediaSpec extends SparkSpec {
     assert(m.forall(_.media_type == "image/stub"))
   }
 
+  test("null payloads are skipped, not NPE-fatal") {
+    val withNull = Seq(
+      Media.MediaRow(1L, "srcA", "image/stub", "abc".getBytes("UTF-8")),
+      Media.MediaRow(2L, "srcA", "image/stub", null)).toDS()
+    assert(Media.decodeFeatures(withNull).collect().map(_.doc_id).toSeq
+      == Seq(1L))
+    assert(Media.sampleFrames(withNull, frameLen = 2, stride = 1)
+      .collect().forall(_.doc_id == 1L))
+  }
+
   test("decodeFeatures is deterministic and digest-derived") {
     val out = Media.decodeFeatures(Media.mediaFromDocuments(docs))
       .collect().sortBy(_.doc_id)

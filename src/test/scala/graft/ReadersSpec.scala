@@ -79,6 +79,19 @@ class ReadersSpec extends SparkSpec {
     assert(all.where(col("symbol").isNull).count() == 1)
   }
 
+  test("csv accepts both space-separated and ISO-'T'/offset timestamps") {
+    val dir = tmpDir("readers-csv-iso")
+    Files.writeString(Paths.get(dir, "t.csv"),
+      """symbol,trade_id,price,qty,ts,is_buyer_maker
+        |BTC,1,100.5,1.0,2024-01-01T00:00:05.000Z,0
+        |ETH,2,10.25,2.5,2024-01-01 00:01:10,1
+        |""".stripMargin)
+    val rows = Readers.tradesCsv(spark, dir).orderBy("trade_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[java.sql.Timestamp]("ts").getTime == 1704067205000L)
+    assert(rows(1).getAs[java.sql.Timestamp]("ts").getTime == 1704067270000L)
+  }
+
   test("events with TIMESTAMP_NTZ ts normalize to TimestampType, pruned") {
     // parquet written by other engines (e.g. DuckDB) reads back as
     // TIMESTAMP_NTZ; Tables.events must hand downstream the zoned type
