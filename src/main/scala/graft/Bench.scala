@@ -57,7 +57,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => jq(k) + ":" + v }
+    // millisecond precision: a full double repr per query pushed the
+    // round-5 metric line past the driver's log-tail capture (the
+    // BENCH_r05 total came back unparseable) — 83 × ~18 chars of
+    // sub-ms noise carried no information
+    def sec(v: Double): String = // ROOT locale: a comma decimal point would break the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => jq(k) + ":" + sec(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }
       .mkString("{", ",", "}")
@@ -69,7 +75,16 @@ object Bench {
       "trades_count", "trades_latest10", "trades_top10_6h",
       "trades_minute_trend", "trades_candle_merge", "trades_dedup_replay")
     val r1Total = results.filter(r => r1Names(r._1)).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"errors":$errJson,"r1_subset_total":$r1Total}""")
+    // headline fields FIRST so even a truncated tail capture keeps the
+    // total; the per-query map follows
+    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"r1_subset_total":${sec(r1Total)},"queries":$qs,"errors":$errJson}"""
+    println(line)
+    // the whole-file copy survives any log truncation (BENCH_r05 lost its
+    // total to the driver's log-tail capture window)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_metrics.json"))
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
   }
 }

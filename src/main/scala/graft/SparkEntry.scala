@@ -19,9 +19,17 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship shape: per-minute OHLCV over the full trades
-    * window (SURVEY.md §7.3). */
-  def entry(spark: SparkSession): DataFrame =
+    * window (SURVEY.md §7.3).
+    *
+    * The conf-set is the documented fallback for the DRIVER-OWNED smoke
+    * session, which no engine bootstrap has touched: events.parquet's
+    * TIMESTAMP(NANOS) column needs `nanosAsLong` or the scan throws.
+    * Engine-built sessions set it in their builders instead
+    * ([[Verify]]/[[Bench]]/[[Time]]); no loader mutates session state. */
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     TradeQueries.ohlcv1m.run(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -39,15 +39,14 @@ object Tables {
 
   /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects by default; `nanosAsLong` reads it as epoch-nanos
-    * (LongType). The conf is also set in the Verify/Bench session builders;
-    * it is (idempotently) re-set here because the driver smoke-calls
-    * `SparkEntry.entry(spark)` with a session it owns, where no bootstrap
-    * of ours has run.
+    * (LongType). The conf is OWNED by session bootstrap — every
+    * engine-built session (Verify / Bench / Time / Explain / tests) sets
+    * it in its builder, and the one externally-owned session (the
+    * driver's smoke session) is patched in [[SparkEntry.entry]]. Loaders
+    * must not mutate session state per call.
     */
-  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-  }
 
   /** Events with `ts` as TimestampType (microseconds, floor-truncated from
     * nanos — matching the DuckDB oracles' `CAST(ts AS TIMESTAMP)`).

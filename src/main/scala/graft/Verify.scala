@@ -23,9 +23,16 @@ object Verify {
     // per-query delete below guards against, one level up
     val current = SparkEntry.queries.keySet
     val outRoot = Paths.get(outDir)
-    Files.list(outRoot).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !current(p.getFileName.toString))
-      .foreach(graft.store.Store.deleteRecursively)
+    // close the listing stream (an open directory fd would leak for the
+    // rest of the driver run) BEFORE deleting what it returned
+    val stale = {
+      val s = Files.list(outRoot)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !current(p.getFileName.toString))
+        .toList
+      finally s.close()
+    }
+    stale.foreach(graft.store.Store.deleteRecursively)
     SparkEntry.queries.foreach { case (name, fn) =>
       // remove any previous run's output FIRST: on failure a stale
       // result must not survive to be compared as if it were current

@@ -575,8 +575,10 @@ object EmbQueries {
          |)
          |ORDER BY nprobe""".stripMargin) { (s, d) =>
       // 10 rows, referenced by BOTH union branches — cached so the
-      // brute-force scan behind it runs once, not per branch
-      val exact = cosineTopK.run(s, d).select("vec_id").cache()
+      // brute-force scan behind it runs once, not per branch; memoized
+      // per (session, dir) so repeated builder invocations (bench loops)
+      // reuse ONE cache entry instead of stacking new ones
+      val exact = exactTopMemo(s, d)
       def probed(q: NamedQuery, nprobe: Int): DataFrame =
         q.run(s, d).select("vec_id")
           .join(exact, "vec_id")
@@ -586,6 +588,27 @@ object EmbQueries {
       probed(ivfTopK, 1).unionAll(probed(ivfMultiprobe, 3))
         .orderBy("nprobe")
     }
+  }
+
+  // Weak-keyed by session (entries die with their session), one cached
+  // frame per corpus dir: the recall harness's exact-top-10 anchor.
+  // Without the memo each builder invocation called .cache() on a fresh
+  // lineage — Spark's CacheManager dedupes identical plans, but the
+  // memo makes the reuse explicit and bounded (≤ 1 entry per dir).
+  private val exactCache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def exactTopMemo(s: SparkSession, d: String): DataFrame = {
+    val perSession = exactCache.synchronized {
+      var m = exactCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        exactCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(d,
+      _ => cosineTopK.run(s, d).select("vec_id").cache())
   }
 
   val all: Seq[NamedQuery] = Seq(

@@ -187,11 +187,18 @@ object EventQueries {
       .orderBy("event_type")
   }
 
-  /** User retention across the two halves of the event range — set
-    * operations (INTERSECT / EXCEPT) over distinct user sets: users
-    * active in both halves, early-only, and late-only. Set ops hash-
-    * partition on the full row (here one near-unique key) — the standard
-    * scalable formulation. */
+  /** User retention across the two halves of the event range. The oracle
+    * keeps the set-operation formulation (INTERSECT / EXCEPT over distinct
+    * user sets — the set-op OPERATORS stay covered by
+    * [[cohortSetOps]]); the engine computes the same three counts in ONE
+    * fact scan: `groupBy(user_id).agg(min(us), max(us))` classifies each
+    * user against the broadcast range midpoint (a user was active early
+    * iff their FIRST event is before it, late iff their LAST is at/after
+    * it), then one conditional aggregation folds the booleans to counts.
+    * The round-5 set-op version re-read the fact table 4–6×; here the
+    * per-user aggregate's shuffle exchange is shared by the bounds branch
+    * (same canonical subtree → ReuseExchange), so `events` is scanned
+    * once and the shuffle carries one (min,max) pair per user. */
   val userRetention: NamedQuery = NamedQuery(
     "events_user_retention",
     """WITH b AS (
@@ -211,20 +218,24 @@ object EventQueries {
       |  (SELECT count(*) FROM (SELECT * FROM early INTERSECT SELECT * FROM late)) AS n_retained,
       |  (SELECT count(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)) AS n_churned,
       |  (SELECT count(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)) AS n_new""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d).select(col("user_id"),
-      unix_micros(col("ts")).as("us"))
-    // the midpoint resolves INSIDE the plan (1-row bounds aggregate,
-    // broadcast) — no eager driver action per builder invocation, and
-    // nothing here needs scan pruning since both halves read everything
-    val bounds = e.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
-    val tagged = e.crossJoin(broadcast(bounds))
-    val early = tagged.where(col("us") < (col("t0") + col("t1")) / 2)
-      .select("user_id").distinct()
-    val late = tagged.where(col("us") >= (col("t0") + col("t1")) / 2)
-      .select("user_id").distinct()
-    early.intersect(late).agg(count(lit(1)).as("n_retained"))
-      .crossJoin(early.except(late).agg(count(lit(1)).as("n_churned")))
-      .crossJoin(late.except(early).agg(count(lit(1)).as("n_new")))
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    // global bounds derive from the per-user extrema (min of firsts ==
+    // global min, max of lasts == global max), so the bounds branch is a
+    // re-aggregation of the SAME per-user exchange, not a second scan
+    val bounds = perUser
+      .agg(min(col("first_us")).as("t0"), max(col("last_us")).as("t1"))
+    // double midpoint, matching the oracle's (t0+t1)/2 double division
+    val mid = (col("t0") + col("t1")) / 2
+    val early = col("first_us") < mid
+    val late = col("last_us") >= mid
+    perUser.crossJoin(broadcast(bounds))
+      .agg(
+        count(when(early && late, 1)).as("n_retained"),
+        count(when(early && !late, 1)).as("n_churned"),
+        count(when(!early && late, 1)).as("n_new"))
   }
 
   /** Shared oracle for both as-of formulations — DuckDB's native
@@ -362,13 +373,16 @@ object EventQueries {
 
   /** ClickHouse-style `windowFunnel`: per user, the deepest prefix of the
     * step chain view → click → purchase completed IN ORDER within 24 h of
-    * the first step, reported as users-reaching-depth counts. Step
-    * anchors resolve as chained conditional MIN aggregates (t1 = first
-    * view; t2 = first click ≥ t1; t3 = first purchase ≥ t2, both within
-    * the window), so each level is one hash aggregation on user_id —
-    * never a per-user sequence scan materialized driver-side, and the
-    * per-level frames join 1:1 on user_id (broadcastable at any scale
-    * since they shrink monotonically). */
+    * the first step, reported as users-reaching-depth counts. The oracle
+    * keeps the per-stage join formulation (u1 ⋈ u2 ⋈ u3 — an independent
+    * derivation of the semantics); the engine resolves all three step
+    * anchors in ONE fact scan + ONE shuffle: three chained conditional-MIN
+    * window aggregates over the same user_id partitioning (t1 = first
+    * view; t2 = first in-window click ≥ t1; t3 = first purchase in
+    * [t2, t1+24 h]) — consecutive windows over one partitioning share one
+    * exchange, every row of a user carries the same t1/t2/t3, and a final
+    * global conditional count folds them to depth counts. The round-5
+    * version instead re-scanned `events` once per stage. */
   val funnel: NamedQuery = NamedQuery(
     "events_funnel",
     """WITH ev AS (
@@ -398,42 +412,64 @@ object EventQueries {
       |       (SELECT count(*) FROM u2) AS d2_click,
       |       (SELECT count(*) FROM u3) AS d3_purchase""".stripMargin) {
     (s, d) =>
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), col("ts"))
     val windowUs = 24L * 3600L * 1000000L
-    val u1 = ev.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val u2 = ev.where(col("event_type") === "click").as("e")
-      .join(u1, "user_id")
-      .where(col("ts") >= col("t1") &&
-        unix_micros(col("ts")) <= unix_micros(col("t1")) + windowUs)
-      .groupBy("user_id").agg(min(col("ts")).as("t2"))
-    val u3 = ev.where(col("event_type") === "purchase")
-      .join(u1, "user_id").join(u2, "user_id")
-      .where(col("ts") >= col("t2") &&
-        unix_micros(col("ts")) <= unix_micros(col("t1")) + windowUs)
-      .groupBy("user_id").agg(min(col("ts")).as("t3"))
-    u1.agg(count(lit(1)).as("d1_view"))
-      .crossJoin(u2.agg(count(lit(1)).as("d2_click")))
-      .crossJoin(u3.agg(count(lit(1)).as("d3_purchase")))
+    val w = Window.partitionBy("user_id")
+    // each level's condition references the previous level's anchor; a
+    // null anchor nulls the condition, so `when` skips the row and the
+    // deeper anchor stays null — exactly the oracle's inner-join pruning
+    val t1 = min(when(col("event_type") === "view", col("us"))).over(w)
+    val t2 = min(when(col("event_type") === "click" &&
+      col("us") >= col("t1") && col("us") <= col("t1") + windowUs,
+      col("us"))).over(w)
+    val t3 = min(when(col("event_type") === "purchase" &&
+      col("us") >= col("t2") && col("us") <= col("t1") + windowUs,
+      col("us"))).over(w)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("t1", t1)
+      .withColumn("t2", t2)
+      .withColumn("t3", t3)
+      .agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id"))).as("d1_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id"))).as("d2_click"),
+        countDistinct(when(col("t3").isNotNull, col("user_id"))).as("d3_purchase"))
   }
 
   /** Approximate distinct users per event type — HyperLogLog++ sketch
     * (`approx_count_distinct`) beside the exact count. At 100 TB the
     * sketch is the difference between a fixed-size partial aggregate and
-    * a shuffle carrying every distinct key. Registered rows-only: sketch
-    * estimates are deterministic within Spark but no other engine
-    * reproduces them bit-for-bit, so there is no cross-engine oracle by
-    * construction (the exact column is oracle-covered by
-    * `events_user_activity`). */
-  val approxUsers: NamedQuery = NamedQuery.rowsOnly(
-    "events_approx_users") { (s, d) =>
+    * a shuffle carrying every distinct key. No other engine reproduces
+    * HLL estimates bit-for-bit, so the raw estimate cannot be hash-
+    * compared; instead the query is SELF-VALIDATING (the
+    * `emb_ivf_recall` pattern): it emits the oracle-computable exact
+    * columns plus `approx_ok`, an in-query accuracy gate
+    * `|approx − exact| / exact < 0.05` (HLL++ default rsd is 5%; merge
+    * is register-max and order-insensitive, so the flag is
+    * deterministic). The DuckDB twin asserts the flag literally — a
+    * drifting sketch flips it to false and fails the hash compare. */
+  val approxUsers: NamedQuery = NamedQuery(
+    "events_approx_users",
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       count(*) AS n_events,
+      |       TRUE AS approx_ok
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        col("n_events"),
+        when(col("exact_users") === 0, col("approx_users") === 0)
+          .otherwise(abs(col("approx_users") - col("exact_users")) /
+            col("exact_users") < 0.05).as("approx_ok"))
       .orderBy("event_type")
   }
 
@@ -697,14 +733,21 @@ object EventQueries {
     * same answer with a full exact group-by + HAVING. */
   val mgHeavy: NamedQuery = NamedQuery(
     "events_mg_heavy",
-    s"""WITH t AS (SELECT count(*) AS total FROM events)
+    s"""WITH t AS (SELECT count(*) AS total FROM events
+       |           WHERE user_id IS NOT NULL)
        |SELECT user_id, count(*) AS n_events
        |FROM events, t
+       |WHERE user_id IS NOT NULL
        |GROUP BY user_id, t.total
        |HAVING count(*) > t.total / $MgK.0
        |ORDER BY n_events DESC, user_id""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
+    // null guard on BOTH twins: graft_mg drops nulls and the candidate
+    // join can never match one, but the oracle's GROUP BY would emit a
+    // NULL-user group — filter explicitly so a null-bearing corpus can't
+    // diverge (no-op on the current corpus)
     val ev = Tables.events(s, d).select("user_id")
+      .where(col("user_id").isNotNull)
     // n rides along the sketch aggregation — TWO scans total, not three
     val cand = ev
       .agg(expr(s"graft_mg(user_id, $MgK)").as("cand"),

@@ -198,7 +198,16 @@ object Store {
         val n = p.getFileName.toString
         if (n.startsWith(".old_month="))
           recoverSwap(path, n.stripPrefix(".old_"))
-        else if (n.startsWith(".stage_month=")) deleteRecursively(p)
+        else if (n.startsWith(".stage_month=")) {
+          // only reap staging dirs past a grace period: maintenance jobs
+          // are assumed single-runner (like the reference's migrate.py),
+          // but if a compactMonth IS concurrently staging, yanking its
+          // live staging dir would fail that job mid-write for no gain —
+          // a fresh dir is someone's work, an hour-old one is a corpse
+          val age = System.currentTimeMillis() -
+            Files.getLastModifiedTime(p).toMillis
+          if (age > StageGraceMs) deleteRecursively(p)
+        }
       }
       val dropped = listDir(root)
         .filter(p => p.getFileName.toString.startsWith("month="))
@@ -386,4 +395,8 @@ object Store {
   }
 
   private val Pending = "PENDING"
+
+  /** How old a `.stage_*` dir must be before [[retention]] reaps it as
+    * garbage — longer than any sane single-partition compaction write. */
+  private val StageGraceMs: Long = 60L * 60L * 1000L
 }

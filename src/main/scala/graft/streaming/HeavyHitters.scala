@@ -111,6 +111,11 @@ object HeavyHitters {
     require(frac > 1.0 / (k + 1),
       s"frac=$frac is below the k=$k summary's noise floor 1/(k+1)")
     val partials = spark.read.parquet(partialsPath).localCheckpoint(true)
+    // n counts ALL summarized rows (the total-rows invariant) while the
+    // MG summaries only ever held non-null items, so on a null-heavy
+    // stream the n/(k+1) slack is looser than the tight non-null bound —
+    // still VALID (an overestimate of slack can only widen cnt_ub),
+    // just conservative; a non-null row count per block would tighten it
     val n = totalN(partials)
     val slack = n.toDouble / (k + 1)
     partials

@@ -128,4 +128,27 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
       s"count query reads unneeded columns: $readSchema")
   }
+
+  test("funnel resolves all three stages from ONE scan and ONE shuffle") {
+    // the round-5 formulation re-scanned events once per stage; the
+    // window formulation must keep exactly one parquet scan and one
+    // pre-window exchange (three Windows sharing a single sort)
+    val p = plan(graft.queries.EventQueries.funnel)
+    val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+    assert(scans == 1, s"funnel plans $scans events scans, want 1:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) == 3
+      || p.contains("Window"), "funnel lost its window formulation")
+  }
+
+  test("retention's bounds branch reuses the per-user exchange at runtime") {
+    // statically the bounds aggregate and the per-user frame are two
+    // subtrees over the same scan; their exchanges are canonically equal,
+    // so AQE must execute the scan+partial-agg ONCE and feed both from
+    // the same shuffle (the single-scan contract of the rewrite)
+    val df = graft.queries.EventQueries.userRetention.run(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"retention did not reuse the per-user exchange:\n$executed")
+  }
 }

@@ -126,12 +126,23 @@ class StoreSpec extends SparkSpec {
       SaveMode.Overwrite)
     Files.move(Paths.get(path + "/month=202310"),
       Paths.get(path + "/.old_month=202310"))
+    // an ABANDONED staging dir (older than the reap grace period) is
+    // garbage; a FRESH one may be a live compaction's work-in-progress
+    // and must survive the sweep
     Files.createDirectory(Paths.get(path + "/.stage_month=202310"))
+    Files.setLastModifiedTime(Paths.get(path + "/.stage_month=202310"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    Files.createDirectory(Paths.get(path + "/.stage_month=202402"))
     val asOf = java.sql.Timestamp.valueOf("2024-02-20 00:00:00").getTime * 1000L
     val dropped = Store.retention(spark, path, asOf, retainDays = 90)
     assert(dropped == Seq("month=202310"))
     assert(!Files.exists(Paths.get(path + "/.old_month=202310")))
-    assert(!Files.exists(Paths.get(path + "/.stage_month=202310")))
+    assert(!Files.exists(Paths.get(path + "/.stage_month=202310")),
+      "stale staging dir should be reaped")
+    assert(Files.exists(Paths.get(path + "/.stage_month=202402")),
+      "fresh staging dir (possibly a live compaction) must survive")
+    Store.deleteRecursively(Paths.get(path + "/.stage_month=202402"))
     // a NON-expired month stuck the same way is recovered, not dropped
     val p2 = tmpDir("store-ttl-crash2")
     Store.writeTrades(mkTrades(Seq("2024-02")), p2, SaveMode.Overwrite)
