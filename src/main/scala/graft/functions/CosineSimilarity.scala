@@ -182,14 +182,23 @@ object GraftFunctions {
   }
 
   /** Register every engine function (`graft_cosine`, `graft_topk`,
-    * `graft_kmv`, `graft_vec_sum`, `graft_hamming`) on an already-built
-    * session
-    * (idempotent) — the path for driver-owned sessions that can't opt
-    * into [[GraftExtensions]] at build time. */
-  def register(spark: SparkSession): Unit =
+    * `graft_kmv`, `graft_vec_sum`, `graft_hamming`) plus the `graft_asof`
+    * TABLE function — and the planner strategy that makes the latter
+    * executable — on an already-built session (idempotent) — the path
+    * for driver-owned sessions that can't opt into [[GraftExtensions]]
+    * at build time. */
+  def register(spark: SparkSession): Unit = {
     injections.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    val (tid, tinfo, tbuilder) = graft.plans.AsofSql.injection
+    spark.sessionState.tableFunctionRegistry
+      .registerFunction(tid, tinfo, tbuilder)
+    // the TVF emits an AsofJoin logical node; without the strategy the
+    // planner would have no rule for it — registering the SQL surface
+    // implies installing what plans it
+    graft.plans.Asof.installStrategy(spark)
+  }
 
   private[functions] def injections = Seq(
     (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder),
@@ -219,6 +228,7 @@ object GraftFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectTableFunction(graft.plans.AsofSql.injection)
     ext.injectOptimizerRule(_ => MonthPruningRule)
     ext.injectOptimizerRule(_ => NanoTsPushdownRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -51,13 +51,91 @@ final case class AsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsofJoin]] onto [[AsofJoinExec]]. */
+/** Plans [[AsofJoin]] onto [[AsofJoinExec]]. Validates side-ownership and
+  * type agreement HERE so every construction path is covered — the
+  * [[Asof.join]] DataFrame API pre-checks with friendlier errors, but the
+  * SQL path ([[AsofSql]]) builds the node from analyzer-resolved
+  * attributes and reaches planning without those checks. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoin(l, r, lk, rk, lt, rt) =>
+      val lSide = lk :+ lt
+      val rSide = rk :+ rt
+      // a key resolved against the wrong side would fail attribute
+      // binding at execution with an opaque error — or worse, bind by
+      // coincidence; refuse at planning instead
+      require(lSide.forall(_.references.subsetOf(l.outputSet)),
+        "asof join: left keys/time must reference only left-side columns")
+      require(rSide.forall(_.references.subsetOf(r.outputSet)),
+        "asof join: right keys/time must reference only right-side columns")
+      // the exec builds its row orderings from the LEFT side's types and
+      // applies them to BOTH projections — mismatched types would read
+      // wrong slot widths and corrupt comparisons silently
+      lSide.map(_.dataType).zip(rSide.map(_.dataType)).zipWithIndex.foreach {
+        case ((a, b), i) => require(a == b,
+          s"asof join: type mismatch at position $i: $a vs $b " +
+            "(cast the sides to matching types first)")
+      }
       AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
+}
+
+/** SQL surface for the as-of operator — a TABLE-VALUED FUNCTION so plain
+  * `spark.sql` can plan [[AsofJoinExec]] (Spark's parser has no ASOF
+  * JOIN syntax to hook):
+  *
+  * {{{
+  * SELECT * FROM graft_asof('purchases', 'clicks',
+  *                          'user_id', 'c_user', 'ts', 'click_ts')
+  * }}}
+  *
+  * Arguments (all string literals): left/right table or view names
+  * (multipart `db.tbl` accepted), comma-separated key column lists, and
+  * the two time columns. The builder emits [[AsofJoin]] over
+  * `UnresolvedRelation`s with `UnresolvedAttribute` keys; the analyzer
+  * resolves both exactly as it would for a hand-written operator, then
+  * [[AsofJoinStrategy]] (injected via `GraftExtensions` at build time or
+  * `GraftFunctions.register` on a live session) plans the physical
+  * sorted-merge pass. Column names across the two sides must be disjoint
+  * (alias first), same contract as [[Asof.join]]. */
+object AsofSql {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+  import org.apache.spark.sql.types.StringType
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("graft_asof")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[AsofJoin].getName, "graft_asof")
+
+  val builder: Seq[Expression] => LogicalPlan = { children =>
+    require(children.length == 6,
+      "graft_asof expects (left_table, right_table, left_keys, " +
+        s"right_keys, left_time, right_time), got ${children.length} arguments")
+    val argNames = Seq("left_table", "right_table", "left_keys",
+      "right_keys", "left_time", "right_time")
+    def str(i: Int): String = children(i) match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_asof: ${argNames(i)} must be a string literal, got $other")
+    }
+    def rel(i: Int) = UnresolvedRelation(str(i).split('.').toIndexedSeq)
+    def cols(i: Int) = str(i).split(',').toIndexedSeq
+      .map(c => UnresolvedAttribute.quoted(c.trim))
+    val (lk, rk) = (cols(2), cols(3))
+    require(lk.length == rk.length,
+      s"graft_asof: ${lk.length} left keys vs ${rk.length} right keys")
+    AsofJoin(rel(0), rel(1), lk, rk,
+      UnresolvedAttribute.quoted(str(4).trim),
+      UnresolvedAttribute.quoted(str(5).trim))
+  }
+
+  /** The injection triple for `SparkSessionExtensions.injectTableFunction`
+    * / `TableFunctionRegistry.registerFunction`. */
+  def injection: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (identifier, info, builder)
 }
 
 /** Partition-local sorted-merge AS-OF join. Children are hash-clustered
@@ -172,6 +250,13 @@ final case class AsofJoinExec(
 /** DataFrame-level API for the AS-OF join operator. */
 object Asof {
 
+  /** Idempotently install [[AsofJoinStrategy]] on a live session — the
+    * runtime path for sessions not built with `GraftExtensions`. */
+  def installStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+
   /** `left ASOF LEFT JOIN right ON keys AND leftTime >= rightTime`.
     * Column names across the two sides must be disjoint (alias the right
     * side); installs [[AsofJoinStrategy]] on the session if absent. */
@@ -179,9 +264,7 @@ object Asof {
            leftKeys: Seq[String], rightKeys: Seq[String],
            leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    installStrategy(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     // the clash guard and column lookup must use the SESSION's resolver:

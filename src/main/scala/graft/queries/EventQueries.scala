@@ -344,6 +344,35 @@ object EventQueries {
       clickValue = "click_value")
   }
 
+  /** The same attribution query a THIRD way — through the pure SQL
+    * surface: `GraftFunctions.register` injects the `graft_asof`
+    * table-valued function ([[graft.plans.AsofSql]]) and its planner
+    * strategy, the two sides register as temp views, and `spark.sql`
+    * does the rest. Proves the strategy-injection path end-to-end (parse
+    * → analyze → [[graft.plans.AsofJoin]] → [[graft.plans.AsofJoinExec]])
+    * against the same DuckDB ASOF JOIN oracle as its two DataFrame
+    * siblings. Temp-view names are engine-prefixed; re-registration per
+    * invocation is the temp-view idiom (createOrReplace). */
+  val asofSqlPath: NamedQuery = NamedQuery(
+    "events_asof_sql", asofOracle) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables.events(s, d)
+    ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("click_value"))
+      .createOrReplaceTempView("graft_asof_clicks")
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_asof_purchases")
+    attributionStats(
+      s.sql("""SELECT * FROM graft_asof(
+              |  'graft_asof_purchases', 'graft_asof_clicks',
+              |  'user_id', 'c_user', 'ts', 'click_ts')""".stripMargin),
+      clickValue = "click_value")
+  }
+
   /** Day × event-type PIVOT matrix — the relational `pivot` operator with
     * an EXPLICIT value list (an implicit list would cost a distinct-scan
     * to discover columns and make the schema data-dependent — wrong at
@@ -798,6 +827,7 @@ object EventQueries {
 
   val all: Seq[NamedQuery] = Seq(
     sessionization, userActivity, gapfillAsof, propsStats, userRetention,
-    asofAttribution, asofNative, funnel, typePivot, approxUsers, kmvUsers,
-    typeCube, valueBands, cmsHeavy, seqMatch, mgHeavy, cohortSetOps)
+    asofAttribution, asofNative, asofSqlPath, funnel, typePivot,
+    approxUsers, kmvUsers, typeCube, valueBands, cmsHeavy, seqMatch,
+    mgHeavy, cohortSetOps)
 }

@@ -124,4 +124,45 @@ class AsofSpec extends SparkSpec {
       Asof.join(left, right, Seq("k"), Seq("k"), "t", "rt")
     }
   }
+
+  test("SQL path: graft_asof table function plans AsofJoinExec") {
+    // proves the injection path end-to-end: parse → TVF builder →
+    // analyzer-resolved AsofJoin → strategy → physical sorted-merge
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, 5L), (1L, 2L), (2L, 9L)).toDF("k", "t")
+      .createOrReplaceTempView("asof_sql_l")
+    Seq((1L, 3L, 1.5), (2L, 1L, 2.5)).toDF("rk", "rt", "v")
+      .createOrReplaceTempView("asof_sql_r")
+    val df = spark.sql(
+      "SELECT * FROM graft_asof('asof_sql_l', 'asof_sql_r', 'k', 'rk', 't', 'rt')")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+    assert(got == Set(
+      (1L, 5L, Some(1L), Some(3L), Some(1.5)), // match: rt=3 <= t=5
+      (1L, 2L, None, None, None),              // no right row at/before t=2
+      (2L, 9L, Some(2L), Some(1L), Some(2.5))))
+    assert(df.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "SQL-built plan did not use AsofJoinExec")
+  }
+
+  test("SQL path: non-literal and mistyped graft_asof args are refused") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, 5L)).toDF("k", "t").createOrReplaceTempView("asof_sql_l2")
+    Seq((1L, "x", 1.0)).toDF("rk", "rt", "v")
+      .createOrReplaceTempView("asof_sql_r2")
+    // time columns of different types must be refused at planning, not
+    // silently compared through mismatched row orderings
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof('asof_sql_l2', 'asof_sql_r2', " +
+        "'k', 'rk', 't', 'rt')").collect()
+    }
+    assert(e.getMessage.contains("type mismatch"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof('asof_sql_l2', 'asof_sql_r2', " +
+        "'k', 'rk', 't')").collect()
+    }
+    assert(e2.getMessage.contains("graft_asof"))
+  }
 }
