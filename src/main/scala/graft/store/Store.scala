@@ -57,6 +57,11 @@ object Store {
     finally s.close()
   }
 
+  private[graft] def deleteRecursivelyIfExists(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) deleteRecursively(p)
+  }
+
   private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
     val s = Files.list(p)
     try s.iterator().asScala.toSeq

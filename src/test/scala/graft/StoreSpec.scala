@@ -51,6 +51,31 @@ class StoreSpec extends SparkSpec {
     assert(pruned.count() == 10)
   }
 
+  test("windowed read-since prunes: scan metrics show fewer files+bytes") {
+    // the hot-path contract, measured from the EXECUTED plan's scan
+    // metrics rather than the explain string: a readTradesSince window
+    // landing in the last month must read only that month's files
+    val path = tmpDir("store-scan-metrics")
+    Store.writeTrades(mkTrades(Seq("2024-01", "2024-02", "2024-03")), path,
+      SaveMode.Overwrite)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("symbol").agg(count(lit(1)))
+    val full = agg(Store.readTrades(spark, path))
+    full.collect()
+    val (allFiles, allBytes) = graft.store.ScanStats.totals(full)
+    // window cutoff inside March: months 01/02 must be pruned
+    val sinceUs = java.sql.Timestamp.valueOf("2024-03-10 00:00:00")
+      .getTime * 1000L
+    val windowed = agg(Store.readTradesSince(spark, path, sinceUs))
+    windowed.collect()
+    val (winFiles, winBytes) = graft.store.ScanStats.totals(windowed)
+    assert(allFiles >= 3, s"expected >=3 files across months, got $allFiles")
+    assert(winFiles * 3 <= allFiles,
+      s"window read $winFiles of $allFiles files — partitions not pruned")
+    assert(winBytes < allBytes,
+      s"window read $winBytes of $allBytes bytes — no scan reduction")
+  }
+
   test("every physical file is sorted on ts (row-group stats stay sparse)") {
     val path = tmpDir("store-sorted")
     Store.writeTrades(mkTrades(Seq("2024-01")), path, SaveMode.Overwrite)
