@@ -36,14 +36,21 @@ object Bench {
     // the JVM is poisoned and every later timing would be garbage
     // reported as legitimate — better to die with rc != 0.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // median of `reps` runs per query: single-run sub-second deltas proved
+    // indistinguishable from run noise round-over-round (five spurious
+    // "regressions" in r6); spread = max-min makes the noise floor visible
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = registry.map { q =>
-      val t0 = System.nanoTime()
-      try exec(q) catch {
-        case scala.util.control.NonFatal(e) =>
-          errors(q.name) =
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(q) catch {
+          case scala.util.control.NonFatal(e) =>
+            errors(q.name) =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> (times(times.size / 2), times.last - times.head)
     }
     // full JSON string escaping (same contract as Verify.q): any bare
     // control char in an error message would make the whole bench line
@@ -63,28 +70,34 @@ object Bench {
     // sub-ms noise carried no information
     def sec(v: Double): String = // ROOT locale: a comma decimal point would break the JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => jq(k) + ":" + sec(v) }
+    val qs = results.map { case (k, (med, _)) => jq(k) + ":" + sec(med) }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, (_, spr)) => jq(k) + ":" + sec(spr) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2._1).sum
     // r1 subset total keeps round-over-round comparison meaningful as the
     // registry grows (round-1's 24.08s baseline covered these 11 only)
     val r1Names = Set("trades_ohlcv_1m", "trades_top_symbols",
       "trades_live_trades", "trades_live_buy_sell", "trades_hist_buy_sell",
       "trades_count", "trades_latest10", "trades_top10_6h",
       "trades_minute_trend", "trades_candle_merge", "trades_dedup_replay")
-    val r1Total = results.filter(r => r1Names(r._1)).map(_._2).sum
-    // headline fields FIRST so even a truncated tail capture keeps the
-    // total; the per-query map follows
-    val line = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"r1_subset_total":${sec(r1Total)},"queries":$qs,"errors":$errJson}"""
-    println(line)
+    val r1Total = results.filter(r => r1Names(r._1)).map(_._2._1).sum
+    val head = s""""metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"r1_subset_total":${sec(r1Total)},"reps":$reps"""
+    val line = s"""{$head,"queries":$qs,"spread":$spreads,"errors":$errJson}"""
     // the whole-file copy survives any log truncation (BENCH_r05 lost its
     // total to the driver's log-tail capture window)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_metrics.json"))
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line + "\n")
+    println(line)
+    // compact totals-only line LAST: the driver captures the log TAIL, so
+    // the big per-query line gets truncated from the front (r5 lost the
+    // tail-end totals, r6's headline-first variant lost them to front
+    // truncation instead) — a short final line always survives tail capture
+    println(s"{$head}")
     spark.stop()
   }
 }

@@ -121,7 +121,11 @@ object AsofSql {
       case other => throw new IllegalArgumentException(
         s"graft_asof: ${argNames(i)} must be a string literal, got $other")
     }
-    def rel(i: Int) = UnresolvedRelation(str(i).split('.').toIndexedSeq)
+    // real identifier parsing, not split('.'): a backquoted part or a
+    // view name containing a literal dot must survive intact
+    def rel(i: Int) = UnresolvedRelation(
+      org.apache.spark.sql.SparkSession.active.sessionState.sqlParser
+        .parseMultipartIdentifier(str(i)))
     def cols(i: Int) = str(i).split(',').toIndexedSeq
       .map(c => UnresolvedAttribute.quoted(c.trim))
     val (lk, rk) = (cols(2), cols(3))

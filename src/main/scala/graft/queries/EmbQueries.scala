@@ -590,26 +590,29 @@ object EmbQueries {
     }
   }
 
-  // Weak-keyed by session (entries die with their session), one cached
-  // frame per corpus dir: the recall harness's exact-top-10 anchor.
-  // Without the memo each builder invocation called .cache() on a fresh
-  // lineage — Spark's CacheManager dedupes identical plans, but the
-  // memo makes the reuse explicit and bounded (≤ 1 entry per dir).
-  private val exactCache = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  // Bounded FIFO memo keyed by (session, dir): the recall harness's
+  // exact-top-10 anchor, cached once per corpus. NOT weak-keyed — a
+  // cached Dataset strongly references its SparkSession, so a
+  // WeakHashMap's keys could never be collected and the "dies with the
+  // session" story would be a lie. This map states the real contract:
+  // an entry pins its session until FIFO eviction, and eviction
+  // unpersists, so a rewritten corpus dir cannot serve a stale cached
+  // plan forever (≤ ExactCacheMax live entries ever).
+  private val ExactCacheMax = 8
+  private val exactCache =
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
 
-  private def exactTopMemo(s: SparkSession, d: String): DataFrame = {
-    val perSession = exactCache.synchronized {
-      var m = exactCache.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        exactCache.put(s, m)
-      }
-      m
+  private def exactTopMemo(s: SparkSession, d: String): DataFrame =
+    exactCache.synchronized {
+      exactCache.getOrElseUpdate((s, d), {
+        while (exactCache.size >= ExactCacheMax) {
+          val (k, df) = exactCache.head
+          scala.util.Try(df.unpersist())
+          exactCache.remove(k)
+        }
+        cosineTopK.run(s, d).select("vec_id").cache()
+      })
     }
-    perSession.computeIfAbsent(d,
-      _ => cosineTopK.run(s, d).select("vec_id").cache())
-  }
 
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,

@@ -351,24 +351,30 @@ object EventQueries {
     * does the rest. Proves the strategy-injection path end-to-end (parse
     * → analyze → [[graft.plans.AsofJoin]] → [[graft.plans.AsofJoinExec]])
     * against the same DuckDB ASOF JOIN oracle as its two DataFrame
-    * siblings. Temp-view names are engine-prefixed; re-registration per
-    * invocation is the temp-view idiom (createOrReplace). */
+    * siblings. Temp-view names are engine-prefixed AND suffixed with the
+    * corpus-dir hash: two concurrent invocations on one session against
+    * different dirs must not silently read each other's views
+    * (createOrReplace per invocation is still the temp-view idiom). */
   val asofSqlPath: NamedQuery = NamedQuery(
     "events_asof_sql", asofOracle) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d))
+    val clicksView = s"graft_asof_clicks_$tag"
+    val purchasesView = s"graft_asof_purchases_$tag"
     val ev = Tables.events(s, d)
     ev.where(col("event_type") === "click")
       .groupBy("user_id", "ts")
       .agg(max_by(col("value"), col("event_id")).as("click_value"))
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("click_value"))
-      .createOrReplaceTempView("graft_asof_clicks")
+      .createOrReplaceTempView(clicksView)
     ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"))
-      .createOrReplaceTempView("graft_asof_purchases")
+      .createOrReplaceTempView(purchasesView)
     attributionStats(
-      s.sql("""SELECT * FROM graft_asof(
-              |  'graft_asof_purchases', 'graft_asof_clicks',
+      s.sql(s"""SELECT * FROM graft_asof(
+              |  '$purchasesView', '$clicksView',
               |  'user_id', 'c_user', 'ts', 'click_ts')""".stripMargin),
       clickValue = "click_value")
   }
@@ -473,10 +479,12 @@ object EventQueries {
     * compared; instead the query is SELF-VALIDATING (the
     * `emb_ivf_recall` pattern): it emits the oracle-computable exact
     * columns plus `approx_ok`, an in-query accuracy gate
-    * `|approx − exact| / exact < 0.05` (HLL++ default rsd is 5%; merge
-    * is register-max and order-insensitive, so the flag is
-    * deterministic). The DuckDB twin asserts the flag literally — a
-    * drifting sketch flips it to false and fails the hash compare. */
+    * `|approx − exact| / exact < 0.15` — 3× the HLL++ default rsd (5%),
+    * so an estimate landing outside 1σ on a new corpus (a-priori ~1/3
+    * per group) doesn't spuriously fail the whole query; merge is
+    * register-max and order-insensitive, so the flag is deterministic.
+    * The DuckDB twin asserts the flag literally — a drifting sketch
+    * flips it to false and fails the hash compare. */
   val approxUsers: NamedQuery = NamedQuery(
     "events_approx_users",
     """SELECT event_type,
@@ -498,7 +506,7 @@ object EventQueries {
         col("n_events"),
         when(col("exact_users") === 0, col("approx_users") === 0)
           .otherwise(abs(col("approx_users") - col("exact_users")) /
-            col("exact_users") < 0.05).as("approx_ok"))
+            col("exact_users") < 0.15).as("approx_ok"))
       .orderBy("event_type")
   }
 

@@ -136,8 +136,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.queries.EventQueries.funnel)
     val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
     assert(scans == 1, s"funnel plans $scans events scans, want 1:\n$p")
-    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) == 3
-      || p.contains("Window"), "funnel lost its window formulation")
+    // count the details-section operator entries "(N) Window" — the tree
+    // section's "+- " prefixes shift with AQE nesting, the details don't.
+    // Exactly three: one per funnel stage, all fed by the single exchange.
+    val windows = p.linesIterator.count(_.trim.matches("""\(\d+\) Window"""))
+    assert(windows == 3,
+      s"funnel plans $windows Window operators, want 3:\n$p")
   }
 
   test("retention's bounds branch reuses the per-user exchange at runtime") {
