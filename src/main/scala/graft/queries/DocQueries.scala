@@ -115,20 +115,20 @@ object DocQueries {
     (1000039L, 56789L), (1000081L, 13579L), (1000099L, 24680L),
     (1000117L, 86420L), (1000121L, 97531L))
 
-  /** MinHash + LSH near-duplicate detection — the scale path for corpus
-    * dedup: word-3-gram shingles → one 32-bit hash per shingle → 8
-    * affine-permutation minhash signatures → 4 bands of 2 → band-bucket
-    * grouping for candidates → exact shingle-Jaccard verification →
-    * top-20 pairs. Never all-pairs: candidates are generated strictly
-    * inside (band, bucket) groups, so the work is bucket-local at any
-    * scale. */
-  val minhashPairs: NamedQuery = NamedQuery(
-    "docs_minhash_pairs",
-    s"""WITH sh AS (
+  /** The DuckDB CTE chain `sh → hashed → sig → bands → cand` of the
+    * minhash-LSH pipeline, parameterized by the docs source (a SQL
+    * snippet providing `doc_id, text`) so the plain and dedup-first
+    * variants share one definition and cannot drift.
+    *
+    * NOT stripped here: the text keeps its `|` margins and MUST be
+    * embedded inside a stripMargin'd outer literal (stripping twice
+    * would eat the first bar of any line-leading `||` operator). */
+  private def minhashChainDuck(docsSrc: String): String =
+    s"""sh AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, len(t)-1),
        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
-       |  FROM (SELECT doc_id, $tokDuck AS t FROM documents)
+       |  FROM (SELECT doc_id, $tokDuck AS t FROM ($docsSrc))
        |),
        |hashed AS (
        |  SELECT doc_id, shingles,
@@ -140,8 +140,8 @@ object DocQueries {
        |sig AS (
        |  SELECT doc_id, shingles,
        |         [${MinhashPerms.map { case (a, b) =>
-               s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashP))"
-             }.mkString(",\n       |          ")}] AS sig
+             s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashP))"
+           }.mkString(",\n       |          ")}] AS sig
        |  FROM hashed
        |),
        |bands AS (
@@ -155,20 +155,22 @@ object DocQueries {
        |  FROM bands a
        |  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
        |  WHERE a.doc_id < b.doc_id
-       |)
-       |SELECT doc_a, doc_b,
-       |       CAST(len(list_distinct(list_intersect(x.shingles, y.shingles)))
-       |            AS DOUBLE)
-       |       / len(list_distinct(x.shingles || y.shingles)) AS jaccard
-       |FROM cand
-       |JOIN sh x ON x.doc_id = doc_a
-       |JOIN sh y ON y.doc_id = doc_b
-       |ORDER BY jaccard DESC, doc_a, doc_b
-       |LIMIT 20""".stripMargin) { (s, d) =>
-    // Tokenize into a bound column FIRST: `element_at(split(...), i)`
-    // inside the lambda would re-run the regex split once per array
-    // element — O(tokens²) splits per document, ~30× this query's cost.
-    val sh = docs(s, d)
+       |)"""
+
+  /** Same embed-only contract as [[minhashChainDuck]]: margins intact,
+    * outer literal strips. */
+  private val jaccardSelectDuck: String =
+    """CAST(len(list_distinct(list_intersect(x.shingles, y.shingles)))
+      |            AS DOUBLE)
+      |       / len(list_distinct(x.shingles || y.shingles)) AS jaccard"""
+
+  /** Spark side of [[minhashChainDuck]]'s `sh` stage: distinct word-3-gram
+    * shingles from a frame providing (doc_id, text). Tokenize into a
+    * bound column FIRST: `element_at(split(...), i)` inside the lambda
+    * would re-run the regex split once per array element — O(tokens²)
+    * splits per document, ~30× this query's cost. */
+  private def shingleFrame(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), expr(tokSpark).as("t"))
       .select(
         col("doc_id"),
@@ -179,6 +181,11 @@ object DocQueries {
             |              element_at(t, i + 1), ' ',
             |              element_at(t, i + 2))) END)""".stripMargin
             .replace("\n", " ")).as("shingles"))
+
+  /** Verified near-dup pairs (doc_a, doc_b, jaccard) from a shingles
+    * frame — the Spark side of the full LSH chain, unordered/unlimited
+    * so callers can enrich before the top-k cut. */
+  private def minhashVerifiedPairs(sh: DataFrame): DataFrame = {
     // `hs` is bound to a column BEFORE the signature lambdas so the md5 +
     // hex parse run once per shingle, not once per (shingle, permutation).
     val hashed = sh.select(col("doc_id"), col("shingles"),
@@ -222,6 +229,77 @@ object DocQueries {
           .cast("double") /
           size(array_distinct(
             concat(col("x.shingles"), col("y.shingles"))))).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-duplicate detection — the scale path for corpus
+    * dedup: word-3-gram shingles → one 32-bit hash per shingle → 8
+    * affine-permutation minhash signatures → 4 bands of 2 → band-bucket
+    * grouping for candidates → exact shingle-Jaccard verification →
+    * top-20 pairs. Never all-pairs: candidates are generated strictly
+    * inside (band, bucket) groups, so the work is bucket-local at any
+    * scale. */
+  val minhashPairs: NamedQuery = NamedQuery(
+    "docs_minhash_pairs",
+    s"""WITH ${minhashChainDuck("SELECT doc_id, text FROM documents")}
+       |SELECT doc_a, doc_b,
+       |       $jaccardSelectDuck
+       |FROM cand
+       |JOIN sh x ON x.doc_id = doc_a
+       |JOIN sh y ON y.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    minhashVerifiedPairs(shingleFrame(docs(s, d).select("doc_id", "text")))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** Exact-dedup-FIRST near-dup detection — the production pipeline
+    * ordering: collapse byte-identical texts to one representative (min
+    * doc_id, multiplicity retained) BEFORE the LSH pair generator ever
+    * sees them. Why this ordering matters at scale: an exact-duplicate
+    * clique of size m lands in the same LSH buckets and emits m²/2
+    * candidate pairs of jaccard 1.0 — pure waste, since exact dups are
+    * already caught by the O(n) hash groupBy. Deduping first removes
+    * that quadratic term, leaving the pair generator to spend only on
+    * GENUINE near-dups (the measured 10× scale-up collapse is recorded
+    * in COVERAGE.md). The multiplicities ride along so downstream
+    * dedup policies can still weight by copy count. Mirrors the
+    * reference's dedup-before-aggregate discipline
+    * (sql/V1__create_trades_table.sql:13, ReplacingMergeTree). */
+  val dedupThenMinhash: NamedQuery = NamedQuery(
+    "docs_dedup_then_minhash",
+    s"""WITH reps AS (
+       |  SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+       |  FROM documents
+       |  GROUP BY md5(text)
+       |),
+       |${minhashChainDuck(
+          "SELECT r.doc_id, d.text FROM reps r " +
+            "JOIN documents d ON d.doc_id = r.doc_id")}
+       |SELECT doc_a, doc_b,
+       |       ra.n_dups AS dups_a, rb.n_dups AS dups_b,
+       |       $jaccardSelectDuck
+       |FROM cand
+       |JOIN sh x ON x.doc_id = doc_a
+       |JOIN sh y ON y.doc_id = doc_b
+       |JOIN reps ra ON ra.doc_id = doc_a
+       |JOIN reps rb ON rb.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val reps = dd
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select("doc_id", "n_dups")
+    val src = reps.select("doc_id")
+      .join(dd.select("doc_id", "text"), "doc_id")
+    minhashVerifiedPairs(shingleFrame(src))
+      .join(reps.select(col("doc_id").as("ida"), col("n_dups").as("dups_a")),
+        col("ida") === col("doc_a"))
+      .join(reps.select(col("doc_id").as("idb"), col("n_dups").as("dups_b")),
+        col("idb") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dups_a"), col("dups_b"),
+        col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -300,27 +378,39 @@ object DocQueries {
   }
 
   /** SimHash near-dup RANKING — the stage the signature exists for:
-    * docs sharing an 8-bit signature prefix (the standard simhash
-    * blocking key; production runs several bit-rotations of it) pair up
-    * bucket-locally and rank by Hamming distance, computed by the
-    * engine's codegen'd [[graft.functions.HammingDistance]] expression —
-    * one fused byte loop per pair where the built-in spelling would run
-    * interpreted per-character lambdas per candidate. The bucket
-    * collect is sorted by doc_id, so pair order (doc_a < doc_b) falls
-    * out of the array order without a distinct. */
+    * docs sharing an 8-bit signature block pair up bucket-locally and
+    * rank by Hamming distance, computed by the engine's codegen'd
+    * [[graft.functions.HammingDistance]] expression — one fused byte
+    * loop per pair where the built-in spelling would run interpreted
+    * per-character lambdas per candidate. TWO blocking tables (the
+    * standard Manku-style multi-block scheme; each block is an 8-bit
+    * rotation of the signature): block j keys on bits 8j+1..8j+8, and
+    * the candidate sets union — a near-dup whose signatures differ
+    * inside the first byte is still caught by the second block. A pair
+    * found by both blocks counts once (distinct before ranking). The
+    * bucket collect is sorted by doc_id, so pair order (doc_a < doc_b)
+    * falls out of the array order. */
   val simhashHamming: NamedQuery = NamedQuery(
     "docs_simhash_hamming",
     s"""WITH $simhashCteDuck,
        |b AS (
-       |  SELECT doc_id, simhash, substr(simhash, 1, 8) AS bucket FROM sh
+       |  SELECT doc_id, simhash, j,
+       |         substr(simhash, 1 + 8 * CAST(j AS INTEGER), 8) AS bucket
+       |  FROM sh, unnest(range(0, 2)) AS u(j)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |         a.simhash AS sig_a, b2.simhash AS sig_b
+       |  FROM b a
+       |  JOIN b b2 ON a.j = b2.j AND a.bucket = b2.bucket
+       |            AND a.doc_id < b2.doc_id
        |)
-       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |SELECT doc_a, doc_b,
        |       CAST(list_sum(list_transform(range(1, 33),
-       |              i -> CASE WHEN substr(a.simhash, i, 1)
-       |                             <> substr(b2.simhash, i, 1)
+       |              i -> CASE WHEN substr(sig_a, i, 1)
+       |                             <> substr(sig_b, i, 1)
        |                        THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
-       |FROM b a
-       |JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+       |FROM cand
        |ORDER BY hamming, doc_a, doc_b
        |LIMIT 20""".stripMargin) { (s, d) =>
     val pairsOfStructs =
@@ -330,13 +420,18 @@ object DocQueries {
         |                y.doc_id AS doc_b, y.simhash AS sig_b))))"""
         .stripMargin.replace("\n", " ")
     simhashFrames(s, d)
-      .withColumn("bucket", expr("substring(simhash, 1, 8)"))
-      .groupBy("bucket")
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(1))).as("j"))
+      .withColumn("bucket", expr("substring(simhash, 1 + 8 * j, 8)"))
+      .groupBy("j", "bucket")
       .agg(expr("array_sort(collect_list(struct(doc_id, simhash)))").as("xs"))
       .where(size(col("xs")) > 1)
       .select(explode(expr(pairsOfStructs)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        expr("graft_hamming(p.sig_a, p.sig_b)").as("hamming"))
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_hamming(sig_a, sig_b)").as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -1133,9 +1228,100 @@ object DocQueries {
     }
   }
 
+  /** Context-window capacity (tokens) for [[packSequences]] — chosen so
+    * a bin holds ~4-5 synthetic docs (10-100 tokens each). A doc longer
+    * than the capacity is truncated to it (the training-pipeline
+    * convention) so packing always terminates with every doc placed. */
+  private[queries] val PackCapacity = 256
+
+  /** Per-document bin assignment for [[packSequences]] — greedy next-fit
+    * in doc_id order within each lang shard: keep filling the current
+    * bin until the next doc would overflow, then open a new one. The
+    * recurrence is inherently sequential (each bin boundary depends on
+    * every earlier fill), so no window/prefix-sum spelling exists; the
+    * scalable shape is SHARD-LOCAL sequential packing: repartition by
+    * shard, secondary-sort by doc_id, one O(1)-state streaming pass per
+    * shard (`mapPartitions` is the right tool here, same as
+    * multimodal/Media.scala — this is genuine per-partition imperative
+    * logic, not an expression). Bins never cross shards, so shards pack
+    * in parallel; at 100 TB the shard key becomes (lang,
+    * hash(doc_id) % k) to widen parallelism, at the cost of ≤ one
+    * partially-filled bin per extra shard. Exposed to PackSpec, which
+    * property-checks capacity, exactly-once placement, bin contiguity,
+    * and greedy tightness. */
+  private[graft] def packAssignments(
+      s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = PackCapacity.toLong
+    docs(s, d)
+      .select(col("lang"), col("doc_id"),
+        least(expr(s"size($tokSpark)").cast("long"), lit(cap)).as("t"))
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curLang: String = null
+        var fill = 0L
+        var bin = -1L
+        it.map { case (lang, id, t) =>
+          if (lang != curLang) { curLang = lang; fill = 0L; bin = -1L }
+          if (bin < 0L || fill + t > cap) { bin += 1; fill = t }
+          else fill += t
+          (lang, id, t, bin)
+        }
+      }
+      .toDF("lang", "doc_id", "t", "bin")
+  }
+
+  /** Greedy sequence packing — the training-data batching operator:
+    * tokenized docs are packed into fixed-capacity context bins
+    * (next-fit by doc_id, shard = lang), reported per bin. The DuckDB
+    * twin spells the SAME sequential recurrence as a recursive CTE
+    * stepping one doc per lang per iteration — an independent
+    * derivation of identical bin boundaries. Bin utilisation
+    * (bin_tokens vs capacity) is the packing-efficiency readout. */
+  val packSequences: NamedQuery = NamedQuery(
+    "docs_pack_sequences",
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT lang, doc_id,
+       |         least(len($tokDuck), $PackCapacity) AS t,
+       |         row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+       |           AS rn
+       |  FROM documents
+       |),
+       |pack AS (
+       |  SELECT lang, doc_id, t, rn, t AS fill, CAST(0 AS BIGINT) AS bin
+       |  FROM toks WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.lang, s.doc_id, s.t, s.rn,
+       |         CASE WHEN p.fill + s.t > $PackCapacity
+       |              THEN s.t ELSE p.fill + s.t END,
+       |         CASE WHEN p.fill + s.t > $PackCapacity
+       |              THEN p.bin + 1 ELSE p.bin END
+       |  FROM toks s JOIN pack p ON s.lang = p.lang AND s.rn = p.rn + 1
+       |)
+       |SELECT lang, bin,
+       |       count(*) AS n_docs,
+       |       CAST(sum(t) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc,
+       |       max(doc_id) AS last_doc
+       |FROM pack
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    packAssignments(s, d)
+      .groupBy("lang", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("t")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
   val all: Seq[NamedQuery] = Seq(
-    textStats, exactDedup, minhashPairs, simhash, langIdConfusion, quality,
-    fingerprint, normalizedDedup, ngramJaccard, tfidfTop, trainSplit,
-    stratifiedSample, qualityQuartiles, dupClusters, bigramLm,
-    simhashHamming, corpusBuild, containment, langSources, redaction)
+    textStats, exactDedup, minhashPairs, dedupThenMinhash, simhash,
+    langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
+    tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
+    bigramLm, simhashHamming, corpusBuild, containment, langSources,
+    redaction, packSequences)
 }
