@@ -413,11 +413,17 @@ object DocQueries {
        |FROM cand
        |ORDER BY hamming, doc_a, doc_b
        |LIMIT 20""".stripMargin) { (s, d) =>
+    // hamming is computed INSIDE the pair lambda: the cross-block
+    // distinct then shuffles (long, long, int) rows, not pairs dragging
+    // two 32-char signatures — at the dup-heavy 10× corpus the heavier
+    // rows OOM'd an 8 GB driver, the light ones stream fine. distinct on
+    // (doc_a, doc_b, hamming) equals distinct on the pair: hamming is a
+    // pure function of the two docs' signatures.
     val pairsOfStructs =
       """flatten(transform(xs, (x, i) ->
         |  transform(slice(xs, i + 2, size(xs)),
-        |    y -> struct(x.doc_id AS doc_a, x.simhash AS sig_a,
-        |                y.doc_id AS doc_b, y.simhash AS sig_b))))"""
+        |    y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                graft_hamming(x.simhash, y.simhash) AS hamming))))"""
         .stripMargin.replace("\n", " ")
     simhashFrames(s, d)
       .select(col("doc_id"), col("simhash"),
@@ -428,10 +434,8 @@ object DocQueries {
       .where(size(col("xs")) > 1)
       .select(explode(expr(pairsOfStructs)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+        col("p.hamming").as("hamming"))
       .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        expr("graft_hamming(sig_a, sig_b)").as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
   }
