@@ -27,6 +27,15 @@ object TestSession {
       // a shutdown hook removes the temp dir so runs don't litter /tmp
       .config("spark.sql.warehouse.dir", tempWarehouse.toString)
       .config("spark.ui.enabled", "false")
+      // Every stateful streaming suite (sessionization, stream-join,
+      // candle merge, dedup) runs under the RocksDB state store — the
+      // 100 TB deployment choice, since the default HDFS-backed provider
+      // keeps all state on the executor heap while RocksDB spills to
+      // local disk. Parity with the in-memory provider is exactly what
+      // the suites assert: same results under either store.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
