@@ -37,20 +37,26 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object HeavyHitters {
 
-  /** Per-batch MG partial rows `(block, item, cnt, batch_n)`. A batch
-    * with no (non-null) items keeps its `batch_n` through a single
+  /** Per-batch MG partial rows `(block, item, cnt, batch_n, batch_nn)`.
+    * A batch with no (non-null) items keeps its counts through a single
     * null-item row (`explode_outer`) — dropping it would silently
-    * shrink [[totalN]] and every bound derived from it. */
+    * shrink [[totalN]] and every bound derived from it. `batch_n`
+    * counts ALL rows (the total-rows invariant and the frac-threshold
+    * base); `batch_nn` counts only non-null items — the rows the MG
+    * summary actually processed, and therefore the tight base for its
+    * undercount slack (a null never increments or decrements a
+    * counter). */
   def partialSummary(events: DataFrame, itemCol: String, k: Int,
                      blockId: Long): DataFrame = {
     graft.functions.GraftFunctions.register(events.sparkSession)
     events
       .agg(expr(s"graft_mg_pairs($itemCol, $k)").as("s"),
-        count(lit(1)).as("batch_n"))
-      .select(lit(blockId).as("block"), col("batch_n"),
+        count(lit(1)).as("batch_n"),
+        count(col(itemCol)).as("batch_nn"))
+      .select(lit(blockId).as("block"), col("batch_n"), col("batch_nn"),
         explode_outer(col("s")).as("p"))
       .select(col("block"), col("p.id").as("item"), col("p.cnt").as("cnt"),
-        col("batch_n"))
+        col("batch_n"), col("batch_nn"))
   }
 
   /** Write one batch's summary as its `block=<id>` partition, replacing
@@ -91,6 +97,16 @@ object HeavyHitters {
       .agg(coalesce(sum("batch_n"), lit(0L)))
       .head().getLong(0)
 
+  /** Non-null rows summarized — the rows the MG counters actually saw,
+    * and so the TIGHT base for the merged undercount slack: each
+    * block's summary undercounts any item by at most nn_b/(k+1), and
+    * the bound is additive over the merge. */
+  def totalNonNull(partials: DataFrame): Long =
+    partials
+      .select("block", "batch_nn").distinct()
+      .agg(coalesce(sum("batch_nn"), lit(0L)))
+      .head().getLong(0)
+
   /** Heavy-hitter candidates at `frac` of the stream: items whose true
     * count COULD exceed frac·n. `cnt_lb` (summed partial counters) never
     * overcounts; `cnt_ub = cnt_lb + n/(k+1)` never undercounts — so
@@ -111,13 +127,14 @@ object HeavyHitters {
     require(frac > 1.0 / (k + 1),
       s"frac=$frac is below the k=$k summary's noise floor 1/(k+1)")
     val partials = spark.read.parquet(partialsPath).localCheckpoint(true)
-    // n counts ALL summarized rows (the total-rows invariant) while the
-    // MG summaries only ever held non-null items, so on a null-heavy
-    // stream the n/(k+1) slack is looser than the tight non-null bound —
-    // still VALID (an overestimate of slack can only widen cnt_ub),
-    // just conservative; a non-null row count per block would tighten it
+    // Two different row counts, on purpose: the frac threshold is
+    // defined against ALL rows of the stream (n, the total-rows
+    // invariant), while the undercount slack derives from the NON-NULL
+    // rows the summaries actually processed — on a null-heavy stream
+    // n/(k+1) would be needlessly loose and admit junk candidates whose
+    // widened cnt_ub clears the bar only through slack they never earned
     val n = totalN(partials)
-    val slack = n.toDouble / (k + 1)
+    val slack = totalNonNull(partials).toDouble / (k + 1)
     partials
       .where(col("item").isNotNull) // null-item rows only carry batch_n
       .groupBy("item")

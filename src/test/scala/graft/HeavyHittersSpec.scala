@@ -105,6 +105,51 @@ class HeavyHittersSpec extends SparkSpec {
     assert(cand.toSeq == Seq((1L, 10L)))
   }
 
+  test("null-heavy stream: non-null slack strictly shrinks the " +
+    "candidate set, same true answers") {
+    import spark.implicits._
+    val partials = tmpDir("hh-tight")
+    val k = 4
+    // block 0: one genuinely heavy item among mostly-null rows; with a
+    // single distinct item the MG counter is exact (no decrements)
+    HeavyHitters.writeBlock(
+      (Seq.fill(25)(Some(7L)) ++ Seq.fill(70)(Option.empty[Long]))
+        .toDF("user_id"),
+      "user_id", k, partials, 0L)
+    // block 1: exactly k distinct items → no decrements, exact counters;
+    // item 9 is the borderline the loose slack would wrongly admit
+    HeavyHitters.writeBlock(
+      (Seq.fill(4)(9L) ++ Seq(10L, 11L, 12L)).toDF("user_id"),
+      "user_id", k, partials, 1L)
+
+    val stored = spark.read.parquet(partials)
+    val n = HeavyHitters.totalN(stored) // 102 rows
+    val nn = HeavyHitters.totalNonNull(stored) // 32 non-null
+    assert(n == 102 && nn == 32, s"n=$n nn=$nn")
+
+    val frac = 0.21
+    val cand = HeavyHitters.candidates(spark, partials, k, frac)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // tight slack 32/5 = 6.4: only the true heavy hitter qualifies
+    // (7: lb 25, ub 31.4 > 21.42), with an exact lower bound
+    assert(cand.map(_._1).toSeq == Seq(7L), s"tight candidates: ${cand.toSeq}")
+    assert(cand.head._2 == 25L)
+
+    // the OLD all-rows slack (n/(k+1) = 20.4) would have admitted the
+    // borderline item 9 (lb 4, loose ub 24.4 > 21.42): recompute the
+    // loose set from the same store and show the tightening is strict
+    val looseSlack = n.toDouble / (k + 1)
+    val loose = stored
+      .where(col("item").isNotNull)
+      .groupBy("item").agg(sum("cnt").as("cnt_lb"))
+      .where(col("cnt_lb") + looseSlack > frac * n)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose.contains(7L) && loose.contains(9L),
+      s"loose set should admit the borderline item: $loose")
+    assert(cand.map(_._1).toSet.subsetOf(loose) && cand.size < loose.size,
+      "tight set is not a strict subset of the loose set")
+  }
+
   test("noise floor: frac at or below 1/(k+1) is rejected") {
     intercept[IllegalArgumentException] {
       HeavyHitters.candidates(spark, "/nonexistent", 4, 0.2)
