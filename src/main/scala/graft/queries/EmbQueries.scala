@@ -344,48 +344,56 @@ object EmbQueries {
   private def cosDuckD(a: String, b: String) =
     s"${dotDuckD(a, b)} / (sqrt(${dotDuckD(a, a)}) * sqrt(${dotDuckD(b, b)}))"
 
+  /** Shared IVF oracle: coarse-probe `nprobe` cells by centroid cosine,
+    * exact-rank inside the probed cells. */
+  private def ivfOracleSql(nprobe: Int): String =
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id = 0
+       |),
+       |comp AS (
+       |  SELECT label, i AS dim,
+       |         ${Sql.avgFloat(embDimValDuck)} AS m
+       |  $embDimsFromDuck
+       |  GROUP BY 1, 2
+       |),
+       |cents AS (
+       |  SELECT label, list(m ORDER BY dim) AS centroid
+       |  FROM comp GROUP BY 1
+       |),
+       |best AS (
+       |  SELECT label AS cell
+       |  FROM cents, q
+       |  ORDER BY ${cosDuckD("centroid", "qv")} DESC, label
+       |  LIMIT $nprobe
+       |)
+       |SELECT e.vec_id, e.label,
+       |       ${cosDuck("q.qv2", "e.embedding")} AS sim
+       |FROM embeddings e
+       |JOIN best ON e.label = best.cell
+       |CROSS JOIN (SELECT embedding AS qv2 FROM embeddings
+       |            WHERE vec_id = 0) q
+       |WHERE e.vec_id <> 0
+       |ORDER BY sim DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
+  /** The (label, centroid) frame of the coarse quantizer — per-label
+    * exact-decimal dimension means, shared by the inline IVF queries
+    * and the persisted index builder. */
+  private def centroidFrame(s: SparkSession, d: String): DataFrame =
+    embDims(s, d)
+      .groupBy("label", "dim")
+      .agg(Ops.avgFloat(col("v")).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
+        .as("centroid"))
+
   private def ivf(name: String, nprobe: Int): NamedQuery = {
-    NamedQuery(
-      name,
-      s"""WITH q AS (
-         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-         |  FROM embeddings WHERE vec_id = 0
-         |),
-         |comp AS (
-         |  SELECT label, i AS dim,
-         |         ${Sql.avgFloat(embDimValDuck)} AS m
-         |  $embDimsFromDuck
-         |  GROUP BY 1, 2
-         |),
-         |cents AS (
-         |  SELECT label, list(m ORDER BY dim) AS centroid
-         |  FROM comp GROUP BY 1
-         |),
-         |best AS (
-         |  SELECT label AS cell
-         |  FROM cents, q
-         |  ORDER BY ${cosDuckD("centroid", "qv")} DESC, label
-         |  LIMIT $nprobe
-         |)
-         |SELECT e.vec_id, e.label,
-         |       ${cosDuck("q.qv2", "e.embedding")} AS sim
-         |FROM embeddings e
-         |JOIN best ON e.label = best.cell
-         |CROSS JOIN (SELECT embedding AS qv2 FROM embeddings
-         |            WHERE vec_id = 0) q
-         |WHERE e.vec_id <> 0
-         |ORDER BY sim DESC, e.vec_id
-         |LIMIT 10""".stripMargin) { (s, d) =>
+    NamedQuery(name, ivfOracleSql(nprobe)) { (s, d) =>
       val e = emb(s, d)
       val q = e.where(col("vec_id") === 0)
         .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
-      val comp = embDims(s, d)
-        .groupBy("label", "dim")
-        .agg(Ops.avgFloat(col("v")).as("m"))
-      val cents = comp.groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
-          .as("centroid"))
-      val best = cents.crossJoin(broadcast(q))
+      val best = centroidFrame(s, d).crossJoin(broadcast(q))
         .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("label"))
         .limit(nprobe)
         .select(col("label").as("cell"))
@@ -403,6 +411,112 @@ object EmbQueries {
 
   /** Single-probe IVF (nprobe = 1). */
   val ivfTopK: NamedQuery = ivf("emb_ivf_topk", 1)
+
+  /** Persisted IVF index — the ANN analogue of the reference's
+    * materialized-view discipline (sql/V2__create_trades_1m_view.sql:
+    * 16-29): the centroid and assignment frames are computed ONCE per
+    * corpus, written through the store's crash-safe directory swap
+    * ([[graft.store.Store.swapDirectory]]), and read back by every
+    * subsequent probe — instead of re-running the explode-64-dims +
+    * exact-decimal-mean lineage per query. Staleness contract: a meta
+    * marker pins the source file's (size, mtime) fingerprint; a
+    * rewritten corpus mismatches and triggers a rebuild (the validation
+    * the advisor asked of caches generally). Single-writer per process
+    * (`synchronized`); cross-process builds follow the store's
+    * single-maintenance-runner convention. */
+  private object IvfIndex {
+    import java.nio.file.{Files, Paths, Path}
+
+    private def root(d: String): Path = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/ivf_index"),
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d)))
+
+    /** O(1) driver-side source-version probe — file size + mtime of the
+      * embeddings table (a directory fingerprints as child-sum/max). At
+      * 100 TB this is the listing etag, never a data scan. */
+    private def fingerprint(d: String): String = {
+      val p = Paths.get(d, "embeddings.parquet")
+      if (Files.isDirectory(p)) {
+        val kids = Files.list(p).iterator()
+        var size = 0L; var mt = 0L
+        while (kids.hasNext) {
+          val k = kids.next()
+          size += Files.size(k)
+          mt = math.max(mt, Files.getLastModifiedTime(k).toMillis)
+        }
+        s"$size-$mt"
+      } else
+        s"${Files.size(p)}-${Files.getLastModifiedTime(p).toMillis}"
+    }
+
+    def centroids(s: SparkSession, d: String): DataFrame = {
+      ensure(s, d)
+      s.read.parquet(root(d).resolve("centroids").toString)
+    }
+
+    def assignments(s: SparkSession, d: String): DataFrame = {
+      ensure(s, d)
+      s.read.parquet(root(d).resolve("assignments").toString)
+    }
+
+    private def ensure(s: SparkSession, d: String): Unit = synchronized {
+      val r = root(d)
+      val meta = r.resolve("index_meta")
+      val fp = fingerprint(d)
+      val fresh = Files.exists(meta) &&
+        Files.readString(meta).trim == fp &&
+        Files.exists(r.resolve("centroids")) &&
+        Files.exists(r.resolve("assignments"))
+      if (!fresh) {
+        Files.createDirectories(r)
+        if (Files.exists(meta)) Files.delete(meta) // invalidate first
+        graft.store.Store.swapDirectory(r.toString, "centroids") { tmp =>
+          centroidFrame(s, d).write.mode("overwrite").parquet(tmp)
+        }
+        // cell = label in this coarse quantizer (centroids ARE label
+        // means); persisted anyway as its own frame because a k-means
+        // quantizer's assignment is NOT derivable from the row, and the
+        // probe path below must exercise the real index-read shape
+        graft.store.Store.swapDirectory(r.toString, "assignments") { tmp =>
+          emb(s, d).select(col("vec_id"), col("label").as("cell"))
+            .write.mode("overwrite").parquet(tmp)
+        }
+        Files.writeString(meta, fp + "\n")
+        ()
+      }
+    }
+  }
+
+  /** IVF search through the PERSISTED index: probe the stored centroids,
+    * resolve the probed cells' members from the stored assignment frame,
+    * exact-rank only those. Same oracle as [[ivfTopK]] — the index is a
+    * pure materialization, so results are bit-identical; what changes is
+    * the cost profile (no per-query centroid training). The probed-cell
+    * member list broadcasts here; in the 100 TB layout `cell` is the
+    * partition key and the same probe becomes partition pruning. */
+  val ivfPersisted: NamedQuery = NamedQuery(
+    "emb_ivf_persisted", ivfOracleSql(1)) { (s, d) =>
+    val e = emb(s, d)
+    val q = e.where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
+    val best = IvfIndex.centroids(s, d).crossJoin(broadcast(q))
+      .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("label"))
+      .limit(1)
+      .select(col("label").as("probe_cell"))
+    val probed = IvfIndex.assignments(s, d)
+      .join(broadcast(best), col("cell") === col("probe_cell"))
+      .select("vec_id")
+    val q2 = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qv2"))
+    e.where(col("vec_id") =!= 0)
+      .join(broadcast(probed), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q2))
+      .select(col("vec_id"), col("label"),
+        expr(cosSpark("qv2", "embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
 
   /** Multi-probe IVF (nprobe = 3): the standard recall fix for queries
     * landing near cell boundaries — 3× the scored rows of single-probe,
@@ -616,5 +730,5 @@ object EmbQueries {
 
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
-    ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall)
+    ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted)
 }
