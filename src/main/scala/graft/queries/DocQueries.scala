@@ -1322,10 +1322,175 @@ object DocQueries {
       .orderBy("lang", "bin")
   }
 
+  /** Repetition-quality signals (the Gopher/MassiveText filter family,
+    * token-level because this corpus has no line structure): per-doc
+    * duplicate-token fraction and top-bigram occupancy, rolled up per
+    * lang. All cross-row arithmetic is exact-integer (fractions are ONE
+    * division of two BIGINT sums; flags are integer inequalities
+    * `5·top_c ≥ n_bi` — Gopher's 0.20 top-2-gram occupancy threshold —
+    * and `2·n_uniq ≤ n_tok`, never a float threshold),
+    * so both engines agree bit-for-bit. Shape at 100 TB: per-doc work is
+    * map-side; the only shuffle keys on (doc_id, bigram) — near-unique,
+    * skew-free — then collapses to one low-cardinality lang rollup. */
+  val repetition: NamedQuery = NamedQuery(
+    "docs_repetition",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $tokDuck AS t FROM documents
+       |),
+       |base AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(t) AS BIGINT) AS n_tok,
+       |         CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq
+       |  FROM t
+       |),
+       |bg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(t)),
+       |           i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM t
+       |),
+       |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+       |tb AS (
+       |  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bi
+       |  FROM bc GROUP BY 1
+       |)
+       |SELECT lang,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tok) - sum(n_uniq) AS DOUBLE)
+       |         / CAST(sum(n_tok) AS DOUBLE) AS dup_tok_frac,
+       |       CAST(sum(top_c) AS DOUBLE)
+       |         / CAST(sum(n_bi) AS DOUBLE) AS top_bigram_frac,
+       |       CAST(count(*) FILTER (WHERE 5 * top_c >= n_bi) AS BIGINT)
+       |         AS n_rep_flagged,
+       |       CAST(count(*) FILTER (WHERE 2 * n_uniq <= n_tok) AS BIGINT)
+       |         AS n_dupword_flagged
+       |FROM base LEFT JOIN tb USING (doc_id)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("lang"), expr(tokSpark).as("t"))
+    val base = toks.select(col("doc_id"), col("lang"),
+      size(col("t")).cast("long").as("n_tok"),
+      size(array_distinct(col("t"))).cast("long").as("n_uniq"))
+    val bigrams = expr(
+      """CASE WHEN size(t) < 2 THEN array()
+        |ELSE transform(sequence(1, size(t) - 1),
+        |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"""
+        .stripMargin.replace("\n", " "))
+    val tb = toks
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bi"))
+    base.join(tb, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        ((sum(col("n_tok")) - sum(col("n_uniq"))).cast("double") /
+          sum(col("n_tok")).cast("double")).as("dup_tok_frac"),
+        (sum(col("top_c")).cast("double") /
+          sum(col("n_bi")).cast("double")).as("top_bigram_frac"),
+        count(when(col("top_c") * 5 >= col("n_bi"), 1))
+          .as("n_rep_flagged"),
+        count(when(col("n_uniq") * 2 <= col("n_tok"), 1))
+          .as("n_dupword_flagged"))
+      .orderBy("lang")
+  }
+
+  /** Decontamination n-gram length — 13 word-grams, the GPT-3 eval
+    * decontamination convention; docs shorter than 13 tokens carry no
+    * grams and therefore cannot register as contaminated. */
+  private[queries] val ContamN = 13
+
+  /** Train/test contamination check — the eval-integrity operator every
+    * training pipeline runs before holding out a test split: a test doc
+    * is contaminated when it shares at least one word-13-gram with any
+    * train doc. The split is [[trainSplit]]'s deterministic md5 bucket
+    * assignment (b < 8 train, b = 9 test), so membership is a pure
+    * function of doc_id in both engines. Shape at 100 TB: gram sets are
+    * per-doc distinct (map-side), the contamination probe is ONE
+    * semi-join keyed on (lang, gram) — near-unique key, no skew, both
+    * sides prunable to (lang, gram[, doc_id]) columns — then everything
+    * collapses to a per-lang rollup joined on a broadcastable lang dim. */
+  val contamination: NamedQuery = NamedQuery(
+    "docs_contamination",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $tokDuck AS t,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+       |              AS BIGINT) % 10 AS b
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, lang, b,
+       |         CASE WHEN len(t) < $ContamN THEN []
+       |              ELSE list_distinct(list_transform(
+       |                range(1, len(t) - ${ContamN - 2}),
+       |                i -> array_to_string(t[i:i+${ContamN - 1}], ' ')))
+       |         END AS gs
+       |  FROM t
+       |),
+       |tr AS (SELECT DISTINCT lang, unnest(gs) AS gram FROM g WHERE b < 8),
+       |te AS (SELECT DISTINCT lang, doc_id, unnest(gs) AS gram
+       |       FROM g WHERE b = 9),
+       |hit AS (
+       |  SELECT te.lang, te.doc_id, te.gram
+       |  FROM te JOIN tr ON te.lang = tr.lang AND te.gram = tr.gram
+       |),
+       |td AS (SELECT lang, count(*) AS n_test FROM g WHERE b = 9 GROUP BY 1),
+       |tg AS (SELECT lang, count(DISTINCT gram) AS n_test_grams
+       |       FROM te GROUP BY 1),
+       |hg AS (SELECT lang,
+       |              count(DISTINCT doc_id) AS n_contam,
+       |              count(DISTINCT gram) AS n_hit_grams
+       |       FROM hit GROUP BY 1)
+       |SELECT td.lang, n_test,
+       |       COALESCE(n_contam, 0) AS n_contam,
+       |       CAST(COALESCE(n_contam, 0) AS DOUBLE)
+       |         / CAST(n_test AS DOUBLE) AS contam_rate,
+       |       COALESCE(n_test_grams, 0) AS n_test_grams,
+       |       COALESCE(n_hit_grams, 0) AS n_hit_grams
+       |FROM td
+       |LEFT JOIN tg ON td.lang = tg.lang
+       |LEFT JOIN hg ON td.lang = hg.lang
+       |ORDER BY td.lang""".stripMargin) { (s, d) =>
+    val b = expr(
+      "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10")
+    val grams = expr(
+      s"""CASE WHEN size(t) < $ContamN THEN array()
+         |ELSE array_distinct(transform(sequence(1, size(t) - ${ContamN - 1}),
+         |  i -> array_join(slice(t, i, $ContamN), ' '))) END"""
+        .stripMargin.replace("\n", " "))
+    val split = docs(s, d)
+      .select(col("doc_id"), col("lang"), expr(tokSpark).as("t"), b.as("b"))
+      .select(col("doc_id"), col("lang"), col("b"), grams.as("gs"))
+    val trainGrams = split.where(col("b") < 8)
+      .select(col("lang"), explode(col("gs")).as("gram")).distinct()
+    val testGrams = split.where(col("b") === 9)
+      .select(col("lang"), col("doc_id"), explode(col("gs")).as("gram"))
+      .distinct()
+    val hits = testGrams.join(trainGrams, Seq("lang", "gram"), "left_semi")
+    val td = split.where(col("b") === 9)
+      .groupBy("lang").agg(count(lit(1)).as("n_test"))
+    val tg = testGrams.groupBy("lang")
+      .agg(countDistinct(col("gram")).as("n_test_grams"))
+    val hg = hits.groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_contam"),
+        countDistinct(col("gram")).as("n_hit_grams"))
+    td.join(tg, Seq("lang"), "left")
+      .join(hg, Seq("lang"), "left")
+      .select(col("lang"), col("n_test"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        (coalesce(col("n_contam"), lit(0L)).cast("double") /
+          col("n_test").cast("double")).as("contam_rate"),
+        coalesce(col("n_test_grams"), lit(0L)).as("n_test_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .orderBy("lang")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, dedupThenMinhash, simhash,
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
-    redaction, packSequences)
+    redaction, packSequences, repetition, contamination)
 }

@@ -728,7 +728,148 @@ object EmbQueries {
       })
     }
 
+  /** Product-quantization ANN (the faiss-PQ shape, complementing the
+    * scalar-int8 path of [[quantizedTopK]]): the 64-dim vector splits
+    * into 8 subspaces of 8 dims; each subspace has a 10-codeword
+    * codebook (the label centroids restricted to that slice — shared
+    * with the IVF coarse quantizer, so one training pass feeds both
+    * indexes); a vector encodes as 8 small codes (8 bytes vs 256 bytes
+    * float32 — the 32× memory story that makes billion-vector search
+    * fit in RAM); search is asymmetric-distance computation: the query
+    * precomputes an 80-entry (subspace × codeword) dot/norm lookup
+    * table, so scoring a vector is 8 table lookups instead of 64
+    * multiplies. Ranked by the PQ approximation with the exact cosine
+    * emitted beside it (the recall readout, as in [[quantizedTopK]]).
+    *
+    * Determinism: every fold (subspace distances, ADC entries, the
+    * final sum over the 8 subspaces) runs in a FIXED index order in
+    * both engines (Spark `aggregate` over `sequence`/`array_sort`ed
+    * arrays == DuckDB `list_sum` over `range`/`list(... ORDER BY m)`),
+    * and code assignment tie-breaks on (distance, label) via
+    * `row_number`. Shape at 100 TB: the codebook is a broadcast 10×64
+    * table, encoding is per-row work plus a (vec_id, m)-keyed window,
+    * the ADC table is an 80-row broadcast, and the ranking is
+    * TakeOrderedAndProject — no shuffle grows beyond 8 rows per vector
+    * (and a production deployment persists the codes like
+    * [[ivfPersisted]] persists its index). */
+  val pqTopK: NamedQuery = NamedQuery(
+    "emb_pq_topk",
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+       |         embedding AS qemb
+       |  FROM embeddings WHERE vec_id = 0
+       |),
+       |comp AS (
+       |  SELECT label, i AS dim,
+       |         ${Sql.avgFloat(embDimValDuck)} AS m
+       |  $embDimsFromDuck
+       |  GROUP BY 1, 2
+       |),
+       |cents AS (
+       |  SELECT label, list(m ORDER BY dim) AS centroid
+       |  FROM comp GROUP BY 1
+       |),
+       |sub AS (
+       |  SELECT e.vec_id, c.label AS clabel, s.m,
+       |         list_sum(list_transform(range(1, 9), j ->
+       |           (CAST(e.embedding[8*s.m+j] AS DOUBLE) - c.centroid[8*s.m+j])
+       |           * (CAST(e.embedding[8*s.m+j] AS DOUBLE) - c.centroid[8*s.m+j])))
+       |           AS d2
+       |  FROM embeddings e, cents c, unnest(range(0, 8)) AS s(m)
+       |  WHERE e.vec_id <> 0
+       |),
+       |code AS (
+       |  SELECT vec_id, m, clabel AS code
+       |  FROM (SELECT vec_id, m, clabel,
+       |               row_number() OVER (PARTITION BY vec_id, m
+       |                                  ORDER BY d2, clabel) AS rk
+       |        FROM sub)
+       |  WHERE rk = 1
+       |),
+       |adc AS (
+       |  SELECT s.m, c.label,
+       |         list_sum(list_transform(range(1, 9),
+       |           j -> q.qv[8*s.m+j] * c.centroid[8*s.m+j])) AS qd,
+       |         list_sum(list_transform(range(1, 9),
+       |           j -> c.centroid[8*s.m+j] * c.centroid[8*s.m+j])) AS cn2
+       |  FROM cents c, q, unnest(range(0, 8)) AS s(m)
+       |),
+       |scored AS (
+       |  SELECT code.vec_id,
+       |         list_sum(list(qd ORDER BY code.m)) AS ad,
+       |         list_sum(list(cn2 ORDER BY code.m)) AS an2
+       |  FROM code JOIN adc ON code.m = adc.m AND code.code = adc.label
+       |  GROUP BY 1
+       |)
+       |SELECT s.vec_id, e.label,
+       |       ad / (sqrt(${dotDuckD("q.qv", "q.qv")}) * sqrt(an2)) AS sim_pq,
+       |       ${cosDuck("q.qemb", "e.embedding")} AS sim_exact
+       |FROM scored s
+       |JOIN embeddings e ON s.vec_id = e.vec_id
+       |CROSS JOIN q
+       |ORDER BY sim_pq DESC, s.vec_id
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val e = emb(s, d).where(col("vec_id") =!= 0)
+    val cents = centroidFrame(s, d)
+      .select(col("label").as("clabel"), col("centroid"))
+    val sqDiff =
+      "(cast(element_at(embedding, 8*m+j) AS double) - element_at(centroid, 8*m+j))"
+    val d2 = s"""aggregate(transform(sequence(1, 8), j -> $sqDiff * $sqDiff),
+                |cast(0.0 AS double), (acc, v) -> acc + v)"""
+      .stripMargin.replace("\n", " ")
+    val sub = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("clabel"),
+        explode(sequence(lit(0), lit(7))).as("m"),
+        col("embedding"), col("centroid"))
+      .select(col("vec_id"), col("clabel"), col("m"), expr(d2).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("d2"), col("clabel"))
+    val code = sub.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("clabel").as("code"))
+    val q = emb(s, d).where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"),
+        col("embedding").as("qemb"))
+    def fold8(body: String) =
+      s"""aggregate(transform(sequence(1, 8), j -> $body),
+         |cast(0.0 AS double), (acc, v) -> acc + v)"""
+        .stripMargin.replace("\n", " ")
+    val adc = cents.crossJoin(broadcast(q))
+      .select(col("clabel").as("alabel"),
+        explode(sequence(lit(0), lit(7))).as("m"),
+        col("centroid"), col("qv"))
+      .select(col("alabel"), col("m"),
+        expr(fold8("element_at(qv, 8*m+j) * element_at(centroid, 8*m+j)"))
+          .as("qd"),
+        expr(fold8("element_at(centroid, 8*m+j) * element_at(centroid, 8*m+j)"))
+          .as("cn2"))
+    val scored = code
+      .join(broadcast(adc),
+        code("m") === adc("m") && col("code") === col("alabel"))
+      .drop(adc("m"))
+      .groupBy("vec_id")
+      .agg(
+        expr("""aggregate(transform(array_sort(collect_list(struct(m, qd))),
+                |p -> p.qd), cast(0.0 AS double), (acc, v) -> acc + v)"""
+          .stripMargin.replace("\n", " ")).as("ad"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(m, cn2))),
+                |p -> p.cn2), cast(0.0 AS double), (acc, v) -> acc + v)"""
+          .stripMargin.replace("\n", " ")).as("an2"))
+    scored
+      .join(e.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (col("ad") /
+          (sqrt(expr(dotSparkD("qv", "qv"))) * sqrt(col("an2"))))
+          .as("sim_pq"),
+        expr(cosSpark("qemb", "embedding")).as("sim_exact"))
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
-    ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted)
+    ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
+    pqTopK)
 }

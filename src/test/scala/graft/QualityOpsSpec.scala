@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Targeted fixtures for the round-7 pipeline-quality operators:
+  * repetition flags (docs_repetition), train/test decontamination
+  * (docs_contamination), and the PQ ANN ranking (emb_pq_topk). The two
+  * doc operators run against crafted corpora written as temp parquet
+  * dirs (the builders only need `$dir/documents.parquet`), so every
+  * expected number is hand-derivable; the PQ check asserts ranking
+  * invariants on the real sf0.001 corpus. */
+class QualityOpsSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qos").toString
+    val data = rows.map { case (id, text, lang) =>
+      Row(id, text, lang, "srcT", text.length.toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** The split bucket of [[graft.queries.DocQueries.contamination]] /
+    * trainSplit: first md5 byte of the decimal doc_id, mod 10. */
+  private def bucket(id: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+    ((hex(0) >> 4) & 0xf) * 16 + (hex(0) & 0xf)
+  } % 10
+
+  private def idWithBucket(b: Int, skip: Int = 0): Long =
+    Iterator.from(0).map(_.toLong).filter(bucket(_) == b)
+      .drop(skip).next()
+
+  test("repetition: flags fire exactly on the constructed docs") {
+    val dir = writeDocs(Seq(
+      // all-same tokens: dup-word flagged (1 unique of 10) AND
+      // rep-flagged (the single bigram 'x x' is 9 of 9 occurrences)
+      (1L, Seq.fill(10)("x").mkString(" "), "aa"),
+      // all-distinct tokens: 9 unique bigrams of 9 -> top_c=1, 5*1 < 9,
+      // no flag; 10 unique tokens of 10, no dup flag
+      (2L, (1 to 10).map(i => s"a$i").mkString(" "), "aa"),
+      // alternating pair: 2 unique of 12 -> dup flag; 'p q' is 6 of 11
+      // bigrams -> rep flag (5*6 >= 11)
+      (3L, Seq.fill(6)("p q").mkString(" "), "bb")))
+    val out = graft.queries.DocQueries.repetition.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val aa = out("aa")
+    assert(aa.getLong(1) == 2L)
+    assert(math.abs(aa.getDouble(2) - 9.0 / 20.0) < 1e-15) // dup_tok_frac
+    assert(math.abs(aa.getDouble(3) - 10.0 / 18.0) < 1e-15) // top_bigram
+    assert(aa.getLong(4) == 1L, "only the all-same doc is rep-flagged")
+    assert(aa.getLong(5) == 1L, "only the all-same doc is dupword-flagged")
+    val bb = out("bb")
+    assert(bb.getLong(1) == 1L)
+    assert(math.abs(bb.getDouble(2) - 10.0 / 12.0) < 1e-15)
+    assert(math.abs(bb.getDouble(3) - 6.0 / 11.0) < 1e-15)
+    assert(bb.getLong(4) == 1L && bb.getLong(5) == 1L)
+  }
+
+  test("contamination: only a 13-gram shared with TRAIN marks a test doc") {
+    val trainId = idWithBucket(0)
+    val valId = idWithBucket(8)
+    val testA = idWithBucket(9)
+    val testB = idWithBucket(9, skip = 1)
+    val testC = idWithBucket(9, skip = 2)
+    val shared = (1 to 20).map(i => s"t$i").mkString(" ") // 8 13-grams
+    val fresh = (1 to 20).map(i => s"u$i").mkString(" ") // 8 13-grams
+    val dir = writeDocs(Seq(
+      (trainId, shared, "aa"), // train source of contamination
+      (valId, fresh, "aa"), // VAL copy of testB's text: must NOT contaminate
+      (testA, shared, "aa"), // shares all 8 grams with train -> contaminated
+      (testB, fresh, "aa"), // grams only match the val doc -> clean
+      (testC, (1 to 12).map(i => s"v$i").mkString(" "), "aa"))) // no grams
+    val rows = graft.queries.DocQueries.contamination.run(spark, dir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "aa")
+    assert(r.getLong(1) == 3L, "n_test")
+    assert(r.getLong(2) == 1L, "only the train-overlapping doc is contaminated")
+    assert(math.abs(r.getDouble(3) - 1.0 / 3.0) < 1e-15, "contam_rate")
+    assert(r.getLong(4) == 16L, "distinct test grams: 8 shared + 8 fresh")
+    assert(r.getLong(5) == 8L, "hit grams: the shared doc's 8 only")
+  }
+
+  test("pq ranking: 10 rows, bounded sims, deterministic, nonzero recall") {
+    val sf = "/root/testdata/sf0.001"
+    val run1 = graft.queries.EmbQueries.pqTopK.run(spark, sf).collect()
+    assert(run1.length == 10)
+    run1.foreach { r =>
+      assert(r.getLong(0) != 0L, "query vector must not rank itself")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, "sim_pq in [-1,1]")
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, "sim_exact in [-1,1]")
+    }
+    val run2 = graft.queries.EmbQueries.pqTopK.run(spark, sf).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq,
+      "PQ ranking must be deterministic")
+    val exact = graft.queries.EmbQueries.cosineTopK.run(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val hits = run1.map(_.getLong(0)).count(exact)
+    assert(hits >= 1, s"PQ recall@10 lost the entire exact top-10 ($hits)")
+  }
+}
