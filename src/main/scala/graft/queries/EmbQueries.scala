@@ -872,8 +872,117 @@ object EmbQueries {
       .limit(10)
   }
 
+  /** One deterministic Lloyd (k-means) iteration over the IVF coarse
+    * quantizer — the training step the inline IVF queries note a
+    * production index would run: start from the label-mean centroids
+    * (the same [[centroidFrame]] the probes use), assign every base
+    * vector to its nearest centroid by L2² (tie-break on label),
+    * recompute each cell's centroid as the exact-decimal mean of its
+    * assignees, and report per cell: population, how many vectors
+    * migrated off their seed label, and the L2 distance the centroid
+    * moved. Determinism end-to-end: distances fold in index order,
+    * assignment tie-breaks on (d2, label), means are the
+    * string-hop-decimal [[Ops.avgFloat]] twins. Shape at 100 TB: the
+    * 10×64 codebook broadcasts; assignment is per-row work + a
+    * (vec_id)-keyed partial-aggregated argmin; the recompute is the
+    * posexplode → (cell, dim) hash aggregation of [[labelCentroids]],
+    * whose exchange is O(cells × dims) regardless of input size.
+    * Iterating to convergence is this same query loop-driven (as
+    * [[graft.queries.DocQueries]]'s dup-cluster label propagation
+    * loops), one broadcast refresh per round. */
+  val kmeansRefine: NamedQuery = NamedQuery(
+    "emb_kmeans_refine",
+    s"""WITH comp AS (
+       |  SELECT label, i AS dim,
+       |         ${Sql.avgFloat(embDimValDuck)} AS m
+       |  $embDimsFromDuck
+       |  GROUP BY 1, 2
+       |),
+       |cents AS (
+       |  SELECT label, list(m ORDER BY dim) AS centroid
+       |  FROM comp GROUP BY 1
+       |),
+       |dist AS (
+       |  SELECT e.vec_id, e.label AS orig, e.embedding, c.label AS clabel,
+       |         list_sum(list_transform(range(1, 65), i ->
+       |           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+       |           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS d2
+       |  FROM embeddings e, cents c
+       |  WHERE e.vec_id <> 0
+       |),
+       |assigned AS (
+       |  SELECT vec_id, orig, embedding, clabel AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY d2, clabel) AS rk
+       |        FROM dist)
+       |  WHERE rk = 1
+       |),
+       |stats AS (
+       |  SELECT cell, count(*) AS n_assigned,
+       |         CAST(count(*) FILTER (WHERE orig <> cell) AS BIGINT)
+       |           AS n_moved
+       |  FROM assigned GROUP BY 1
+       |),
+       |na AS (
+       |  SELECT cell, i AS dim,
+       |         ${Sql.avgFloat(embDimValDuck)} AS m
+       |  FROM assigned, unnest(range(1, 65)) AS u(i)
+       |  GROUP BY 1, 2
+       |),
+       |nc AS (SELECT cell, list(m ORDER BY dim) AS ncentroid FROM na GROUP BY 1)
+       |SELECT s.cell, s.n_assigned, s.n_moved,
+       |       sqrt(list_sum(list_transform(range(1, 65), i ->
+       |         (nc.ncentroid[i] - c.centroid[i])
+       |         * (nc.ncentroid[i] - c.centroid[i])))) AS shift
+       |FROM stats s
+       |JOIN nc ON s.cell = nc.cell
+       |JOIN cents c ON s.cell = c.label
+       |ORDER BY s.cell""".stripMargin) { (s, d) =>
+    val e = emb(s, d).where(col("vec_id") =!= 0)
+    val cents = centroidFrame(s, d)
+      .select(col("label").as("clabel"), col("centroid"))
+    val d2 = expr(
+      """aggregate(zip_with(embedding, centroid, (x, y) ->
+        |  (cast(x AS double) - y) * (cast(x AS double) - y)),
+        |cast(0.0 AS double), (acc, v) -> acc + v)"""
+        .stripMargin.replace("\n", " "))
+    // argmin via partial-aggregated min(struct): ordering is decided by
+    // (d2, clabel) — unique per candidate — so the trailing payload
+    // fields (orig label, embedding) ride along without affecting it
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"), col("clabel"),
+        d2.as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("clabel"), col("label"),
+        col("embedding"))).as("b"))
+      .select(col("vec_id"), col("b.clabel").as("cell"),
+        col("b.label").as("orig"), col("b.embedding").as("embedding"))
+    val stats = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_assigned"),
+        count(when(col("orig") =!= col("cell"), 1)).as("n_moved"))
+    val ncent = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy("cell", "dim")
+      .agg(Ops.avgFloat(col("v")).as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
+        .as("ncentroid"))
+    stats
+      .join(ncent, "cell")
+      .join(broadcast(cents), col("cell") === col("clabel"))
+      .select(col("cell"), col("n_assigned"), col("n_moved"),
+        sqrt(expr(
+          """aggregate(zip_with(ncentroid, centroid, (x, y) ->
+            |  (x - y) * (x - y)),
+            |cast(0.0 AS double), (acc, v) -> acc + v)"""
+            .stripMargin.replace("\n", " "))).as("shift"))
+      .orderBy("cell")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
-    pqTopK)
+    pqTopK, kmeansRefine)
 }

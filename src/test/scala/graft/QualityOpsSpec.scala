@@ -94,6 +94,21 @@ class QualityOpsSpec extends SparkSpec {
     assert(r.getLong(5) == 8L, "hit grams: the shared doc's 8 only")
   }
 
+  test("kmeans refine: every base vector assigned exactly once, " +
+    "nonnegative finite shifts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.EmbQueries.kmeansRefine.run(spark, sf).collect()
+    val nBase = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where("vec_id <> 0").count()
+    assert(rows.map(_.getLong(1)).sum == nBase,
+      "cell populations must partition the base vectors")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_moved bounded by n_assigned")
+      val shift = r.getDouble(3)
+      assert(shift >= 0.0 && !shift.isNaN && !shift.isInfinite)
+    }
+  }
+
   test("pq ranking: 10 rows, bounded sims, deterministic, nonzero recall") {
     val sf = "/root/testdata/sf0.001"
     val run1 = graft.queries.EmbQueries.pqTopK.run(spark, sf).collect()
