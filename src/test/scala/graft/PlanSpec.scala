@@ -144,6 +144,47 @@ class PlanSpec extends SparkSpec {
       s"funnel plans $windows Window operators, want 3:\n$p")
   }
 
+  test("contamination keeps the train semi-join a partitioned hash join " +
+    "and never re-tokenizes per gram") {
+    val p = plan(graft.queries.DocQueries.contamination)
+    // the train-gram set is the BIG side: the hint must survive to a
+    // ShuffledHashJoin LeftSemi — a broadcast here is a single-threaded
+    // build locally and a driver OOM at scale
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"),
+      "train-gram semi-join lost its shuffle-hash shape")
+    // the tokenizer must stay bound inside the lambda barrier. Without
+    // it, CollapseProject inlines the token alias into the per-gram
+    // lambda — the signature is `slice(split(trim(...)), i, 13)` inside
+    // a lambdafunction, re-tokenizing once PER GRAM (4 s of wall at
+    // sf0.1). Per-ROW occurrences (one per branch Project, plus the
+    // inferred non-empty Filter conjuncts the optimizer pushes below
+    // the explode) are fine and CSE'd at codegen; bound them loosely.
+    val opt = graft.queries.DocQueries.contamination.run(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("slice(split(trim("),
+      "tokenizer inlined into the per-gram lambda")
+    val tokenizes = "split\\(trim\\(".r.findAllIn(opt).length
+    assert(tokenizes <= 9,
+      s"tokenizer appears $tokenizes times — lambda barrier lost")
+  }
+
+  test("PQ search broadcasts the codebook and ADC table, ranks via " +
+    "TakeOrderedAndProject") {
+    val p = plan(graft.queries.EmbQueries.pqTopK)
+    assert(p.contains("BroadcastExchange"),
+      "PQ codebook/ADC not broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "PQ ranking did not plan TakeOrderedAndProject")
+  }
+
+  test("kmeans refine assigns against a broadcast codebook") {
+    val p = plan(graft.queries.EmbQueries.kmeansRefine)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "Lloyd assignment lost its broadcast-codebook shape")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("retention's bounds branch reuses the per-user exchange at runtime") {
     // statically the bounds aggregate and the per-user frame are two
     // subtrees over the same scan; their exchanges are canonically equal,
