@@ -473,6 +473,141 @@ object TradeQueries {
       .orderBy("symbol")
   }
 
+  /** Approximate quantiles from a 64-bucket equi-width histogram sketch
+    * — the single-pass-mergeable pattern of ClickHouse's `quantile*`
+    * family, completing the sketch suite (KMV/CMS/MG/HLL cover
+    * cardinality and frequency; this covers rank). Two scans: an O(1)
+    * -per-symbol bounds pass, then a histogram build whose partial
+    * aggregation collapses to ≤64 counters per symbol map-side — the
+    * shuffle carries 64 longs per key where exact rank selection sorts
+    * every row through an exchange. The estimate interpolates inside
+    * the unique bucket whose cumulative count straddles the target
+    * rank (the SAME integer ranks as [[priceQuantiles]]); the exact
+    * rank-selected values ride along as the accuracy readout, and
+    * `within_bound` asserts the histogram guarantee |est − exact| ≤
+    * bucket width — mathematically always true (both values live in
+    * the straddling bucket), so the flag is a self-validating
+    * invariant the oracle hash-gates. Determinism: counts are exact
+    * integers; lo/hi/width/bucket-index/interpolation are single IEEE
+    * ops in lockstep (no accumulated float sums anywhere). */
+  val histQuantiles: NamedQuery = NamedQuery(
+    "trades_hist_quantiles",
+    s"""WITH ${Sql.tradesCte},
+       |b AS (
+       |  SELECT symbol, min(price) AS lo, max(price) AS hi,
+       |         (max(price) - min(price)) / 64.0 AS w
+       |  FROM trades GROUP BY 1
+       |),
+       |h AS (
+       |  SELECT t.symbol,
+       |         CASE WHEN b.w = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE least(CAST(63 AS BIGINT),
+       |                CAST(floor((t.price - b.lo) / b.w) AS BIGINT))
+       |         END AS k,
+       |         count(*) AS cnt
+       |  FROM trades t JOIN b ON t.symbol = b.symbol
+       |  GROUP BY 1, 2
+       |),
+       |c AS (
+       |  SELECT h.symbol, k, cnt, lo, w,
+       |         sum(cnt) OVER (wk ROWS BETWEEN UNBOUNDED PRECEDING
+       |                          AND CURRENT ROW) AS cum,
+       |         sum(cnt) OVER (wk ROWS BETWEEN UNBOUNDED PRECEDING
+       |                          AND UNBOUNDED FOLLOWING) AS n
+       |  FROM h JOIN b ON h.symbol = b.symbol
+       |  WINDOW wk AS (PARTITION BY h.symbol ORDER BY k)
+       |),
+       |c2 AS (
+       |  SELECT *, (n + 1) // 2 AS r50, (9 * n + 9) // 10 AS r90
+       |  FROM c
+       |),
+       |sk AS (
+       |  SELECT symbol, CAST(min(n) AS BIGINT) AS n, min(w) AS w,
+       |         min(CASE WHEN cum >= r50 AND cum - cnt < r50 THEN
+       |           CASE WHEN w = 0 THEN lo
+       |                ELSE lo + w * (CAST(k AS DOUBLE)
+       |                  + CAST(r50 - cum + cnt AS DOUBLE)
+       |                    / CAST(cnt AS DOUBLE)) END
+       |         END) AS est_p50,
+       |         min(CASE WHEN cum >= r90 AND cum - cnt < r90 THEN
+       |           CASE WHEN w = 0 THEN lo
+       |                ELSE lo + w * (CAST(k AS DOUBLE)
+       |                  + CAST(r90 - cum + cnt AS DOUBLE)
+       |                    / CAST(cnt AS DOUBLE)) END
+       |         END) AS est_p90
+       |  FROM c2 GROUP BY 1
+       |),
+       |r AS (
+       |  SELECT symbol, price,
+       |         row_number() OVER w2 AS rn,
+       |         count(*) OVER (w2 ROWS BETWEEN UNBOUNDED PRECEDING
+       |                          AND UNBOUNDED FOLLOWING) AS nn
+       |  FROM trades
+       |  WINDOW w2 AS (PARTITION BY symbol ORDER BY price, trade_id)
+       |),
+       |ex AS (
+       |  SELECT symbol,
+       |         min(CASE WHEN rn = (nn + 1) // 2 THEN price END)
+       |           AS exact_p50,
+       |         min(CASE WHEN rn = (9 * nn + 9) // 10 THEN price END)
+       |           AS exact_p90
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT sk.symbol, n, est_p50, exact_p50, est_p90, exact_p90,
+       |       (abs(est_p50 - exact_p50) <= w
+       |        AND abs(est_p90 - exact_p90) <= w) AS within_bound
+       |FROM sk JOIN ex ON sk.symbol = ex.symbol
+       |ORDER BY sk.symbol""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = trades(s, d).select("symbol", "price", "trade_id")
+    val b = t.groupBy("symbol")
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+      .withColumn("w", (col("hi") - col("lo")) / lit(64.0))
+    val h = t.join(broadcast(b), "symbol")
+      .select(col("symbol"),
+        when(col("w") === 0, lit(0L))
+          .otherwise(least(lit(63L),
+            floor((col("price") - col("lo")) / col("w")).cast("long")))
+          .as("k"))
+      .groupBy("symbol", "k").agg(count(lit(1)).as("cnt"))
+    val wk = Window.partitionBy("symbol").orderBy("k")
+    val c = h
+      .withColumn("cum", sum(col("cnt")).over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .join(broadcast(b), "symbol")
+      .withColumn("r50", expr("(n + 1) div 2"))
+      .withColumn("r90", expr("(9 * n + 9) div 10"))
+    def est(r: String) =
+      min(when(col("cum") >= col(r) && col("cum") - col("cnt") < col(r),
+        when(col("w") === 0, col("lo")).otherwise(
+          col("lo") + col("w") * (col("k").cast("double") +
+            (col(r) - col("cum") + col("cnt")).cast("double") /
+              col("cnt").cast("double")))))
+    val sk = c.groupBy("symbol").agg(
+      min(col("n")).as("n"), min(col("w")).as("w"),
+      est("r50").as("est_p50"), est("r90").as("est_p90"))
+    val w2 = Window.partitionBy("symbol").orderBy("price", "trade_id")
+    val ex = t
+      .withColumn("rn", row_number().over(w2))
+      .withColumn("nn", count(lit(1)).over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy("symbol").agg(
+        min(when(col("rn") === expr("(nn + 1) div 2"), col("price")))
+          .as("exact_p50"),
+        min(when(col("rn") === expr("(9 * nn + 9) div 10"), col("price")))
+          .as("exact_p90"))
+    sk.join(ex, "symbol")
+      .select(col("symbol"), col("n"),
+        col("est_p50"), col("exact_p50"),
+        col("est_p90"), col("exact_p90"),
+        (abs(col("est_p50") - col("exact_p50")) <= col("w") &&
+          abs(col("est_p90") - col("exact_p90")) <= col("w"))
+          .as("within_bound"))
+      .orderBy("symbol")
+  }
+
   /** Fixed-width price histogram: bucket = 50·⌊price/50⌋. The double
     * division and floor are single IEEE ops — bit-identical across
     * engines (unlike accumulated float sums) — and the aggregation is
@@ -919,6 +1054,6 @@ object TradeQueries {
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
-    priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,
+    histQuantiles, priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,
     drawdown, ohlcv1h, weightedMedian, twap, deltaSum)
 }
