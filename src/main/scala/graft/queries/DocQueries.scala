@@ -1516,10 +1516,78 @@ object DocQueries {
       .orderBy("lang")
   }
 
+  /** One deterministic BPE-training iteration — the tokenizer-training
+    * counterpart of [[graft.queries.EmbQueries.kmeansRefine]]'s Lloyd
+    * step: count adjacent character pairs across the corpus, select the
+    * top merge candidate (count desc, pair asc — the textbook
+    * tie-break), and report its impact (occurrence count, word types
+    * containing it, occurrence-weighted coverage, current character
+    * vocabulary). The scale trick is the one production BPE trainers
+    * use: collapse the corpus to its WORD-TYPE histogram first (one
+    * hash aggregation), then train on types — every pair/merge
+    * computation after that first groupBy runs on the vocabulary-sized
+    * frame (31 rows here, ~10⁵–10⁶ at web scale), not the corpus, so
+    * iterating merges costs O(vocab) per round regardless of corpus
+    * size. Further iterations loop this query with the merged symbol
+    * applied to the type table. */
+  val bpeStep: NamedQuery = NamedQuery(
+    "docs_bpe_step",
+    s"""WITH tok AS (SELECT unnest($tokDuck) AS w FROM documents),
+       |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+       |pairs AS (
+       |  SELECT w, c,
+       |         unnest(list_transform(range(1, len(w)),
+       |           i -> substr(w, i, 2))) AS p
+       |  FROM wc
+       |),
+       |pc AS (SELECT p, CAST(sum(c) AS BIGINT) AS pair_count
+       |       FROM pairs GROUP BY 1),
+       |top AS (SELECT p, pair_count FROM pc
+       |        ORDER BY pair_count DESC, p LIMIT 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM wc),
+       |hit AS (SELECT count(*) AS n_word_types,
+       |               CAST(sum(c) AS BIGINT) AS hit_c
+       |        FROM wc, top WHERE strpos(w, p) > 0),
+       |vocab AS (SELECT count(DISTINCT ch) AS vocab_chars FROM (
+       |  SELECT unnest(list_transform(range(1, len(w) + 1),
+       |    i -> substr(w, i, 1))) AS ch FROM wc))
+       |SELECT p AS pair, pair_count, n_word_types,
+       |       CAST(hit_c AS DOUBLE) / CAST(total AS DOUBLE)
+       |         AS word_coverage,
+       |       vocab_chars
+       |FROM top, hit, tot, vocab""".stripMargin) { (s, d) =>
+    val wc = docs(s, d)
+      .select(explode(expr(tokSpark)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pc = wc
+      .select(col("w"), col("c"),
+        explode(expr(
+          "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+          .as("p"))
+      .groupBy("p").agg(sum(col("c")).as("pair_count"))
+    val top = pc.orderBy(col("pair_count").desc, col("p")).limit(1)
+    val tot = wc.agg(sum(col("c")).as("total"))
+    val hit = wc.crossJoin(broadcast(top))
+      .where(expr("instr(w, p) > 0"))
+      .agg(count(lit(1)).as("n_word_types"), sum(col("c")).as("hit_c"))
+    val vocab = wc
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"))
+        .as("ch"))
+      .agg(countDistinct(col("ch")).as("vocab_chars"))
+    top.crossJoin(broadcast(hit))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(vocab))
+      .select(col("p").as("pair"), col("pair_count"), col("n_word_types"),
+        (col("hit_c").cast("double") / col("total").cast("double"))
+          .as("word_coverage"),
+        col("vocab_chars"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, dedupThenMinhash, simhash,
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
-    redaction, packSequences, repetition, contamination)
+    redaction, packSequences, repetition, contamination, bpeStep)
 }
