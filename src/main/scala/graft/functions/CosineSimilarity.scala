@@ -172,6 +172,26 @@ object GraftFunctions {
     HammingDistance(children.head, children(1))
   }
 
+  private val pqScoreInfo = new ExpressionInfo(
+    classOf[PqScore].getName, "graft_pq_score")
+
+  private val pqScoreBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 4,
+      s"graft_pq_score expects (emb, cents, qv, m), got ${children.length}")
+    PqScore(children.head, children(1), children(2),
+      literalInt("graft_pq_score", children(3)))
+  }
+
+  private val pqNormInfo = new ExpressionInfo(
+    classOf[PqNorm].getName, "graft_pq_norm")
+
+  private val pqNormBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      s"graft_pq_norm expects (emb, cents, m), got ${children.length}")
+    PqNorm(children.head, children(1),
+      literalInt("graft_pq_norm", children(2)))
+  }
+
   private val vecSumInfo = new ExpressionInfo(
     classOf[VectorSum].getName, "graft_vec_sum")
 
@@ -207,7 +227,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_mg"), mgInfo, mgBuilder),
     (FunctionIdentifier("graft_mg_pairs"), mgPairsInfo, mgPairsBuilder),
     (FunctionIdentifier("graft_vec_sum"), vecSumInfo, vecSumBuilder),
-    (FunctionIdentifier("graft_hamming"), hammingInfo, hammingBuilder))
+    (FunctionIdentifier("graft_hamming"), hammingInfo, hammingBuilder),
+    (FunctionIdentifier("graft_pq_score"), pqScoreInfo, pqScoreBuilder),
+    (FunctionIdentifier("graft_pq_norm"), pqNormInfo, pqNormBuilder))
 
   /** Install the engine's optimizer rules on a live session (idempotent;
     * the build-time path is [[GraftExtensions]]). */

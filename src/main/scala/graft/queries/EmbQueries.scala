@@ -809,63 +809,32 @@ object EmbQueries {
        |CROSS JOIN q
        |ORDER BY sim_pq DESC, s.vec_id
        |LIMIT 10""".stripMargin) { (s, d) =>
+    // ONE map-side pass: the codebook collapses to a single broadcast
+    // row (label-sorted centroids flattened to array<double>, so cell
+    // index order == label order), and encode + ADC-score run per
+    // vector inside the codegen'd [[graft.functions.PqScore]] /
+    // [[graft.functions.PqNorm]] kernels — no shuffle touches the fact
+    // side until the final TakeOrderedAndProject. (An earlier
+    // formulation exploded a (vector × cell × subspace) frame through a
+    // groupBy argmin and an ADC join — two exchanges of 80 rows per
+    // vector; a second spelled the same math as higher-order lambdas —
+    // ~800 interpreted virtual calls per row. The native kernels keep
+    // the whole scoring pass fused in whole-stage codegen, the same
+    // justification that produced CosineSimilarity.)
     val e = emb(s, d).where(col("vec_id") =!= 0)
-    val cents = centroidFrame(s, d)
-      .select(col("label").as("clabel"), col("centroid"))
-    val sqDiff =
-      "(cast(element_at(embedding, 8*m+j) AS double) - element_at(centroid, 8*m+j))"
-    val d2 = s"""aggregate(transform(sequence(1, 8), j -> $sqDiff * $sqDiff),
-                |cast(0.0 AS double), (acc, v) -> acc + v)"""
-      .stripMargin.replace("\n", " ")
-    val sub = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("clabel"),
-        explode(sequence(lit(0), lit(7))).as("m"),
-        col("embedding"), col("centroid"))
-      .select(col("vec_id"), col("clabel"), col("m"), expr(d2).as("d2"))
-    // argmin via hash-agg min(struct) — partial-aggregates map-side, so
-    // the (vec_id, m) shuffle carries one pre-reduced row per group
-    // where a row_number window would sort all 10 candidates per group
-    // (the oracle spells the same (d2, clabel) tie-broken pick as
-    // row_number; identical result, different asymptotics)
-    val code = sub
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d2"), col("clabel"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.clabel").as("code"))
+    val flat = centroidFrame(s, d)
+      .agg(expr(
+        """flatten(transform(array_sort(collect_list(struct(label, centroid))),
+          |c -> c.centroid))""".stripMargin.replace("\n", " ")).as("cents"))
     val q = emb(s, d).where(col("vec_id") === 0)
       .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"),
         col("embedding").as("qemb"))
-    def fold8(body: String) =
-      s"""aggregate(transform(sequence(1, 8), j -> $body),
-         |cast(0.0 AS double), (acc, v) -> acc + v)"""
-        .stripMargin.replace("\n", " ")
-    val adc = cents.crossJoin(broadcast(q))
-      .select(col("clabel").as("alabel"),
-        explode(sequence(lit(0), lit(7))).as("m"),
-        col("centroid"), col("qv"))
-      .select(col("alabel"), col("m"),
-        expr(fold8("element_at(qv, 8*m+j) * element_at(centroid, 8*m+j)"))
-          .as("qd"),
-        expr(fold8("element_at(centroid, 8*m+j) * element_at(centroid, 8*m+j)"))
-          .as("cn2"))
-    val scored = code
-      .join(broadcast(adc),
-        code("m") === adc("m") && col("code") === col("alabel"))
-      .drop(adc("m"))
-      .groupBy("vec_id")
-      .agg(
-        expr("""aggregate(transform(array_sort(collect_list(struct(m, qd))),
-                |p -> p.qd), cast(0.0 AS double), (acc, v) -> acc + v)"""
-          .stripMargin.replace("\n", " ")).as("ad"),
-        expr("""aggregate(transform(array_sort(collect_list(struct(m, cn2))),
-                |p -> p.cn2), cast(0.0 AS double), (acc, v) -> acc + v)"""
-          .stripMargin.replace("\n", " ")).as("an2"))
-    scored
-      .join(e.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+    e.crossJoin(broadcast(flat))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        (col("ad") /
-          (sqrt(expr(dotSparkD("qv", "qv"))) * sqrt(col("an2"))))
+        (expr("graft_pq_score(embedding, cents, qv, 8)") /
+          (sqrt(expr(dotSparkD("qv", "qv"))) *
+            sqrt(expr("graft_pq_norm(embedding, cents, 8)"))))
           .as("sim_pq"),
         expr(cosSpark("qemb", "embedding")).as("sim_exact"))
       .orderBy(col("sim_pq").desc, col("vec_id"))
