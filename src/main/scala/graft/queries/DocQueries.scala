@@ -1516,6 +1516,81 @@ object DocQueries {
       .orderBy("lang")
   }
 
+  /** Cross-document span duplication — the exact-substring dedup metric
+    * of "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., 2022): for each document, the fraction of its distinct
+    * word-13-gram windows that also occur in at least one OTHER document
+    * (the approximation of suffix-array repeated-substring coverage that
+    * production pipelines actually run — hashed fixed-width windows
+    * instead of a suffix array). Reuses [[contamination]]'s gram
+    * representation: 52-bit md5 prefixes, so the shuffles move 8-byte
+    * longs, and the token array is bound as a lambda variable (the
+    * CollapseProject barrier — without it the tokenizer re-runs once per
+    * gram). A gram counts as duplicated when its document set has ≥2
+    * members, decided by `min(doc_id) <> max(doc_id)` — one algebraic
+    * aggregation, no distinct-count sketch needed. Shape at 100 TB:
+    * explode → distinct on (doc_id, gram) (near-unique key), one
+    * gram-keyed aggregation whose exchange the probe join reuses, one
+    * doc-keyed rollup; nothing is pairwise — this is the metric that
+    * REPLACES pair generation when only coverage (not pair identity) is
+    * needed. Top-20 by duplicated fraction (ties broken on doc_id); the
+    * int/int division is IEEE-identical in both engines. */
+  val spanDedup: NamedQuery = NamedQuery(
+    "docs_span_dedup",
+    s"""WITH t AS (SELECT doc_id, $tokDuck AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) < $ContamN THEN []
+       |              ELSE list_transform(
+       |                range(1, len(t) - ${ContamN - 2}),
+       |                i -> CAST('0x' || substr(md5(
+       |                  array_to_string(t[i:i+${ContamN - 1}], ' ')), 1, 13)
+       |                  AS BIGINT))
+       |         END AS gs
+       |  FROM t
+       |),
+       |pg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM g),
+       |st AS (SELECT gram, min(doc_id) AS d0, max(doc_id) AS d1
+       |       FROM pg GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |         CAST(count(*) FILTER (WHERE d0 <> d1) AS BIGINT)
+       |           AS n_dup_grams
+       |  FROM pg JOIN st USING (gram) GROUP BY 1
+       |)
+       |SELECT d.doc_id, d.source, n_grams, n_dup_grams,
+       |       CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |         AS dup_frac
+       |FROM per JOIN documents d USING (doc_id)
+       |ORDER BY dup_frac DESC, d.doc_id
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    // same lambda-variable binding as contamination: the optimizer can
+    // never inline the tokenizer through it
+    val grams = expr(
+      s"""element_at(transform(array($tokSpark), t ->
+         |CASE WHEN size(t) < $ContamN THEN array()
+         |ELSE transform(sequence(1, size(t) - ${ContamN - 1}),
+         |  i -> cast(conv(substr(md5(array_join(slice(t, i, $ContamN), ' ')),
+         |                 1, 13), 16, 10) AS bigint)) END), 1)"""
+        .stripMargin.replace("\n", " "))
+    val pg = docs(s, d)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .distinct()
+    val st = pg.groupBy("gram")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+    val per = pg.join(st, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("d0") =!= col("d1"), 1)).as("n_dup_grams"))
+    per.join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("dup_frac").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** One deterministic BPE-training iteration — the tokenizer-training
     * counterpart of [[graft.queries.EmbQueries.kmeansRefine]]'s Lloyd
     * step: count adjacent character pairs across the corpus, select the
@@ -1589,5 +1664,6 @@ object DocQueries {
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
-    redaction, packSequences, repetition, contamination, bpeStep)
+    redaction, packSequences, repetition, contamination, spanDedup,
+    bpeStep)
 }

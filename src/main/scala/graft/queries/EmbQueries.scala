@@ -950,8 +950,60 @@ object EmbQueries {
       .orderBy("cell")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): partition the corpus into clusters, then remove
+    * within-cluster near-duplicates, keeping one representative per
+    * dup-group. Clusters here are the coarse-quantizer cells the IVF
+    * family already uses (cell = label; a production run would take
+    * [[kmeansRefine]]'s converged assignment — the mechanics are
+    * identical). Removal rule is the paper's greedy low-index keep: a
+    * vector is removed when ANY lower-id vector in its cluster has
+    * cosine > τ with it. τ = 0.35, calibrated to this synthetic corpus
+    * (its vectors are near-orthogonal draws with no true semantic dups;
+    * real text embeddings use τ ≈ 0.95+ — the knob, not the shape,
+    * changes). Scale story — the entire point of SemDeDup: the
+    * quadratic term is CLUSTER-LOCAL, so cost is Σ|cell|², not n²; the
+    * self-join is one hash shuffle on the cluster key, cosines are the
+    * codegen'd [[graft.functions.CosineSimilarity]] kernel, and the
+    * output collapses to an O(cells) rollup. Giant clusters are the
+    * known caveat (the paper caps cluster size); the k-means step is
+    * the mitigation. */
+  val semanticDedup: NamedQuery = NamedQuery(
+    "emb_semantic_dedup",
+    s"""WITH rem AS (
+       |  SELECT DISTINCT b.label AS label, b.vec_id AS rid
+       |  FROM embeddings a
+       |  JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${cosDuck("a.embedding", "b.embedding")} > 0.35
+       |),
+       |rm AS (SELECT label, count(*) AS n_removed FROM rem GROUP BY 1),
+       |tot AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+       |SELECT tot.label, n_vecs,
+       |       COALESCE(n_removed, 0) AS n_removed,
+       |       n_vecs - COALESCE(n_removed, 0) AS n_kept
+       |FROM tot LEFT JOIN rm ON tot.label = rm.label
+       |ORDER BY tot.label""".stripMargin) { (s, d) =>
+    val e = emb(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    val removed = e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          expr(cosSpark("a.embedding", "b.embedding")) > 0.35)
+      .select(col("b.label").as("label"), col("b.vec_id").as("rid"))
+      .distinct()
+    val rm = removed.groupBy("label").agg(count(lit(1)).as("n_removed"))
+    e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      .join(rm, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_vecs") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+      .orderBy("label")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
-    pqTopK, kmeansRefine)
+    pqTopK, kmeansRefine, semanticDedup)
 }
