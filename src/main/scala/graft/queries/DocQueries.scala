@@ -182,10 +182,12 @@ object DocQueries {
             |              element_at(t, i + 2))) END)""".stripMargin
             .replace("\n", " ")).as("shingles"))
 
-  /** Verified near-dup pairs (doc_a, doc_b, jaccard) from a shingles
-    * frame — the Spark side of the full LSH chain, unordered/unlimited
-    * so callers can enrich before the top-k cut. */
-  private def minhashVerifiedPairs(sh: DataFrame): DataFrame = {
+  /** LSH candidate pairs (doc_a, doc_b) from a shingles frame — the
+    * Spark side of [[minhashChainDuck]]'s `hashed → sig → bands → cand`
+    * stages, split from the Jaccard verification so callers (the
+    * cross-split contamination check) can prune candidates BEFORE the
+    * expensive shingle join. */
+  private def minhashCandPairs(sh: DataFrame): DataFrame = {
     // `hs` is bound to a column BEFORE the signature lambdas so the md5 +
     // hex parse run once per shingle, not once per (shingle, permutation).
     val hashed = sh.select(col("doc_id"), col("shingles"),
@@ -213,23 +215,35 @@ object DocQueries {
     // self-join would re-execute it per side — 100× wall-clock at sf0.1.
     // Bucket membership stays the scale bound either way; a bucket too
     // big to pair in memory means the band config is too coarse.
-    val cand = bands
+    bands
       .groupBy("band", "bucket")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(pairsExpr)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
+  }
+
+  /** Exact shingle-Jaccard verification of a candidate-pair frame:
+    * preserves every column of `cand` and appends `jaccard`. */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val keep = cand.columns.map(col).toSeq
     cand
       .join(sh.as("x"), col("x.doc_id") === col("doc_a"))
       .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(keep :+
         (size(array_distinct(
           array_intersect(col("x.shingles"), col("y.shingles"))))
           .cast("double") /
           size(array_distinct(
-            concat(col("x.shingles"), col("y.shingles"))))).as("jaccard"))
+            concat(col("x.shingles"), col("y.shingles"))))).as("jaccard"): _*)
   }
+
+  /** Verified near-dup pairs (doc_a, doc_b, jaccard) from a shingles
+    * frame — the Spark side of the full LSH chain, unordered/unlimited
+    * so callers can enrich before the top-k cut. */
+  private def minhashVerifiedPairs(sh: DataFrame): DataFrame =
+    verifyJaccard(sh, minhashCandPairs(sh))
 
   /** MinHash + LSH near-duplicate detection — the scale path for corpus
     * dedup: word-3-gram shingles → one 32-bit hash per shingle → 8
@@ -1322,6 +1336,16 @@ object DocQueries {
       .orderBy("lang", "bin")
   }
 
+  // per-doc word-bigram list behind the CollapseProject lambda barrier
+  // (see contamination): without it the tokenizer re-runs once per
+  // bigram. Shared by repetition and filterFunnel.
+  private def bigramsExpr: org.apache.spark.sql.Column = expr(
+    s"""element_at(transform(array($tokSpark), t ->
+      |CASE WHEN size(t) < 2 THEN array()
+      |ELSE transform(sequence(1, size(t) - 1),
+      |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END), 1)"""
+      .stripMargin.replace("\n", " "))
+
   /** Repetition-quality signals (the Gopher/MassiveText filter family,
     * token-level because this corpus has no line structure): per-doc
     * duplicate-token fraction and top-bigram occupancy, rolled up per
@@ -1372,18 +1396,8 @@ object DocQueries {
     val base = toks.select(col("doc_id"), col("lang"),
       size(col("t")).cast("long").as("n_tok"),
       size(array_distinct(col("t"))).cast("long").as("n_uniq"))
-    // token array bound as a lambda variable, not a projected alias —
-    // see contamination below: CollapseProject would otherwise inline
-    // the tokenizer into the per-bigram lambda (one re-tokenize per
-    // bigram)
-    val bigrams = expr(
-      s"""element_at(transform(array($tokSpark), t ->
-        |CASE WHEN size(t) < 2 THEN array()
-        |ELSE transform(sequence(1, size(t) - 1),
-        |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END), 1)"""
-        .stripMargin.replace("\n", " "))
     val tb = docs(s, d)
-      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), explode(bigramsExpr).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bi"))
@@ -1591,6 +1605,171 @@ object DocQueries {
       .limit(20)
   }
 
+  /** Quality-filter cascade funnel — the retention dashboard every
+    * corpus-cleaning pipeline maintains: per source, how many documents
+    * survive each successive Gopher/MassiveText-style filter stage
+    * (Rae et al., 2021). Stages, cumulative: (1) length `n_tok ≥ 40`;
+    * (2) repetition — top-bigram occupancy `5·top_c < n_bi` and
+    * unique-word ratio `2·n_uniq > n_tok` (the [[repetition]] flags,
+    * inverted to "passes"); (3) quality — ≥2 stopwords and alphabetic
+    * ratio ≥ 0.7, integer-spelled `10·n_alpha ≥ 7·n_tok` (the
+    * [[quality]] component family). Every predicate is an integer
+    * inequality, so the twins agree bit-for-bit with no float
+    * thresholds anywhere. (Thresholds are calibrated to this synthetic
+    * low-vocabulary corpus; production Gopher bounds differ in value,
+    * not shape.) Shape at 100 TB: stages 1 and 3 are pure map-side
+    * per-doc arithmetic; stage 2 reuses [[repetition]]'s (doc_id,
+    * bigram) aggregation — near-unique key, skew-free; the rollup
+    * collapses to O(sources) rows. */
+  val filterFunnel: NamedQuery = NamedQuery(
+    "docs_filter_funnel",
+    s"""WITH t AS (SELECT doc_id, source, $tokDuck AS t, text FROM documents),
+       |base AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(t) AS BIGINT) AS n_tok,
+       |         CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+       |         CAST(len(list_filter(t,
+       |           x -> list_contains(['the','a','of','to','and','in',
+       |                               'is','for','on','with'], x)))
+       |           AS BIGINT) AS stop_cnt,
+       |         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+       |           AS n_alpha
+       |  FROM t
+       |),
+       |bg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(t)),
+       |           i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM t
+       |),
+       |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+       |tb AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bi
+       |       FROM bc GROUP BY 1)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(count(*) FILTER (WHERE n_tok >= 40) AS BIGINT)
+       |         AS n_after_len,
+       |       CAST(count(*) FILTER (WHERE n_tok >= 40
+       |         AND 5 * top_c < n_bi AND 2 * n_uniq > n_tok) AS BIGINT)
+       |         AS n_after_rep,
+       |       CAST(count(*) FILTER (WHERE n_tok >= 40
+       |         AND 5 * top_c < n_bi AND 2 * n_uniq > n_tok
+       |         AND stop_cnt >= 2 AND 10 * n_alpha >= 7 * n_tok) AS BIGINT)
+       |         AS n_after_quality
+       |FROM base LEFT JOIN tb USING (doc_id)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        expr(tokSpark).as("t"))
+    val base = toks.select(col("doc_id"), col("source"),
+      size(col("t")).cast("long").as("n_tok"),
+      size(array_distinct(col("t"))).cast("long").as("n_uniq"),
+      expr(
+        """size(filter(t, x -> array_contains(array('the','a','of','to',
+          |'and','in','is','for','on','with'), x)))"""
+          .stripMargin.replace("\n", " ")).cast("long").as("stop_cnt"),
+      expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long")
+        .as("n_alpha"))
+    val tb = docs(s, d)
+      .select(col("doc_id"), explode(bigramsExpr).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bi"))
+    val pLen = col("n_tok") >= 40
+    val pRep = pLen && col("top_c") * 5 < col("n_bi") &&
+      col("n_uniq") * 2 > col("n_tok")
+    val pQ = pRep && col("stop_cnt") >= 2 &&
+      col("n_alpha") * 10 >= col("n_tok") * 7
+    base.join(tb, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(pLen, 1)).as("n_after_len"),
+        count(when(pRep, 1)).as("n_after_rep"),
+        count(when(pQ, 1)).as("n_after_quality"))
+      .orderBy("source")
+  }
+
+  /** Fuzzy train/test contamination — the near-duplicate complement of
+    * [[contamination]]'s exact 13-gram check (eval decontamination in
+    * the GPT-3/Llama reports runs BOTH): a test document is fuzzily
+    * contaminated when some train document's shingle-Jaccard with it is
+    * ≥ 0.5, with candidates generated by the SAME banded-minhash LSH
+    * the dedup family uses ([[minhashCandPairs]]) — never all-pairs.
+    * The split is [[trainSplit]]'s md5 bucket assignment (b<8 train,
+    * b=9 test). Candidates are pruned to cross-split pairs BEFORE the
+    * shingle-verification join, so the expensive step runs only on
+    * train×test survivors. Shape at 100 TB: the chain is the measured
+    * minhash shape plus one broadcast-size side-lookup per pair and an
+    * O(langs) rollup; the verification join moves only pruned pairs. */
+  val fuzzyContamination: NamedQuery = NamedQuery(
+    "docs_fuzzy_contamination",
+    s"""WITH ${minhashChainDuck("SELECT doc_id, text FROM documents")},
+       |sp AS (
+       |  SELECT doc_id, lang,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+       |              AS BIGINT) % 10 AS b
+       |  FROM documents
+       |),
+       |mixed AS (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |         CASE WHEN sb.b = 9 THEN cand.doc_b
+       |              ELSE cand.doc_a END AS test_doc
+       |  FROM cand
+       |  JOIN sp sa ON sa.doc_id = cand.doc_a
+       |  JOIN sp sb ON sb.doc_id = cand.doc_b
+       |  WHERE (sa.b < 8 AND sb.b = 9) OR (sa.b = 9 AND sb.b < 8)
+       |),
+       |ver AS (
+       |  SELECT * FROM (
+       |    SELECT m.test_doc,
+       |           $jaccardSelectDuck
+       |    FROM mixed m
+       |    JOIN sh x ON x.doc_id = m.doc_a
+       |    JOIN sh y ON y.doc_id = m.doc_b
+       |  ) WHERE jaccard >= 0.5
+       |),
+       |td AS (SELECT lang, count(*) AS n_test FROM sp WHERE b = 9 GROUP BY 1),
+       |hits AS (
+       |  SELECT sp.lang,
+       |         count(DISTINCT v.test_doc) AS n_fuzzy_contam,
+       |         count(*) AS n_pairs
+       |  FROM ver v JOIN sp ON sp.doc_id = v.test_doc
+       |  GROUP BY 1
+       |)
+       |SELECT td.lang, n_test,
+       |       COALESCE(n_fuzzy_contam, 0) AS n_fuzzy_contam,
+       |       COALESCE(n_pairs, 0) AS n_pairs
+       |FROM td LEFT JOIN hits ON td.lang = hits.lang
+       |ORDER BY td.lang""".stripMargin) { (s, d) =>
+    val bCol = expr(
+      "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10")
+    val sp = docs(s, d).select(col("doc_id"), col("lang"), bCol.as("b"))
+    val sh = shingleFrame(docs(s, d).select("doc_id", "text"))
+    val sides = sp.select(col("doc_id"), col("b"))
+    val mixed = minhashCandPairs(sh)
+      .join(sides.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sides.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .where((col("sa.b") < 8 && col("sb.b") === 9) ||
+        (col("sa.b") === 9 && col("sb.b") < 8))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("sb.b") === 9, col("doc_b")).otherwise(col("doc_a"))
+          .as("test_doc"))
+    val ver = verifyJaccard(sh, mixed).where(col("jaccard") >= 0.5)
+    val td = sp.where(col("b") === 9)
+      .groupBy("lang").agg(count(lit(1)).as("n_test"))
+    val hits = ver
+      .join(sp.select(col("doc_id").as("test_doc"), col("lang")), "test_doc")
+      .groupBy("lang")
+      .agg(countDistinct(col("test_doc")).as("n_fuzzy_contam"),
+        count(lit(1)).as("n_pairs"))
+    td.join(hits, Seq("lang"), "left")
+      .select(col("lang"), col("n_test"),
+        coalesce(col("n_fuzzy_contam"), lit(0L)).as("n_fuzzy_contam"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("lang")
+  }
+
   /** One deterministic BPE-training iteration — the tokenizer-training
     * counterpart of [[graft.queries.EmbQueries.kmeansRefine]]'s Lloyd
     * step: count adjacent character pairs across the corpus, select the
@@ -1665,5 +1844,5 @@ object DocQueries {
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
     redaction, packSequences, repetition, contamination, spanDedup,
-    bpeStep)
+    filterFunnel, fuzzyContamination, bpeStep)
 }

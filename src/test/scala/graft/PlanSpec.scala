@@ -168,6 +168,26 @@ class PlanSpec extends SparkSpec {
       s"tokenizer appears $tokenizes times — lambda barrier lost")
   }
 
+  test("span dedup keeps the lambda barrier and plans no cartesian") {
+    val q = graft.queries.DocQueries.spanDedup
+    val opt = q.run(spark, sf).queryExecution.optimizedPlan.toString
+    assert(!opt.contains("slice(split(trim("),
+      "tokenizer inlined into the per-gram lambda")
+    assert(!plan(q).contains("CartesianProduct"))
+  }
+
+  test("semantic dedup joins on the cluster key, never cartesian") {
+    val p = plan(graft.queries.EmbQueries.semanticDedup)
+    assert(!p.contains("CartesianProduct"),
+      "cluster-local self-join degenerated to all-pairs")
+  }
+
+  test("fuzzy contamination prunes candidates before the shingle join, " +
+    "never cartesian") {
+    val p = plan(graft.queries.DocQueries.fuzzyContamination)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("PQ search broadcasts the codebook and ADC table, ranks via " +
     "TakeOrderedAndProject") {
     val p = plan(graft.queries.EmbQueries.pqTopK)

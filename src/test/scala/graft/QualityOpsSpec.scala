@@ -109,6 +109,88 @@ class QualityOpsSpec extends SparkSpec {
     }
   }
 
+  test("span dedup: identical docs score 1.0, disjoint docs 0.0") {
+    // 15 tokens -> 3 distinct 13-grams per doc
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ")
+    val lonely = (1 to 15).map(i => s"w$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, shared, "aa"), (2L, shared, "aa"), (3L, lonely, "aa"),
+      (4L, "too short", "aa"))) // <13 tokens: no grams, no row
+    val rows = graft.queries.DocQueries.spanDedup.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    Seq(1L, 2L).foreach { id =>
+      assert(rows(id).getLong(2) == 3L, "n_grams")
+      assert(rows(id).getLong(3) == 3L, "all grams cross-duplicated")
+      assert(rows(id).getDouble(4) == 1.0)
+    }
+    assert(rows(3L).getLong(3) == 0L && rows(3L).getDouble(4) == 0.0)
+  }
+
+  test("filter funnel: each stage drops exactly the constructed doc") {
+    val stop2 = "the a " // two stopwords, keeps the quality stage alive
+    val dir = writeDocs(Seq(
+      // passes every stage: 40 distinct lowercase tokens incl 2 stopwords
+      (1L, stop2 + (1 to 38).map(i => s"w$i").mkString(" "), "aa"),
+      // fails length: 10 tokens
+      (2L, (1 to 10).map(i => s"x$i").mkString(" "), "aa"),
+      // fails repetition: 40 identical tokens (top bigram = all bigrams)
+      (3L, Seq.fill(40)("z").mkString(" "), "aa"),
+      // fails quality: 40 distinct tokens, zero stopwords
+      (4L, (1 to 40).map(i => s"y$i").mkString(" "), "aa")))
+    val rows = graft.queries.DocQueries.filterFunnel.run(spark, dir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "srcT")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((4L, 3L, 2L, 1L)), "funnel must drop one doc per stage")
+  }
+
+  test("fuzzy contamination: cross-split near-dup flags the test doc, " +
+    "train-train dups do not count") {
+    val trainA = idWithBucket(0)
+    val trainB = idWithBucket(1)
+    val trainC = idWithBucket(2)
+    val testA = idWithBucket(9)
+    val testB = idWithBucket(9, skip = 1)
+    val testC = idWithBucket(9, skip = 2)
+    val dupText = (1 to 20).map(i => s"d$i").mkString(" ")
+    val trainDup = (1 to 20).map(i => s"e$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (trainA, dupText, "aa"), // train twin of testA
+      (testA, dupText, "aa"), // identical across the split -> flagged
+      (testB, (1 to 20).map(i => s"f$i").mkString(" "), "aa"), // clean
+      (trainB, trainDup, "bb"), // train-train duplicate pair:
+      (trainC, trainDup, "bb"), // must NOT register anywhere
+      (testC, (1 to 20).map(i => s"g$i").mkString(" "), "bb"))) // clean
+    val rows = graft.queries.DocQueries.fuzzyContamination.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("aa", "bb"))
+    val aa = rows("aa")
+    assert(aa.getLong(1) == 2L, "n_test")
+    assert(aa.getLong(2) == 1L, "only the cross-split twin is flagged")
+    assert(aa.getLong(3) == 1L, "one verified pair")
+    val bb = rows("bb")
+    assert(bb.getLong(1) == 1L)
+    assert(bb.getLong(2) == 0L && bb.getLong(3) == 0L,
+      "train-train duplicates must not count as contamination")
+  }
+
+  test("semantic dedup: kept + removed partitions every cluster") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.EmbQueries.semanticDedup.run(spark, sf)
+      .collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "cluster populations must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) < r.getLong(1),
+        "a cluster never removes every member")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), "n_kept")
+    }
+  }
+
   test("pq ranking: 10 rows, bounded sims, deterministic, nonzero recall") {
     val sf = "/root/testdata/sf0.001"
     val run1 = graft.queries.EmbQueries.pqTopK.run(spark, sf).collect()
