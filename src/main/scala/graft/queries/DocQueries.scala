@@ -37,6 +37,26 @@ object DocQueries {
   private val tokSpark = "split(trim(text), '\\\\s+')"
   private val tokDuck = "string_split_regex(trim(text), '\\s+')"
 
+  /** THE train/val/test split bucket (first md5 byte of the decimal
+    * doc_id, mod 10; b<8 train, b=8 val, b=9 test) — one spelling per
+    * engine, shared by every split-aware query ([[trainSplit]],
+    * [[contamination]], [[fuzzyContamination]], [[corpusBuild]]) so a
+    * split change can never silently decouple a consumer from the
+    * assignment actually used for training. */
+  private val splitBucketDuck =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 10"
+  private val splitBucketSpark =
+    "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10"
+
+  /** The quality stopword lexicon — one list, rendered per engine,
+    * shared by [[quality]]/[[qualityQuartiles]] and [[filterFunnel]]'s
+    * stage-3 gate so the funnel always filters against the same lexicon
+    * the quality score reports. */
+  private val Stopwords = Seq(
+    "the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+  private val stopListDuck = Stopwords.mkString("['", "','", "']")
+  private val stopListSpark = Stopwords.mkString("array('", "','", "')")
+
   /** All unordered id pairs of an `ids` array column, as
     * `struct<a, b>` with a < b — the in-bucket candidate generator shared
     * by the blocking-based near-dup queries (pairs are built from a
@@ -519,8 +539,7 @@ object DocQueries {
     "least(CAST(n_chars AS DOUBLE) / 500, CAST(1 AS DOUBLE))"
   private val stopRatioDuck: String =
     s"""(CAST(len(list_filter($tokDuck,
-       |    t -> list_contains(['the','a','of','to','and','in',
-       |                        'is','for','on','with'], t)))
+       |    t -> list_contains($stopListDuck, t)))
        |  AS DOUBLE) / len($tokDuck))""".stripMargin.replace("\n", " ")
   private val alphaRatioDuck: String =
     s"(CAST(len(regexp_extract_all(text, '[a-z]+')) AS DOUBLE)" +
@@ -529,11 +548,8 @@ object DocQueries {
   private def lenScoreCol: org.apache.spark.sql.Column =
     least(col("n_chars").cast("double") / 500, lit(1.0))
   private def stopRatioCol: org.apache.spark.sql.Column =
-    expr(
-      s"""size(filter($tokSpark,
-         |  t -> array_contains(array('the','a','of','to','and','in',
-         |                            'is','for','on','with'), t)))"""
-        .stripMargin.replace("\n", " ")).cast("double") /
+    expr(s"size(filter($tokSpark, t -> array_contains($stopListSpark, t)))")
+      .cast("double") /
       expr(s"size($tokSpark)")
   private def alphaRatioCol: org.apache.spark.sql.Column =
     expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("double") /
@@ -782,22 +798,19 @@ object DocQueries {
     * assign identically (no sampling RNG anywhere). */
   val trainSplit: NamedQuery = NamedQuery(
     "docs_train_split",
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT lang,
       |         CASE WHEN b < 8 THEN 'train'
       |              WHEN b = 8 THEN 'val'
       |              ELSE 'test' END AS split
-      |  FROM (SELECT lang,
-      |               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-      |                    AS BIGINT) % 10 AS b
+      |  FROM (SELECT lang, $splitBucketDuck AS b
       |        FROM documents)
       |)
       |SELECT lang, split, count(*) AS n
       |FROM s
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val b = expr(
-      "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10")
+    val b = expr(splitBucketSpark)
     docs(s, d)
       .select(col("lang"),
         when(b < 8, "train").when(b === 8, "val").otherwise("test")
@@ -1086,9 +1099,7 @@ object DocQueries {
        |         CASE WHEN b < 8 THEN 'train'
        |              WHEN b = 8 THEN 'val'
        |              ELSE 'test' END AS split
-       |  FROM (SELECT lang, n_chars,
-       |               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-       |                    AS BIGINT) % 10 AS b
+       |  FROM (SELECT lang, n_chars, $splitBucketDuck AS b
        |        FROM sampled)
        |)
        |SELECT lang, split,
@@ -1107,8 +1118,7 @@ object DocQueries {
       "cast(conv(substr(md5(concat('s-', cast(doc_id AS string))), 1, 8), 16, 10) AS bigint) % 100")
     val sampled = gated.where(sampleH <
       when(col("lang") === "en", SamplePct("en")).otherwise(SamplePct("other")))
-    val b = expr(
-      "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10")
+    val b = expr(splitBucketSpark)
     sampled
       .select(col("lang"), col("n_chars"),
         when(b < 8, "train").when(b === 8, "val").otherwise("test")
@@ -1346,6 +1356,29 @@ object DocQueries {
       |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END), 1)"""
       .stripMargin.replace("\n", " "))
 
+  /** Per-doc `(top_c, n_bi)` over word bigrams — [[repetition]]'s
+    * stage-2 aggregation, shared with [[filterFunnel]] so the funnel's
+    * repetition gate inverts exactly the flags [[repetition]] reports.
+    * Duck twin below expects a CTE `t(doc_id, …, t)` in scope
+    * (embed-only, margins intact — the [[minhashChainDuck]] contract). */
+  private def bigramStats(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), explode(bigramsExpr).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bi"))
+
+  private val bigramStatsDuck: String =
+    """bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)),
+      |           i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM t
+      |),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |tb AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bi
+      |       FROM bc GROUP BY 1)"""
+
   /** Repetition-quality signals (the Gopher/MassiveText filter family,
     * token-level because this corpus has no line structure): per-doc
     * duplicate-token fraction and top-bigram occupancy, rolled up per
@@ -1367,17 +1400,7 @@ object DocQueries {
        |         CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq
        |  FROM t
        |),
-       |bg AS (
-       |  SELECT doc_id,
-       |         unnest(list_transform(range(1, len(t)),
-       |           i -> t[i] || ' ' || t[i+1])) AS bg
-       |  FROM t
-       |),
-       |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
-       |tb AS (
-       |  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bi
-       |  FROM bc GROUP BY 1
-       |)
+       |$bigramStatsDuck
        |SELECT lang,
        |       count(*) AS n_docs,
        |       CAST(sum(n_tok) - sum(n_uniq) AS DOUBLE)
@@ -1396,11 +1419,7 @@ object DocQueries {
     val base = toks.select(col("doc_id"), col("lang"),
       size(col("t")).cast("long").as("n_tok"),
       size(array_distinct(col("t"))).cast("long").as("n_uniq"))
-    val tb = docs(s, d)
-      .select(col("doc_id"), explode(bigramsExpr).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bi"))
+    val tb = bigramStats(docs(s, d))
     base.join(tb, Seq("doc_id"), "left")
       .groupBy("lang")
       .agg(
@@ -1421,6 +1440,30 @@ object DocQueries {
     * grams and therefore cannot register as contaminated. */
   private[queries] val ContamN = 13
 
+  /** The word-13-gram list as 52-bit md5-prefix BIGINTs — ONE spelling
+    * per engine, shared by [[contamination]] and [[spanDedup]] so both
+    * queries operate in the same gram space by construction. Duck side:
+    * an expression over a token-array column `t` (embed-only: margins
+    * intact, same contract as [[minhashChainDuck]]). Spark side: the
+    * tokenizer is bound inside the lambda barrier itself (the
+    * CollapseProject hazard documented at [[contamination]]). */
+  private val gramListDuck: String =
+    s"""CASE WHEN len(t) < $ContamN THEN []
+       |              ELSE list_transform(
+       |                range(1, len(t) - ${ContamN - 2}),
+       |                i -> CAST('0x' || substr(md5(
+       |                  array_to_string(t[i:i+${ContamN - 1}], ' ')), 1, 13)
+       |                  AS BIGINT))
+       |         END"""
+
+  private def gramsCol: org.apache.spark.sql.Column = expr(
+    s"""element_at(transform(array($tokSpark), t ->
+       |CASE WHEN size(t) < $ContamN THEN array()
+       |ELSE transform(sequence(1, size(t) - ${ContamN - 1}),
+       |  i -> cast(conv(substr(md5(array_join(slice(t, i, $ContamN), ' ')),
+       |                 1, 13), 16, 10) AS bigint)) END), 1)"""
+      .stripMargin.replace("\n", " "))
+
   /** Train/test contamination check — the eval-integrity operator every
     * training pipeline runs before holding out a test split: a test doc
     * is contaminated when it shares at least one word-13-gram with any
@@ -1440,19 +1483,12 @@ object DocQueries {
     "docs_contamination",
     s"""WITH t AS (
        |  SELECT doc_id, lang, $tokDuck AS t,
-       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-       |              AS BIGINT) % 10 AS b
+       |         $splitBucketDuck AS b
        |  FROM documents
        |),
        |g AS (
        |  SELECT doc_id, lang, b,
-       |         CASE WHEN len(t) < $ContamN THEN []
-       |              ELSE list_transform(
-       |                range(1, len(t) - ${ContamN - 2}),
-       |                i -> CAST('0x' || substr(md5(
-       |                  array_to_string(t[i:i+${ContamN - 1}], ' ')), 1, 13)
-       |                  AS BIGINT))
-       |         END AS gs
+       |         $gramListDuck AS gs
        |  FROM t
        |),
        |tr AS (SELECT DISTINCT lang, unnest(gs) AS gram FROM g WHERE b < 8),
@@ -1479,8 +1515,7 @@ object DocQueries {
        |LEFT JOIN tg ON td.lang = tg.lang
        |LEFT JOIN hg ON td.lang = hg.lang
        |ORDER BY td.lang""".stripMargin) { (s, d) =>
-    val b = expr(
-      "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10")
+    val b = expr(splitBucketSpark)
     // no per-doc array_distinct: both consumers apply a global DISTINCT
     // right after the explode, so a per-doc dedup pass is pure overhead.
     // The token array is bound as a LAMBDA variable (`transform(array(
@@ -1490,13 +1525,7 @@ object DocQueries {
     // re-tokenizing once PER GRAM — 4 s of the query's 6 s wall), and a
     // lambda binding is the one construct the optimizer can never
     // inline through. Same hazard shingleFrame documents, stronger fix.
-    val grams = expr(
-      s"""element_at(transform(array($tokSpark), t ->
-         |CASE WHEN size(t) < $ContamN THEN array()
-         |ELSE transform(sequence(1, size(t) - ${ContamN - 1}),
-         |  i -> cast(conv(substr(md5(array_join(slice(t, i, $ContamN), ' ')),
-         |                 1, 13), 16, 10) AS bigint)) END), 1)"""
-        .stripMargin.replace("\n", " "))
+    val grams = gramsCol
     val split = docs(s, d)
       .select(col("doc_id"), col("lang"), b.as("b"), grams.as("gs"))
     val trainGrams = split.where(col("b") < 8)
@@ -1554,13 +1583,7 @@ object DocQueries {
     s"""WITH t AS (SELECT doc_id, $tokDuck AS t FROM documents),
        |g AS (
        |  SELECT doc_id,
-       |         CASE WHEN len(t) < $ContamN THEN []
-       |              ELSE list_transform(
-       |                range(1, len(t) - ${ContamN - 2}),
-       |                i -> CAST('0x' || substr(md5(
-       |                  array_to_string(t[i:i+${ContamN - 1}], ' ')), 1, 13)
-       |                  AS BIGINT))
-       |         END AS gs
+       |         $gramListDuck AS gs
        |  FROM t
        |),
        |pg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM g),
@@ -1580,13 +1603,7 @@ object DocQueries {
        |LIMIT 20""".stripMargin) { (s, d) =>
     // same lambda-variable binding as contamination: the optimizer can
     // never inline the tokenizer through it
-    val grams = expr(
-      s"""element_at(transform(array($tokSpark), t ->
-         |CASE WHEN size(t) < $ContamN THEN array()
-         |ELSE transform(sequence(1, size(t) - ${ContamN - 1}),
-         |  i -> cast(conv(substr(md5(array_join(slice(t, i, $ContamN), ' ')),
-         |                 1, 13), 16, 10) AS bigint)) END), 1)"""
-        .stripMargin.replace("\n", " "))
+    val grams = gramsCol
     val pg = docs(s, d)
       .select(col("doc_id"), explode(grams).as("gram"))
       .distinct()
@@ -1629,22 +1646,13 @@ object DocQueries {
        |         CAST(len(t) AS BIGINT) AS n_tok,
        |         CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
        |         CAST(len(list_filter(t,
-       |           x -> list_contains(['the','a','of','to','and','in',
-       |                               'is','for','on','with'], x)))
+       |           x -> list_contains($stopListDuck, x)))
        |           AS BIGINT) AS stop_cnt,
        |         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
        |           AS n_alpha
        |  FROM t
        |),
-       |bg AS (
-       |  SELECT doc_id,
-       |         unnest(list_transform(range(1, len(t)),
-       |           i -> t[i] || ' ' || t[i+1])) AS bg
-       |  FROM t
-       |),
-       |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
-       |tb AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bi
-       |       FROM bc GROUP BY 1)
+       |$bigramStatsDuck
        |SELECT source, count(*) AS n_docs,
        |       CAST(count(*) FILTER (WHERE n_tok >= 40) AS BIGINT)
        |         AS n_after_len,
@@ -1664,17 +1672,11 @@ object DocQueries {
     val base = toks.select(col("doc_id"), col("source"),
       size(col("t")).cast("long").as("n_tok"),
       size(array_distinct(col("t"))).cast("long").as("n_uniq"),
-      expr(
-        """size(filter(t, x -> array_contains(array('the','a','of','to',
-          |'and','in','is','for','on','with'), x)))"""
-          .stripMargin.replace("\n", " ")).cast("long").as("stop_cnt"),
+      expr(s"size(filter(t, x -> array_contains($stopListSpark, x)))")
+        .cast("long").as("stop_cnt"),
       expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long")
         .as("n_alpha"))
-    val tb = docs(s, d)
-      .select(col("doc_id"), explode(bigramsExpr).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bi"))
+    val tb = bigramStats(docs(s, d))
     val pLen = col("n_tok") >= 40
     val pRep = pLen && col("top_c") * 5 < col("n_bi") &&
       col("n_uniq") * 2 > col("n_tok")
@@ -1707,8 +1709,7 @@ object DocQueries {
     s"""WITH ${minhashChainDuck("SELECT doc_id, text FROM documents")},
        |sp AS (
        |  SELECT doc_id, lang,
-       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-       |              AS BIGINT) % 10 AS b
+       |         $splitBucketDuck AS b
        |  FROM documents
        |),
        |mixed AS (
@@ -1742,8 +1743,7 @@ object DocQueries {
        |       COALESCE(n_pairs, 0) AS n_pairs
        |FROM td LEFT JOIN hits ON td.lang = hits.lang
        |ORDER BY td.lang""".stripMargin) { (s, d) =>
-    val bCol = expr(
-      "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10")
+    val bCol = expr(splitBucketSpark)
     val sp = docs(s, d).select(col("doc_id"), col("lang"), bCol.as("b"))
     val sh = shingleFrame(docs(s, d).select("doc_id", "text"))
     val sides = sp.select(col("doc_id"), col("b"))

@@ -957,9 +957,12 @@ object EmbQueries {
     * dup-group. Clusters here are the coarse-quantizer cells the IVF
     * family already uses (cell = label; a production run would take
     * [[kmeansRefine]]'s converged assignment — the mechanics are
-    * identical). Removal rule is the paper's greedy low-index keep: a
+    * identical). Removal rule is the paper's upper-triangular rule: a
     * vector is removed when ANY lower-id vector in its cluster has
-    * cosine > τ with it. τ = 0.35, calibrated to this synthetic corpus
+    * cosine > τ with it — including lower-id vectors that are
+    * themselves removed (SemDeDup thresholds the per-column max of the
+    * upper-triangular similarity matrix; it does NOT re-compare against
+    * survivors only, so neither does this). τ = 0.35, calibrated to this synthetic corpus
     * (its vectors are near-orthogonal draws with no true semantic dups;
     * real text embeddings use τ ≈ 0.95+ — the knob, not the shape,
     * changes). Scale story — the entire point of SemDeDup: the

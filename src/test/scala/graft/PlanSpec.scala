@@ -184,8 +184,21 @@ class PlanSpec extends SparkSpec {
 
   test("fuzzy contamination prunes candidates before the shingle join, " +
     "never cartesian") {
-    val p = plan(graft.queries.DocQueries.fuzzyContamination)
-    assert(!p.contains("CartesianProduct"))
+    val q = graft.queries.DocQueries.fuzzyContamination
+    val lp = q.run(spark, sf).queryExecution.optimizedPlan
+    // the expensive step is the shingle-verification join (right side
+    // produces the `shingles` arrays the jaccard projection consumes);
+    // the scale contract is that the cross-split pruning — the
+    // md5-bucket arithmetic — happens on its LEFT (candidate) side,
+    // so verification only ever sees train×test survivors
+    val verifyJoins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.right.output.exists(_.name == "shingles") => j
+    }
+    assert(verifyJoins.nonEmpty, "no shingle-verification join in plan")
+    assert(verifyJoins.exists(_.left.toString.contains("% 10")),
+      "cross-split pruning does not precede the shingle verification")
+    assert(!plan(q).contains("CartesianProduct"))
   }
 
   test("PQ search broadcasts the codebook and ADC table, ranks via " +
