@@ -33,7 +33,17 @@ object Verify {
       finally s.close()
     }
     stale.foreach(graft.store.Store.deleteRecursively)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (comma-separated names); the driver never
+    // sets it, so the full set runs there. The orphan sweep above runs
+    // BEFORE the filter on purpose: a filtered run into a fresh outDir
+    // must not be mistaken for full coverage, so keep outDir separate.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // remove any previous run's output FIRST: on failure a stale
       // result must not survive to be compared as if it were current
       val target = Paths.get(s"$outDir/$name")
@@ -59,7 +69,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val dumped = only match {
+      case Some(names) => SparkEntry.oracleSql.filter(kv => names(kv._1))
+      case None        => SparkEntry.oracleSql
+    }
+    val json = dumped
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -348,11 +348,14 @@ object DocQueries {
     * aggregation formulation — an independent derivation of the same
     * bits. */
   /** The (doc_id, simhash) signature pipeline shared by the display
-    * query and the hamming pairing query — one definition per engine.
-    * DuckDB side: a CTE chain ending in `sh(doc_id, simhash)`. */
-  private val simhashCteDuck: String =
+    * query, the hamming pairing query, and the dedup-first variant —
+    * one definition per engine, parameterized by the docs source (a SQL
+    * snippet providing `doc_id, text`, same contract as
+    * [[minhashChainDuck]]). DuckDB side: a CTE chain ending in
+    * `sh(doc_id, simhash)`. */
+  private def simhashCteDuck(docsSrc: String): String =
     s"""tok AS (
-       |  SELECT doc_id, unnest($tokDuck) AS tok FROM documents
+       |  SELECT doc_id, unnest($tokDuck) AS tok FROM ($docsSrc)
        |),
        |bits AS (
        |  SELECT doc_id, i AS pos,
@@ -378,9 +381,12 @@ object DocQueries {
     * BEFORE the transform lambda so the md5 evaluates once per row, not
     * once per lambda element; bit pos i of the big-endian
     * first-8-hex-digit word is bit (31 - i) of the parsed 32-bit value. */
-  private def simhashFrames(s: SparkSession, d: String): DataFrame = {
+  private def simhashFrames(s: SparkSession, d: String): DataFrame =
+    simhashFramesOf(s, docs(s, d))
+
+  private def simhashFramesOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val tf = docs(s, d)
+    val tf = docsDf
       .select(col("doc_id"), explode(expr(tokSpark)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
     val votes = tf
@@ -399,9 +405,13 @@ object DocQueries {
           "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')").as("simhash"))
   }
 
+  /** All docs as the signature source — the default for the plain
+    * simhash queries. */
+  private val allDocsSql = "SELECT doc_id, text FROM documents"
+
   val simhash: NamedQuery = NamedQuery(
     "docs_simhash",
-    s"""WITH $simhashCteDuck
+    s"""WITH ${simhashCteDuck(allDocsSql)}
        |SELECT doc_id, simhash
        |FROM sh
        |ORDER BY doc_id
@@ -424,42 +434,49 @@ object DocQueries {
     * found by both blocks counts once (distinct before ranking). The
     * bucket collect is sorted by doc_id, so pair order (doc_a < doc_b)
     * falls out of the array order. */
-  val simhashHamming: NamedQuery = NamedQuery(
-    "docs_simhash_hamming",
-    s"""WITH $simhashCteDuck,
-       |b AS (
-       |  SELECT doc_id, simhash, j,
-       |         substr(simhash, 1 + 8 * CAST(j AS INTEGER), 8) AS bucket
-       |  FROM sh, unnest(range(0, 2)) AS u(j)
-       |),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-       |         a.simhash AS sig_a, b2.simhash AS sig_b
-       |  FROM b a
-       |  JOIN b b2 ON a.j = b2.j AND a.bucket = b2.bucket
-       |            AND a.doc_id < b2.doc_id
-       |)
-       |SELECT doc_a, doc_b,
-       |       CAST(list_sum(list_transform(range(1, 33),
-       |              i -> CASE WHEN substr(sig_a, i, 1)
-       |                             <> substr(sig_b, i, 1)
-       |                        THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
-       |FROM cand
-       |ORDER BY hamming, doc_a, doc_b
-       |LIMIT 20""".stripMargin) { (s, d) =>
-    // hamming is computed INSIDE the pair lambda: the cross-block
-    // distinct then shuffles (long, long, int) rows, not pairs dragging
-    // two 32-char signatures — at the dup-heavy 10× corpus the heavier
-    // rows OOM'd an 8 GB driver, the light ones stream fine. distinct on
-    // (doc_a, doc_b, hamming) equals distinct on the pair: hamming is a
-    // pure function of the two docs' signatures.
+  /** The blocking → in-bucket pairing → hamming ranking tail over an
+    * `sh(doc_id, simhash)` CTE — shared by [[simhashHamming]] and
+    * [[dedupThenSimhash]] (embed-only, margins intact). */
+  private val hammingSelectDuck: String =
+    """b AS (
+      |  SELECT doc_id, simhash, j,
+      |         substr(simhash, 1 + 8 * CAST(j AS INTEGER), 8) AS bucket
+      |  FROM sh, unnest(range(0, 2)) AS u(j)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |         a.simhash AS sig_a, b2.simhash AS sig_b
+      |  FROM b a
+      |  JOIN b b2 ON a.j = b2.j AND a.bucket = b2.bucket
+      |            AND a.doc_id < b2.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |       CAST(list_sum(list_transform(range(1, 33),
+      |              i -> CASE WHEN substr(sig_a, i, 1)
+      |                             <> substr(sig_b, i, 1)
+      |                        THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+      |FROM cand
+      |ORDER BY hamming, doc_a, doc_b
+      |LIMIT 20"""
+
+  /** Spark side of [[hammingSelectDuck]]: two 8-bit blocking tables,
+    * bucket-local pair generation, top-20 by the codegen'd
+    * [[graft.functions.HammingDistance]].
+    *
+    * hamming is computed INSIDE the pair lambda: the cross-block
+    * distinct then shuffles (long, long, int) rows, not pairs dragging
+    * two 32-char signatures — at the dup-heavy 10× corpus the heavier
+    * rows OOM'd an 8 GB driver, the light ones stream fine. distinct on
+    * (doc_a, doc_b, hamming) equals distinct on the pair: hamming is a
+    * pure function of the two docs' signatures. */
+  private def hammingTopPairs(sig: DataFrame): DataFrame = {
     val pairsOfStructs =
       """flatten(transform(xs, (x, i) ->
         |  transform(slice(xs, i + 2, size(xs)),
         |    y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
         |                graft_hamming(x.simhash, y.simhash) AS hamming))))"""
         .stripMargin.replace("\n", " ")
-    simhashFrames(s, d)
+    sig
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(1))).as("j"))
       .withColumn("bucket", expr("substring(simhash, 1 + 8 * j, 8)"))
@@ -472,6 +489,41 @@ object DocQueries {
       .distinct()
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
+  }
+
+  val simhashHamming: NamedQuery = NamedQuery(
+    "docs_simhash_hamming",
+    s"""WITH ${simhashCteDuck(allDocsSql)},
+       |$hammingSelectDuck""".stripMargin) { (s, d) =>
+    hammingTopPairs(simhashFrames(s, d))
+  }
+
+  /** Exact-dedup-FIRST simhash ranking — [[dedupThenMinhash]]'s
+    * discipline applied to the engine's worst measured scale outlier:
+    * on the dup-heavy 10× corpus, [[simhashHamming]] pays ~100× pair
+    * inflation (every 8-bit block bucket holds each text's full
+    * duplicate clique), while the signatures inside a clique are
+    * IDENTICAL — pure waste the O(n) exact dedup removes up front.
+    * Same output shape as [[simhashHamming]], computed over one
+    * representative (min doc_id) per distinct text. */
+  val dedupThenSimhash: NamedQuery = NamedQuery(
+    "docs_dedup_then_simhash",
+    s"""WITH reps AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM documents
+       |  GROUP BY md5(text)
+       |),
+       |${simhashCteDuck(
+          "SELECT r.doc_id, d.text FROM reps r " +
+            "JOIN documents d ON d.doc_id = r.doc_id")},
+       |$hammingSelectDuck""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val reps = dd
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    hammingTopPairs(
+      simhashFramesOf(s, reps.join(dd.select("doc_id", "text"), "doc_id")))
   }
 
   /** Language-ID train/classify pipeline: learn top-20 tokens per lang
@@ -1844,5 +1896,5 @@ object DocQueries {
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
     redaction, packSequences, repetition, contamination, spanDedup,
-    filterFunnel, fuzzyContamination, bpeStep)
+    filterFunnel, fuzzyContamination, dedupThenSimhash, bpeStep)
 }
