@@ -1117,6 +1117,73 @@ object DocQueries {
       .orderBy(col("head_n").desc, col("prev"), col("n").desc, col("nxt"))
   }
 
+  /** LM-frequency surprise scoring — the log-free analogue of the
+    * KenLM-perplexity quality filter (CCNet): score each document by how
+    * unusual its word bigrams are under the corpus-wide bigram counts,
+    * and surface the 20 most surprising documents. Perplexity itself is
+    * a geometric mean of inverse probabilities; logs differ across libm
+    * implementations in the last ulp (the [[tfidfTop]] lesson), so the
+    * score here is count-space: `mean_c` = mean corpus frequency of the
+    * doc's bigram occurrences and `rare_frac` = fraction occurring
+    * nowhere else, each ONE division of two BIGINT sums — exact
+    * integers until a single identical IEEE division in both engines,
+    * and the ranking they induce is the perplexity ranking's intent
+    * (low mean frequency == high surprise). Bigrams travel as 52-bit
+    * md5-prefix BIGINTs (the [[contamination]] representation): the
+    * count join shuffles 8-byte longs, not concatenated token strings;
+    * collisions fold counts identically in both engines. Shape at
+    * 100 TB: bigram explode is map-side; corpus counts are ONE hash agg
+    * on a near-unique skew-free long key; the score join re-uses that
+    * same key partitioning (in production the count table is the
+    * persisted LM artifact, bucketed by `g`, so re-scoring new corpora
+    * shuffles only the document side); the tail is a 20-row TakeOrdered.
+    * Docs with fewer than 2 tokens carry no bigrams and are out of
+    * scope of an LM score, exactly as in [[bigramLm]]. */
+  val lmSurprise: NamedQuery = NamedQuery(
+    "docs_lm_surprise",
+    s"""WITH t AS (SELECT doc_id, lang, $tokDuck AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(t)),
+       |           i -> CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 13)
+       |                     AS BIGINT))) AS g
+       |  FROM t WHERE len(t) >= 2
+       |),
+       |counts AS (SELECT g, count(*) AS c FROM bg GROUP BY 1),
+       |scored AS (
+       |  SELECT b.doc_id, b.lang,
+       |         CAST(count(*) AS BIGINT) AS n_bi,
+       |         CAST(sum(c.c) AS BIGINT) AS sum_c,
+       |         CAST(count(*) FILTER (WHERE c.c = 1) AS BIGINT) AS n_rare
+       |  FROM bg b JOIN counts c USING (g)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, lang, n_bi,
+       |       CAST(sum_c AS DOUBLE) / CAST(n_bi AS DOUBLE) AS mean_c,
+       |       CAST(n_rare AS DOUBLE) / CAST(n_bi AS DOUBLE) AS rare_frac
+       |FROM scored
+       |ORDER BY mean_c, doc_id
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val g = docs(s, d)
+      .select(col("doc_id"), col("lang"), explode(bigramsExpr).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substr(md5(bg), 1, 13), 16, 10) AS bigint)").as("g"))
+    val counts = g.groupBy("g").agg(count(lit(1)).as("c"))
+    g.join(counts, "g")
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_bi"),
+        sum(col("c")).as("sum_c"),
+        count(when(col("c") === 1, 1)).as("n_rare"))
+      .select(col("doc_id"), col("lang"), col("n_bi"),
+        (col("sum_c").cast("double") / col("n_bi").cast("double"))
+          .as("mean_c"),
+        (col("n_rare").cast("double") / col("n_bi").cast("double"))
+          .as("rare_frac"))
+      .orderBy(col("mean_c"), col("doc_id"))
+      .limit(20)
+  }
+
   /** The full training-corpus build as ONE dataflow — the capstone the
     * individual operators exist for: exact dedup (keep smallest doc_id
     * per text hash) → quality gate (composite score ≥ 0.5, the shared
@@ -1896,5 +1963,6 @@ object DocQueries {
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
     redaction, packSequences, repetition, contamination, spanDedup,
-    filterFunnel, fuzzyContamination, dedupThenSimhash, bpeStep)
+    filterFunnel, fuzzyContamination, dedupThenSimhash, lmSurprise,
+    bpeStep)
 }
