@@ -191,6 +191,29 @@ class QualityOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup-then-simhash equals the plain pairing on the pre-deduped corpus") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    // dup-heavy fixture: the corpus unioned with an id-shifted copy of
+    // itself — every text becomes a 2-clique whose min-doc_id rep is the
+    // ORIGINAL row, so "full corpus after exact dedup" is sf0.001 itself
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-dts").toString
+    docsDf.unionByName(
+        docsDf.withColumn("doc_id", col("doc_id") + 1000000000L))
+      .write.mode("overwrite").parquet(s"$dupDir/documents.parquet")
+    // dedup-first on the duplicated corpus == plain pairing on the
+    // original: the pair stage must never see the injected clique mass;
+    // the ORDER BY (hamming, doc_a, doc_b) is total, so row-for-row
+    // equality is fair
+    val a = graft.queries.DocQueries.dedupThenSimhash.run(spark, dupDir)
+      .collect().map(_.toString).toSeq
+    val b = graft.queries.DocQueries.simhashHamming.run(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a.nonEmpty, "pairing produced no rows on the fixture corpus")
+    assert(a == b)
+  }
+
   test("pq ranking: 10 rows, bounded sims, deterministic, nonzero recall") {
     val sf = "/root/testdata/sf0.001"
     val run1 = graft.queries.EmbQueries.pqTopK.run(spark, sf).collect()
