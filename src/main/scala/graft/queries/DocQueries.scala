@@ -57,6 +57,15 @@ object DocQueries {
   private val stopListDuck = Stopwords.mkString("['", "','", "']")
   private val stopListSpark = Stopwords.mkString("array('", "','", "')")
 
+  /** The spam lexicon for [[classifierScore]] — the negative-class half
+    * of the fasttext-style linear quality classifier (the positive half
+    * is the shared [[Stopwords]] fluency list, so the classifier and the
+    * quality score can never disagree about what "fluent" means). */
+  private val SpamWords = Seq(
+    "click", "buy", "free", "win", "offer", "subscribe", "cheap", "prize")
+  private val spamListDuck = SpamWords.mkString("['", "','", "']")
+  private val spamListSpark = SpamWords.mkString("array('", "','", "')")
+
   /** All unordered id pairs of an `ids` array column, as
     * `struct<a, b>` with a < b — the in-bucket candidate generator shared
     * by the blocking-based near-dup queries (pairs are built from a
@@ -1957,6 +1966,186 @@ object DocQueries {
         col("vocab_chars"))
   }
 
+  /** Temperature-scaled language rebalancing (the multilingual-corpus
+    * mixing step, α = 0.5): each language keeps an acceptance fraction
+    * p_l = √(n_min / n_l), so over-represented languages are downsampled
+    * toward the α-tempered distribution while the smallest keeps all its
+    * docs. The acceptance test is PURE INTEGER — a doc with hash byte b
+    * (0..255) survives iff b²·n_l < 256²·n_min, which is exactly
+    * b/256 < √(n_min/n_l) with no float in sight, so both engines agree
+    * bit-for-bit. The scale shape: acceptance depends only on
+    * (lang, hash byte), so the per-doc work collapses to a
+    * (lang × 256)-cell histogram — one map-side-combined aggregation
+    * over the corpus; everything after runs on ≤ 256·|langs| rows with
+    * broadcast scalars, never a per-doc join.
+    * Reference discipline: deterministic content-hash bucketing, as in
+    * the split assignment (`sql/V1__create_trades_table.sql:13`'s
+    * hash-order idea applied to sampling). */
+  val temperatureMix: NamedQuery = NamedQuery(
+    "docs_temperature_mix",
+    """WITH b AS (
+      |  SELECT lang,
+      |         CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |              AS BIGINT) AS b
+      |  FROM documents
+      |),
+      |hist AS (SELECT lang, b, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_before
+      |        FROM hist GROUP BY 1),
+      |mn AS (SELECT min(n_before) AS n_min FROM tot),
+      |gt AS (SELECT CAST(sum(n_before) AS BIGINT) AS total_before FROM tot),
+      |aft AS (
+      |  SELECT h.lang, CAST(sum(h.cnt) AS BIGINT) AS n_after
+      |  FROM hist h JOIN tot USING (lang) CROSS JOIN mn
+      |  WHERE h.b * h.b * tot.n_before < 65536 * mn.n_min
+      |  GROUP BY 1
+      |),
+      |ga AS (SELECT CAST(sum(n_after) AS BIGINT) AS total_after FROM aft)
+      |SELECT t.lang, t.n_before, coalesce(a.n_after, 0) AS n_after,
+      |       CAST(t.n_before AS DOUBLE) / CAST(gt.total_before AS DOUBLE)
+      |         AS share_before,
+      |       CAST(coalesce(a.n_after, 0) AS DOUBLE)
+      |         / CAST(ga.total_after AS DOUBLE) AS share_after,
+      |       CAST(coalesce(a.n_after, 0) AS DOUBLE)
+      |         / CAST(t.n_before AS DOUBLE) AS accept_rate
+      |FROM tot t LEFT JOIN aft a USING (lang)
+      |CROSS JOIN gt CROSS JOIN ga
+      |ORDER BY t.lang""".stripMargin) { (s, d) =>
+    val b = docs(s, d).select(col("lang"),
+      expr("cast(conv(substr(md5(concat('mix:', cast(doc_id AS string))), " +
+        "1, 2), 16, 10) AS bigint)").as("b"))
+    val hist = b.groupBy("lang", "b").agg(count(lit(1)).as("cnt"))
+    val tot = hist.groupBy("lang").agg(sum(col("cnt")).as("n_before"))
+    val mn = tot.agg(min(col("n_before")).as("n_min"))
+    val gt = tot.agg(sum(col("n_before")).as("total_before"))
+    val aft = hist.join(broadcast(tot), "lang").crossJoin(broadcast(mn))
+      .where(col("b") * col("b") * col("n_before") <
+        lit(65536L) * col("n_min"))
+      .groupBy("lang").agg(sum(col("cnt")).as("n_after"))
+    val ga = aft.agg(sum(col("n_after")).as("total_after"))
+    tot.join(aft, Seq("lang"), "left")
+      .crossJoin(broadcast(gt)).crossJoin(broadcast(ga))
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before").cast("double") / col("total_before").cast("double"))
+          .as("share_before"),
+        (coalesce(col("n_after"), lit(0L)).cast("double") /
+          col("total_after").cast("double")).as("share_after"),
+        (coalesce(col("n_after"), lit(0L)).cast("double") /
+          col("n_before").cast("double")).as("accept_rate"))
+      .orderBy("lang")
+  }
+
+  /** Deterministic epoch shuffle + sharding — the training-order step: a
+    * per-epoch salted hash (`md5('e<epoch>:' || doc_id)`) gives every doc
+    * a fresh pseudo-random position each epoch, and `first-byte % 8`
+    * assigns it to a data-loader shard. Reported per (epoch, shard):
+    * sizes (balance check), char volume, and the hash-order head/tail doc
+    * (`min_by`/`max_by` on the hash key — proves the ORDER really
+    * re-deals between epochs without materializing a global sort). One
+    * map-side-combined aggregation into 16 groups; the full shuffle a
+    * trainer would consume is the same expression used as a sort key,
+    * which at 100 TB is a per-shard local sort after the hash partition —
+    * no global ordering bottleneck. */
+  val epochShuffle: NamedQuery = NamedQuery(
+    "docs_epoch_shuffle",
+    """WITH e AS (
+      |  SELECT d.doc_id, d.n_chars, ep.epoch,
+      |         md5('e' || ep.epoch || ':' || CAST(d.doc_id AS VARCHAR)) AS k
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest([0, 1]) AS epoch) ep
+      |)
+      |SELECT epoch,
+      |       CAST('0x' || substr(k, 1, 2) AS BIGINT) % 8 AS shard,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       arg_min(doc_id, k) AS first_doc,
+      |       arg_max(doc_id, k) AS last_doc
+      |FROM e
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr("array(0, 1)")).as("epoch"))
+      .select(col("doc_id"), col("n_chars"), col("epoch"),
+        expr("md5(concat('e', epoch, ':', cast(doc_id AS string)))").as("k"))
+      .groupBy(col("epoch"),
+        expr("cast(conv(substr(k, 1, 2), 16, 10) AS bigint) % 8").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min_by(col("doc_id"), col("k")).as("first_doc"),
+        max_by(col("doc_id"), col("k")).as("last_doc"))
+      .orderBy("epoch", "shard")
+  }
+
+  /** Fasttext-style linear quality classifier: an integer-weighted
+    * bag-of-words score (+2 per fluency stopword, −3 per spam word —
+    * shared lexicons [[Stopwords]]/[[SpamWords]]) normalized per 100
+    * tokens, banded into high/mid/low/spam classes. The banding is PURE
+    * INTEGER (`100·Σw ≥ 60·n_tok` etc.), so class assignment can never
+    * drift between engines; the only float is the final aggregated mean,
+    * one exact int/int division. Token array bound once behind the
+    * CollapseProject lambda barrier (see [[bigramsExpr]]); per-doc work
+    * is map-side, then one low-cardinality (lang × band) aggregation —
+    * the linear-classifier-gate shape production pipelines run at
+    * ingest. */
+  val classifierScore: NamedQuery = NamedQuery(
+    "docs_classifier_score",
+    s"""WITH sc AS (
+       |  SELECT lang, len(toks) AS n_tok,
+       |         CAST(list_sum(list_transform(toks, t ->
+       |           CASE WHEN list_contains($spamListDuck, t) THEN -3
+       |                WHEN list_contains($stopListDuck, t) THEN 2
+       |                ELSE 0 END)) AS BIGINT) AS w_sum
+       |  FROM (SELECT lang,
+       |               string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents)
+       |),
+       |banded AS (
+       |  SELECT lang, n_tok, w_sum,
+       |         CASE WHEN 100 * w_sum >= 60 * n_tok THEN 'high'
+       |              WHEN 100 * w_sum >= 20 * n_tok THEN 'mid'
+       |              WHEN w_sum >= 0 THEN 'low'
+       |              ELSE 'spam' END AS band
+       |  FROM sc
+       |)
+       |SELECT lang, band, count(*) AS n_docs,
+       |       CAST(sum(w_sum) AS BIGINT) AS sum_w,
+       |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       |       CAST(100 * sum(w_sum) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+       |         AS mean_score
+       |FROM banded
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val perDoc =
+      s"""element_at(transform(array(split(trim(lower(text)), '\\\\s+')),
+         |  toks -> named_struct(
+         |    'n_tok', size(toks),
+         |    'w_sum', aggregate(toks, cast(0 AS bigint), (acc, t) ->
+         |      acc + CASE WHEN array_contains($spamListSpark, t) THEN -3L
+         |                 WHEN array_contains($stopListSpark, t) THEN 2L
+         |                 ELSE 0L END))), 1)"""
+        .stripMargin.replace("\n", " ")
+    docs(s, d)
+      .select(col("lang"), expr(perDoc).as("m"))
+      .select(col("lang"), col("m.n_tok").as("n_tok"),
+        col("m.w_sum").as("w_sum"))
+      .withColumn("band", expr(
+        """CASE WHEN 100 * w_sum >= 60 * n_tok THEN 'high'
+          |     WHEN 100 * w_sum >= 20 * n_tok THEN 'mid'
+          |     WHEN w_sum >= 0 THEN 'low'
+          |     ELSE 'spam' END""".stripMargin.replace("\n", " ")))
+      .groupBy("lang", "band")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w_sum")).as("sum_w"),
+        sum(col("n_tok")).as("sum_tok"),
+        ((lit(100L) * sum(col("w_sum"))).cast("double") /
+          sum(col("n_tok")).cast("double")).as("mean_score"))
+      .orderBy("lang", "band")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, dedupThenMinhash, simhash,
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
@@ -1964,5 +2153,5 @@ object DocQueries {
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, dedupThenSimhash, lmSurprise,
-    bpeStep)
+    bpeStep, temperatureMix, epochShuffle, classifierScore)
 }

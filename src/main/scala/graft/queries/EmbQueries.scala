@@ -1005,8 +1005,81 @@ object EmbQueries {
       .orderBy("label")
   }
 
+  /** Matryoshka-style dimension-truncation recall: rank the corpus
+    * against 5 query vectors by full 64-dim cosine AND by cosine over the
+    * first 16 dims only (the MRL prefix-truncation trick — Kusupati et
+    * al. 2022), then report top-10 overlap per query. This is the
+    * evaluation a pipeline runs before committing to truncated embeddings
+    * for cheap first-stage retrieval (4× less memory bandwidth per
+    * comparison). Shape: 5-row broadcast of query vectors against one
+    * corpus scan; both rankings share ONE hash exchange on `qid` (two
+    * window sorts over the same partitioning — no second shuffle), and at
+    * 100 TB the per-query partition sort is the standard top-k-per-group
+    * shape. `graft_cosine` iterates min(len), so the 16-dim slice runs
+    * the same fused codegen loop as the full ranking. */
+  val matryoshkaRecall: NamedQuery = {
+    def dot16(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 17), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def cos16(a: String, b: String) =
+      s"${dot16(a, b)} / (sqrt(${dot16(a, a)}) * sqrt(${dot16(b, b)}))"
+    NamedQuery(
+      "emb_matryoshka_recall",
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 5
+         |),
+         |s AS (
+         |  SELECT q.qid, b.vec_id,
+         |         ${cosDuck("q.qv", "b.embedding")} AS sim_full,
+         |         ${cos16("q.qv", "b.embedding")} AS sim_trunc
+         |  FROM embeddings b CROSS JOIN q
+         |  WHERE b.vec_id <> q.qid
+         |),
+         |r AS (
+         |  SELECT qid,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY sim_full DESC, vec_id) AS rf,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY sim_trunc DESC, vec_id) AS rt
+         |  FROM s
+         |)
+         |SELECT qid AS vec_id,
+         |       count(*) FILTER (WHERE rf <= 10 AND rt <= 10) AS overlap,
+         |       CAST(count(*) FILTER (WHERE rf <= 10 AND rt <= 10) AS DOUBLE)
+         |         / 10.0 AS recall10
+         |FROM r
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = emb(s, d)
+      val q = base.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = base.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr(cosSpark("qv", "embedding")).as("sim_full"),
+          expr(cosSpark("slice(qv, 1, 16)", "slice(embedding, 1, 16)"))
+            .as("sim_trunc"))
+      val wF = Window.partitionBy("qid")
+        .orderBy(col("sim_full").desc, col("vec_id"))
+      val wT = Window.partitionBy("qid")
+        .orderBy(col("sim_trunc").desc, col("vec_id"))
+      scored
+        .select(col("qid"), row_number().over(wF).as("rf"),
+          row_number().over(wT).as("rt"))
+        .groupBy("qid")
+        .agg(
+          count(when(col("rf") <= 10 && col("rt") <= 10, 1)).as("overlap"),
+          (count(when(col("rf") <= 10 && col("rt") <= 10, 1)).cast("double")
+            / lit(10.0)).as("recall10"))
+        .select(col("qid").as("vec_id"), col("overlap"), col("recall10"))
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
-    pqTopK, kmeansRefine, semanticDedup)
+    pqTopK, kmeansRefine, semanticDedup, matryoshkaRecall)
 }
