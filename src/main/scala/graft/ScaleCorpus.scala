@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dup-heavy scale-up corpus builder — the committed,
+  * reproducible recipe behind every "10×" measurement in COVERAGE.md
+  * (earlier rounds built it with an ad-hoc scratch script; this main is
+  * the durable replacement so the numbers can always be regenerated).
+  *
+  * Recipe (factor F, default 10): each FACT table becomes F copies of
+  * itself with primary ids remapped into disjoint ranges
+  * (`id + copy·10_000_000`) and EVERYTHING ELSE byte-identical:
+  *
+  *  - `documents`: doc_id remapped; text/lang/source/n_chars unchanged
+  *    ⇒ every distinct text becomes an F-copy exact-duplicate clique —
+  *    deliberately the WORST case for bucket-local pair generators
+  *    (every LSH/simhash/containment bucket gains F near-identical
+  *    members ⇒ ~F² candidate pairs) and the best case for proving the
+  *    dedup-first discipline removes that term.
+  *  - `embeddings`: vec_id remapped; vectors/labels unchanged ⇒ F-copy
+  *    cliques for the ANN/near-dup family.
+  *  - `events`: event_id remapped; **user_id and ts intentionally NOT
+  *    perturbed** ⇒ per-user event streams (and so sessionization /
+  *    sequence-match window state) grow F× by construction.
+  *  - `lineitem`/`orders`: l_orderkey/o_orderkey remapped in lockstep so
+  *    the order↔lineitem join fans out F× while every remapped order
+  *    still resolves; o_custkey/l_partkey/l_suppkey unchanged so the
+  *    dimension joins keep resolving (dims stay broadcast-sized, which
+  *    is the 100 TB shape: facts grow, dims don't).
+  *  - dims (`region nation customer supplier part`): copied through
+  *    unchanged.
+  *
+  * Zero randomness anywhere — same inputs always produce the same rows,
+  * so scale ratios recorded in COVERAGE.md are reproducible across
+  * rounds and machines.
+  *
+  * Usage: runMain graft.ScaleCorpus <srcSfDir> <outDir> [factor]
+  */
+object ScaleCorpus {
+
+  private val Stride = 10000000L // > every id in any driver SF corpus
+
+  /** FACT table → its remapped id columns (all other columns copied). */
+  private val factIds: Map[String, Seq[String]] = Map(
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "events"     -> Seq("event_id"),
+    "lineitem"   -> Seq("l_orderkey"),
+    "orders"     -> Seq("o_orderkey"))
+
+  /** F stacked copies with id columns shifted into disjoint ranges;
+    * column order preserved so the written schema matches the source. */
+  def scaled(df: DataFrame, idCols: Seq[String], factor: Int): DataFrame = {
+    val cols = df.columns
+    df.withColumn("copy_i", explode(expr(s"sequence(0, ${factor - 1})")))
+      .select(cols.map { c =>
+        if (idCols.contains(c)) (col(c) + col("copy_i") * lit(Stride)).as(c)
+        else col(c)
+      }: _*)
+  }
+
+  def build(spark: SparkSession, src: String, out: String, factor: Int): Unit =
+    Tables.corpusTables.foreach { t =>
+      val base = Tables.table(spark, src, t)
+      val df = factIds.get(t) match {
+        case Some(ids) => scaled(base, ids, factor).repartition(8)
+        case None      => base // dims copy through unchanged
+      }
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-corpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, src, out, factor)
+    println(s"SCALED $src -> $out factor=$factor")
+    spark.stop()
+  }
+}
