@@ -2146,6 +2146,62 @@ object DocQueries {
       .orderBy("lang", "band")
   }
 
+  /** Inverted-index build — the retrieval-index construction step a
+    * RAG / dense+sparse hybrid pipeline runs over the corpus: per-term
+    * document frequency, collection frequency, and a BOUNDED posting
+    * sample (top-5 docs by term frequency, ties to the smaller doc_id).
+    * The postings run through the custom bounded
+    * [[graft.functions.TopKByScore]] aggregate, so each map task sends
+    * at most k postings per term into the shuffle — O(terms × k)
+    * exchanged bytes — where the window spelling would shuffle and SORT
+    * the FULL posting list of every term (the hot-term list is
+    * exactly the skewed giant group the bounded heap exists for; a
+    * stopword's postings are the whole corpus). Head selection is
+    * TakeOrdered on (df DESC, term). Postings travel as a joined string
+    * (`concat_ws`), the array-compare-safe shape [[langSources]]
+    * established. */
+  val postingLists: NamedQuery = NamedQuery(
+    "docs_posting_lists",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($tokDuck) AS tok FROM documents
+       |),
+       |tf AS (SELECT tok, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT tok, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf
+       |  FROM tf GROUP BY 1
+       |),
+       |r AS (
+       |  SELECT tok, doc_id,
+       |         row_number() OVER (PARTITION BY tok
+       |                            ORDER BY c DESC, doc_id) AS rk
+       |  FROM tf
+       |),
+       |post AS (
+       |  SELECT tok,
+       |         array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY rk),
+       |                         ',') AS top_docs
+       |  FROM r WHERE rk <= 5 GROUP BY tok
+       |)
+       |SELECT a.tok AS term, a.df, a.cf, p.top_docs
+       |FROM agg a JOIN post p USING (tok)
+       |ORDER BY a.df DESC, term
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(expr(tokSpark)).as("tok"))
+    val tf = tok.groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+    tf.groupBy("tok")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("c")).as("cf"),
+        expr("graft_topk(cast(c AS double), doc_id, 5)").as("topk"))
+      .select(col("tok").as("term"), col("df"), col("cf"),
+        expr("concat_ws(',', transform(topk, p -> cast(p.id AS string)))")
+          .as("top_docs"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, dedupThenMinhash, simhash,
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
@@ -2153,5 +2209,5 @@ object DocQueries {
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, dedupThenSimhash, lmSurprise,
-    bpeStep, temperatureMix, epochShuffle, classifierScore)
+    bpeStep, temperatureMix, epochShuffle, classifierScore, postingLists)
 }
