@@ -2202,6 +2202,107 @@ object DocQueries {
       .limit(20)
   }
 
+  /** The fixed retrieval query for the sparse-scoring operators: one
+    * rare term (`dup`, df≈5% — the discriminative signal) plus four
+    * common ones, so the idf weighting is visibly exercised. One
+    * spelling per dialect, kept lockstep by construction. */
+  private[graft] val bm25Terms = Seq("dup", "hash", "join", "scan", "vector")
+  private def bm25TermsSql: String =
+    bm25Terms.map("'" + _ + "'").mkString("(", ", ", ")")
+
+  /** Rational BM25 term score — the log-free analogue of
+    * `idf(t) * tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))` at the
+    * standard k1=1.2, b=0.75, in the repo's cross-engine float
+    * discipline (COVERAGE.md playbook): with avglen = L/N the tf term
+    * clears to `22·tf·L / (10·tf·L + 3·L + 9·len·N)` and the idf to the
+    * Robertson ratio `(2N−2df+1)/(2df+1)` WITHOUT the ln (same
+    * monotonicity per term, never negative — the [[lmSurprise]]
+    * precedent). Every operand is an exact BIGINT < 2⁵³ (L is the
+    * corpus token count; 22·tf·L tops out ~10¹¹ at the 10× corpus), so
+    * both engines see exact doubles in, and IEEE-correct rounding makes
+    * the two quotients and their product bit-identical. Valid in BOTH
+    * dialects — the twins share this one spelling. */
+  private def bm25TermScore(n: String, df: String, tf: String,
+                            len: String, l: String): String =
+    s"(CAST(2*$n - 2*$df + 1 AS DOUBLE) / CAST(2*$df + 1 AS DOUBLE))" +
+      s" * (CAST(22*$tf*$l AS DOUBLE)" +
+      s" / CAST(10*$tf*$l + 3*$l + 9*$len*$n AS DOUBLE))"
+
+  /** BM25 top-k retrieval — the sparse half of a hybrid RAG retriever,
+    * run directly on the corpus (the online form of the
+    * [[postingLists]] index build): score every document against the
+    * fixed query term set and return the 10 best. Per-term scores are
+    * exact-double rationals ([[bm25TermScore]]); the per-doc sum runs
+    * through [[graft.ops.Ops.sumFloat0]]'s shortest-repr-string decimal
+    * route so the float sum is order-insensitive and engine-identical.
+    * Scale shape: the explode is filtered to the query terms
+    * immediately (rows into the tf shuffle ∝ query-term occurrences,
+    * not corpus tokens); df (≤5 rows) and the corpus-stats scalar are
+    * broadcast; the only data-sized exchanges are the two near-unique
+    * keyed aggs; head is TakeOrdered. */
+  /** The BM25 CTE chain up to per-doc (matched, score) — shared by
+    * [[bm25TopK]] and the hybrid fusion oracle in
+    * [[EmbQueries.hybridRrf]] so the two spellings cannot drift. */
+  private[graft] def bm25Ctes: String =
+    s"""tok AS (
+       |  SELECT doc_id, len($tokDuck) AS n_tok, unnest($tokDuck) AS tok
+       |  FROM documents
+       |),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf, max(n_tok) AS n_tok
+       |  FROM tok WHERE tok IN $bm25TermsSql GROUP BY 1, 2
+       |),
+       |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(len($tokDuck)) AS BIGINT) AS corpus_len
+       |  FROM documents
+       |),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         ${bm25TermScore("n_docs", "df", "tf", "tf.n_tok",
+                                "corpus_len")} AS term_score
+       |  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+       |),
+       |bm25 AS (
+       |  SELECT doc_id, count(*) AS matched,
+       |         ${Sql.sumFloat0("term_score")} AS score
+       |  FROM scored GROUP BY 1
+       |)""".stripMargin
+
+  /** Spark twin of [[bm25Ctes]]: per-doc (doc_id, matched, score) for
+    * every document matching ≥1 query term. */
+  private[graft] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val d0 = docs(s, d)
+    val tf = d0
+      .select(col("doc_id"), expr(s"size($tokSpark)").cast("long").as("n_tok"),
+        explode(expr(tokSpark)).as("tok"))
+      .where(col("tok").isin(bm25Terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max("n_tok").as("n_tok"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = d0.agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr(s"size($tokSpark)").cast("long")).as("corpus_len"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        expr(bm25TermScore("n_docs", "df", "tf", "n_tok", "corpus_len")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("matched"),
+        Ops.sumFloat0(col("term_score")).as("score"))
+  }
+
+  val bm25TopK: NamedQuery = NamedQuery(
+    "docs_bm25_topk",
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, matched, score FROM bm25
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, dedupThenMinhash, simhash,
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
@@ -2209,5 +2310,6 @@ object DocQueries {
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, dedupThenSimhash, lmSurprise,
-    bpeStep, temperatureMix, epochShuffle, classifierScore, postingLists)
+    bpeStep, temperatureMix, epochShuffle, classifierScore, postingLists,
+    bm25TopK)
 }

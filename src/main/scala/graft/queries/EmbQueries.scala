@@ -1078,8 +1078,80 @@ object EmbQueries {
     }
   }
 
+  /** Hybrid dense+sparse retrieval via reciprocal-rank fusion (RRF,
+    * Cormack et al. 2009, the fusion every hybrid RAG stack ships):
+    * sparse candidates are the BM25 top-20 over `documents`
+    * ([[DocQueries.bm25Scores]], fixed term query), dense candidates the
+    * cosine top-20 against query vector 0 over the row-aligned
+    * `embeddings` table (`doc_id = vec_id`, the corpus linkage), and the
+    * fused score is `Σ 1/(60 + rank)` over the lists a doc appears in.
+    *
+    * Determinism: both rank orders sort engine-identical doubles with a
+    * doc-id tie-break; `1/(60+rank)` divides exact small integers
+    * (correctly-rounded, bit-identical) and the fusion adds exactly two
+    * doubles in a fixed expression order.
+    *
+    * Scale shape: each candidate list is TakeOrdered top-k — the global
+    * `row_number` windows run AFTER `limit(20)`, so the unpartitioned
+    * window sees 20 rows, never the corpus (rank-then-filter ==
+    * limit-then-rank because the order is total). The fusion join moves
+    * 2×20 rows. */
+  val hybridRrf: NamedQuery = NamedQuery(
+    "emb_hybrid_rrf",
+    s"""WITH ${DocQueries.bm25Ctes},
+       |rs AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank_s
+       |  FROM (SELECT doc_id, score FROM bm25
+       |        ORDER BY score DESC, doc_id LIMIT 20)
+       |),
+       |rd AS (
+       |  SELECT vec_id,
+       |         row_number() OVER (ORDER BY sim DESC, vec_id) AS rank_d
+       |  FROM (
+       |    SELECT b.vec_id, ${cosDuck("q.qv", "b.embedding")} AS sim
+       |    FROM embeddings b
+       |    CROSS JOIN (SELECT embedding AS qv FROM embeddings
+       |                WHERE vec_id = 0) q
+       |    WHERE b.vec_id <> 0
+       |    ORDER BY sim DESC, b.vec_id LIMIT 20)
+       |)
+       |SELECT coalesce(rs.doc_id, rd.vec_id) AS doc_id,
+       |       rs.rank_s, rd.rank_d,
+       |       coalesce(CAST(1 AS DOUBLE) / (60 + rs.rank_s),
+       |                CAST(0 AS DOUBLE)) +
+       |       coalesce(CAST(1 AS DOUBLE) / (60 + rd.rank_d),
+       |                CAST(0 AS DOUBLE)) AS rrf
+       |FROM rs FULL JOIN rd ON rs.doc_id = rd.vec_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val rs = DocQueries.bm25Scores(s, d)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("rank_s", row_number().over(w).cast("long"))
+      .select("doc_id", "rank_s")
+    val q = emb(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val wd = Window.orderBy(col("sim").desc, col("vec_id"))
+    val rd = emb(s, d).where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(cosSpark("qv", "embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(20)
+      .withColumn("rank_d", row_number().over(wd).cast("long"))
+      .select("vec_id", "rank_d")
+    rs.join(rd, rs("doc_id") === rd("vec_id"), "full_outer")
+      .select(
+        coalesce(rs("doc_id"), rd("vec_id")).as("doc_id"),
+        col("rank_s"), col("rank_d"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_s")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_d")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
-    pqTopK, kmeansRefine, semanticDedup, matryoshkaRecall)
+    pqTopK, kmeansRefine, semanticDedup, matryoshkaRecall, hybridRrf)
 }
