@@ -218,6 +218,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("posting lists aggregate map-side partials before both exchanges " +
+    "and head via TakeOrdered") {
+    // the graft_topk partial is what bounds the posting shuffle to
+    // O(terms x k) — a window spelling would sort every hot term's
+    // full posting list instead
+    val p = plan(graft.queries.DocQueries.postingLists)
+    assert(p.contains("TakeOrderedAndProject"), "head is not TakeOrdered")
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded top-k aggregate missing from the posting plan")
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"),
+      "posting lists must not plan a window sort or cartesian")
+  }
+
+  test("BM25 broadcasts df and corpus stats; head is TakeOrdered") {
+    val p = plan(graft.queries.DocQueries.bm25TopK)
+    assert(p.contains("TakeOrderedAndProject"), "BM25 head is not TakeOrdered")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "df / stats frames are not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "BM25 must never shuffle the tf side for the tiny df/stats joins")
+  }
+
+  test("hybrid RRF limits before ranking: no corpus-sized window input") {
+    // both rank windows must be fed by a LocalLimit/GlobalLimit pair
+    // (the top-20 TakeOrdered), never by the raw scored frame
+    val df = graft.queries.EmbQueries.hybridRrf.run(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Window"), "rank windows missing")
+    assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"),
+      "candidate lists are not limited before the rank windows")
+    assert(!p.contains("CartesianProduct"),
+      "fusion join planned a cartesian")
+  }
+
   test("retention's bounds branch reuses the per-user exchange at runtime") {
     // statically the bounds aggregate and the per-user frame are two
     // subtrees over the same scan; their exchanges are canonically equal,
