@@ -2153,13 +2153,23 @@ object DocQueries {
     * The postings run through the custom bounded
     * [[graft.functions.TopKByScore]] aggregate, so each map task sends
     * at most k postings per term into the shuffle — O(terms × k)
-    * exchanged bytes — where the window spelling would shuffle and SORT
-    * the FULL posting list of every term (the hot-term list is
-    * exactly the skewed giant group the bounded heap exists for; a
-    * stopword's postings are the whole corpus). Head selection is
-    * TakeOrdered on (df DESC, term). Postings travel as a joined string
-    * (`concat_ws`), the array-compare-safe shape [[langSources]]
-    * established. */
+    * exchanged rows — and df/cf/postings all come out of ONE
+    * aggregate in one pass.
+    *
+    * Measured against the window spelling (`graft.PostingBench`,
+    * sf0.1 + 10×): Spark ≥3.5's `WindowGroupLimit` pushdown already
+    * bounds the `row_number ≤ k` window's shuffle (partial group-limit
+    * before the exchange — shuffle rows tie), so the heap's win on
+    * modern Spark is NOT shuffle volume on this exact pattern; it is
+    * skipping the window branch's two per-partition sorts and the
+    * df/cf-vs-postings join it forces (the bounded form needs no sort
+    * and no join): 1.3×/1.5× faster wall at sf0.1/10×, identical
+    * results. The heap also generalizes where rank-filter pushdown
+    * can't go (inside one multi-function aggregate, as
+    * [[EmbQueries.knnAccuracy]]'s neighbor selection uses it).
+    * Head selection is TakeOrdered on (df DESC, term). Postings travel
+    * as a joined string (`concat_ws`), the array-compare-safe shape
+    * [[langSources]] established. */
   val postingLists: NamedQuery = NamedQuery(
     "docs_posting_lists",
     s"""WITH tok AS (
