@@ -73,6 +73,39 @@ class StreamingSpec extends SparkSpec {
       .count() == 20)
   }
 
+  test("firehose sink shape (filesPerBatch > 1) writes the same table") {
+    // the repartition path must change ONLY write parallelism: same
+    // rows, same at-rest schema, same month layout as coalesce(1) —
+    // just more files per batch
+    val src = tmpDir("fire-src")
+    val out = tmpDir("fire-out")
+    val ckpt = tmpDir("fire-ckpt")
+    Files.writeString(Paths.get(src, "batch1.json"),
+      (1 to 40).map(i =>
+        envelope("BTCUSDT", i, s"$i.0", "1.0", 1700000000000L + i * 1000L,
+          i % 2 == 0)).mkString("\n"))
+    val raw = spark.readStream.format("text").load(src)
+    val q = TradeIngest.ingestSink(
+      TradeIngest.normalize(raw), out, ckpt, Trigger.AvailableNow(),
+      filesPerBatch = 4)
+    q.awaitTermination(60000)
+    val written = spark.read.parquet(out)
+    assert(written.count() == 40)
+    assert(written.columns.toSet ==
+      graft.store.Bootstrap.tradesAtRest.fieldNames.toSet)
+    val monthDir = new java.io.File(out, "month=202311")
+    val files = monthDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1 && files.length <= 4,
+      s"expected 2-4 parquet files from filesPerBatch=4, got ${files.length}")
+    // per-file (ts, symbol, trade_id) run order still holds after the
+    // round-robin repartition: sortWithinPartitions runs downstream of it
+    files.foreach { f =>
+      val ts = spark.read.parquet(f.getPath).select("ts", "trade_id")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+      assert(ts == ts.sorted, s"file ${f.getName} lost its run order")
+    }
+  }
+
   private def tradeJson(sym: String, id: Long, price: Double, qty: Double,
                         epochSec: Long): String =
     s"""{"symbol":"$sym","trade_id":$id,"price":$price,"qty":$qty,"ts":${epochSec * 1000000L}}"""
