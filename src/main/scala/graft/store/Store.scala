@@ -30,14 +30,35 @@ object Store {
   /** T5 + S4: partitioned, sorted trades writer. `repartition` by month
     * keeps one shuffle partition per month-partition so each output
     * partition is written by one task as a few large, fully sorted files
-    * (many small sorted files would dilute row-group stats). At 100 TB
-    * add a bucket column to the repartition to spread a hot month over
-    * more writers. */
+    * (many small sorted files would dilute row-group stats).
+    *
+    * @param writersPerMonth at 100 TB, spread a hot month over this many
+    *   writer tasks (a deterministic trade_id bucket joins the
+    *   repartition key). More writers = more files per month, each still
+    *   internally (ts, symbol, trade_id)-sorted; readers are unaffected
+    *   (parquet merges row groups, `readTradesSince` prunes the same).
+    *   This is not only write parallelism: `graft.JoinSkewBench`
+    *   measured that AQE can only split a skewed reduce partition at
+    *   MAP-output boundaries — a month written as one giant file is ONE
+    *   map task downstream, so a hot month becomes unrecoverable join
+    *   skew. Bounded file counts at write time are what keep runtime
+    *   skew recovery possible later. */
   def writeTrades(trades: DataFrame, path: String,
-                  mode: SaveMode = SaveMode.Append): Unit =
+                  mode: SaveMode = SaveMode.Append,
+                  writersPerMonth: Int = 1): Unit =
     trades
       .withColumn("month", Ops.monthKey(col("ts")))
-      .repartition(col("month"))
+      .transform { t =>
+        if (writersPerMonth > 1)
+          // explicit partition count: a bare repartition(cols) is
+          // AQE-coalescable and small months would collapse back to one
+          // writer; the over-allocation only thins hash collisions
+          // between (month, bucket) combos, empty partitions write
+          // nothing. Files per month stays <= writersPerMonth.
+          t.repartition(writersPerMonth * 16, col("month"),
+            pmod(col("trade_id"), lit(writersPerMonth)))
+        else t.repartition(col("month"))
+      }
       // month MUST lead the sort: FileFormatWriter requires its input
       // ordered by the partition columns and would otherwise insert its
       // own sort-by-month, destroying the (ts, symbol, trade_id) order.

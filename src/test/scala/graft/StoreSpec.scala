@@ -91,6 +91,32 @@ class StoreSpec extends SparkSpec {
     perFile.foreach(tss => assert(tss == tss.sorted))
   }
 
+  test("writersPerMonth > 1 spreads a month over multiple sorted files, " +
+    "same data") {
+    val path1 = tmpDir("store-w1")
+    val pathN = tmpDir("store-wN")
+    val trades = mkTrades(Seq("2024-01"))
+    Store.writeTrades(trades, path1, SaveMode.Overwrite)
+    Store.writeTrades(trades, pathN, SaveMode.Overwrite, writersPerMonth = 4)
+    def files(p: String) = new java.io.File(p + "/month=202401")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files(path1).length == 1, "baseline should write one file")
+    assert(files(pathN).length > 1 && files(pathN).length <= 4,
+      s"expected 2-4 files from writersPerMonth=4, got ${files(pathN).length}")
+    // every file still internally ts-sorted (row-group stats contract)
+    files(pathN).foreach { f =>
+      val tss = spark.read.parquet(f.getPath).select("ts")
+        .collect().map(_.getTimestamp(0).getTime).toSeq
+      assert(tss == tss.sorted, s"${f.getName} lost its sort")
+    }
+    // identical table content either way
+    val a = Store.readTrades(spark, path1).drop("ingested_at")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Store.readTrades(spark, pathN).drop("ingested_at")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("monthsBetween spans calendar months inclusively") {
     def us(s: String) =
       java.sql.Timestamp.valueOf(s).getTime * 1000L
