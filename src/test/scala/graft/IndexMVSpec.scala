@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.IndexMV
+
+/** Streaming inverted-index MV: merged blocks equal the batch index
+  * over the same corpus, posting heaps stay k-bounded through the
+  * merge, and a replayed block replaces losslessly. */
+class IndexMVSpec extends SparkSpec {
+
+  private val K = 3
+
+  private def docJson(id: Long, text: String): String =
+    s"""{"doc_id":$id,"text":"$text"}"""
+
+  private def docStream(dir: String) =
+    spark.readStream.schema("doc_id LONG, text STRING").json(dir)
+
+  /** The batch index the stream must converge to: same spelling as the
+    * registered docs_posting_lists lineage, over ALL delivered docs. */
+  private def batchIndex(srcDir: String) = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.schema("doc_id LONG, text STRING").json(srcDir)
+      .select(col("doc_id"),
+        explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        expr(s"graft_topk(cast(c AS double), doc_id, $K)").as("topk"))
+      .select(col("tok").as("term"), col("df"), col("cf"),
+        expr("concat_ws(',', transform(topk, p -> cast(p.id AS string)))")
+          .as("top_docs"))
+  }
+
+  private def collectIndex(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+
+  test("merged streaming blocks == batch index over the union corpus") {
+    val src = tmpDir("imv-src")
+    val partials = tmpDir("imv-partials")
+    val ckpt = tmpDir("imv-ckpt")
+
+    // delivery 1: 'cat' concentrated in docs 1-2, 'dog' in doc 3
+    Files.writeString(Paths.get(src, "b1.json"), Seq(
+      docJson(1, "cat cat cat"),
+      docJson(2, "cat dog"),
+      docJson(3, "dog dog dog dog")).mkString("\n"))
+    assert(IndexMV.indexSink(docStream(src), K, partials, ckpt,
+      Trigger.AvailableNow()).awaitTermination(120000))
+
+    // delivery 2: four more docs shift both df and the top-k postings —
+    // doc 6's tf=5 must displace batch-1 postings after the merge
+    Files.writeString(Paths.get(src, "b2.json"), Seq(
+      docJson(4, "cat owl"),
+      docJson(5, "owl owl"),
+      docJson(6, "cat cat cat cat cat"),
+      docJson(7, "dog cat")).mkString("\n"))
+    assert(IndexMV.indexSink(docStream(src), K, partials, ckpt,
+      Trigger.AvailableNow()).awaitTermination(120000))
+
+    val merged = collectIndex(IndexMV.merged(spark, partials, K))
+    assert(merged == collectIndex(batchIndex(src)))
+    // the displacement actually happened: doc 6 (tf 5) leads cat's
+    // postings, doc 1 (tf 3) second, doc 2/4/7 (tf 1) cut at k=3
+    val cat = merged.find(_._1 == "cat").get
+    assert(cat._2 == 5L && cat._4 == "6,1,2")
+    // postings stay k-bounded through the merge
+    merged.foreach { case (t, _, _, docs) =>
+      assert(docs.split(",").length <= K, s"term $t exceeded k")
+    }
+  }
+
+  test("a replayed block replaces its previous write losslessly") {
+    val src = tmpDir("imv-replay-src")
+    val partials = tmpDir("imv-replay-partials")
+
+    Files.writeString(Paths.get(src, "b1.json"),
+      Seq(docJson(1, "cat dog"), docJson(2, "cat")).mkString("\n"))
+    val docs = spark.read.schema("doc_id LONG, text STRING")
+      .json(src.toString)
+    IndexMV.writeBlock(docs, K, partials, blockId = 0)
+    val once = collectIndex(IndexMV.merged(spark, partials, K))
+    // at-least-once redelivery of the same batch
+    IndexMV.writeBlock(docs, K, partials, blockId = 0)
+    val twice = collectIndex(IndexMV.merged(spark, partials, K))
+    assert(once == twice, "replayed block changed the merged index")
+    assert(once.find(_._1 == "cat").get._2 == 2L)
+  }
+}
