@@ -68,8 +68,11 @@ object JoinSkewBench {
 
     val root = "target/join_skew_bench"
     graft.store.Store.deleteRecursivelyIfExists(root)
-    // fact: events x mult, half the rows on hot key -1; payload makes
-    // rows non-trivial so the hot task's sort actually costs
+    // fact: events x mult, half the rows on hot key -1. The query reads
+    // only (key, v): v's poorly-compressible doubles are what make the
+    // hot partition LOOK hot to the bytes-based detector (finding 2 in
+    // the scaladoc); payload exists only to give the at-rest file
+    // realistic width and is pruned by the join
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("value"))
       .withColumn("i", explode(sequence(lit(0), lit(mult - 1))))
