@@ -2322,6 +2322,47 @@ object DocQueries {
       .limit(10)
   }
 
+  /** Positional phrase search — the positional-index retrieval op that
+    * completes the sparse family ([[postingLists]] builds the index,
+    * [[bm25TopK]] ranks bags of words, this matches ADJACENT terms):
+    * docs containing the exact phrase "table hash", ranked by occurrence
+    * count. Positions come from `posexplode` (DuckDB twin:
+    * `generate_subscripts` — bases differ, 0 vs 1, so the join condition
+    * uses only the DIFFERENCE and the reported first position is
+    * normalized to 1-based). Adjacency is a self-join on
+    * `(doc_id, pos+1)` — a near-unique composite key, an ordinary hash
+    * join at any corpus size; the term filters cut both sides to the
+    * two query terms' occurrence lists BEFORE the join, so the exchange
+    * carries occurrence rows, never the corpus. */
+  val phraseSearch: NamedQuery = NamedQuery(
+    "docs_phrase_search",
+    s"""WITH tok AS (
+       |  SELECT doc_id, t.tok, t.pos FROM documents,
+       |  LATERAL (SELECT unnest($tokDuck) AS tok,
+       |                  generate_subscripts($tokDuck, 1) AS pos) t
+       |),
+       |a AS (SELECT doc_id, pos FROM tok WHERE tok = 'table'),
+       |b AS (SELECT doc_id, pos FROM tok WHERE tok = 'hash')
+       |SELECT a.doc_id, count(*) AS hits,
+       |       CAST(min(a.pos) AS BIGINT) AS first_pos
+       |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |GROUP BY 1
+       |ORDER BY hits DESC, a.doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("doc_id"), posexplode(expr(tokSpark)).as(Seq("pos0", "tok")))
+      // normalize to the oracle's 1-based positions once, up front
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val a = tok.where(col("tok") === "table").select("doc_id", "pos")
+    val b = tok.where(col("tok") === "hash")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"), min(col("pos")).as("first_pos"))
+      .orderBy(col("hits").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, dedupThenMinhash, simhash,
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
@@ -2330,5 +2371,5 @@ object DocQueries {
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, dedupThenSimhash, lmSurprise,
     bpeStep, temperatureMix, epochShuffle, classifierScore, postingLists,
-    bm25TopK)
+    bm25TopK, phraseSearch)
 }

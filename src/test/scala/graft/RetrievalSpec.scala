@@ -72,6 +72,17 @@ class RetrievalSpec extends SparkSpec {
     assert(got.head._2 > got(1)._2)
   }
 
+  test("phrase search: adjacency only, overlaps counted, 1-based first_pos") {
+    val dir = writeDocs(Seq(
+      1L -> "table hash table hash",   // two non-overlapping matches
+      2L -> "table table hash",        // one match, at position 2
+      3L -> "hash table",              // reversed order: no match
+      4L -> "table x hash"))           // gap: no match
+    val got = DocQueries.phraseSearch.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((1L, 2L, 1L), (2L, 1L, 2L)))
+  }
+
   test("hybrid RRF == driver-side fusion of the two rank lists (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     // sparse top-20, ranked exactly as the query does
