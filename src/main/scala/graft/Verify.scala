@@ -39,6 +39,20 @@ object Verify {
     // must not be mistaken for full coverage, so keep outDir separate.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // refuse a filtered run into an outDir holding a wider dump: it
+    // would overwrite oracle_sql.json with the subset while the other
+    // queries' stale result dirs survive — check.py iterates the json
+    // keys, so the run would read as all-green "full" coverage that
+    // actually compared one query
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    if (only.isDefined && Files.exists(oraclePath)) {
+      val existing = Files.readString(oraclePath)
+      val wider = SparkEntry.oracleSql.keys.exists(k =>
+        !only.get(k) && existing.contains("\"" + k + "\""))
+      require(!wider,
+        s"SPARK_GRAFT_ONLY run would shadow a fuller dump in $outDir — " +
+          "use a fresh outDir for filtered local iteration")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries

@@ -34,8 +34,8 @@ object DocQueries {
 
   /** Whitespace tokenization, lockstep: Spark `split(trim(text),'\s+')`
     * == DuckDB `string_split_regex(trim(text),'\s+')`. */
-  private val tokSpark = "split(trim(text), '\\\\s+')"
-  private val tokDuck = "string_split_regex(trim(text), '\\s+')"
+  private[graft] val tokSpark = "split(trim(text), '\\\\s+')"
+  private[graft] val tokDuck = "string_split_regex(trim(text), '\\s+')"
 
   /** THE train/val/test split bucket (first md5 byte of the decimal
     * doc_id, mod 10; b<8 train, b=8 val, b=9 test) — one spelling per
@@ -1484,17 +1484,44 @@ object DocQueries {
       |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END), 1)"""
       .stripMargin.replace("\n", " "))
 
-  /** Per-doc `(top_c, n_bi)` over word bigrams — [[repetition]]'s
-    * stage-2 aggregation, shared with [[filterFunnel]] so the funnel's
+  /** Word-bigram list from an in-scope token-array column `t` — the
+    * from-tokens sibling of [[bigramsExpr]] for lineages that already
+    * tokenized. */
+  private def bigramsFromTokens: org.apache.spark.sql.Column = expr(
+    """CASE WHEN size(t) < 2 THEN array()
+      |ELSE transform(sequence(1, size(t) - 1),
+      |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"""
+      .stripMargin.replace("\n", " "))
+
+  /** Fold per-doc bigram stats `(top_c, n_bi)` into a frame of
+    * `(doc_id, carry…, t)` in ONE lineage — [[repetition]]'s stage-2
+    * aggregation, shared with [[filterFunnel]] so the funnel's
     * repetition gate inverts exactly the flags [[repetition]] reports.
-    * Duck twin below expects a CTE `t(doc_id, …, t)` in scope
-    * (embed-only, margins intact — the [[minhashChainDuck]] contract). */
-  private def bigramStats(docsDf: DataFrame): DataFrame =
-    docsDf
-      .select(col("doc_id"), explode(bigramsExpr).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    * Replaces the former scan-twice shape (a separate `bigramStats`
+    * frame joined back on doc_id — two parquet scans + two tokenizer
+    * passes + a join exchange): `explode_outer` keeps every doc exactly
+    * once (a <2-token doc contributes one null-bigram row, which the
+    * conditional aggregates turn into the NULL top_c/n_bi the former
+    * LEFT JOIN produced), and the carried per-doc scalars ride the two
+    * near-unique-key aggs as `max` — constant per doc, so values are
+    * unchanged. Duck twin [[bigramStatsDuck]] expects a CTE
+    * `t(doc_id, …, t)` in scope (embed-only, margins intact — the
+    * [[minhashChainDuck]] contract); it was always single-scan. */
+  private def foldBigramStats(perDoc: DataFrame,
+                              carry: Seq[String]): DataFrame = {
+    val ex = perDoc.select(
+      (col("doc_id") +: carry.map(col)) :+
+        explode_outer(bigramsFromTokens).as("bg"): _*)
+    ex.groupBy("doc_id", "bg")
+      .agg(max(col(carry.head)).as(carry.head),
+        (carry.tail.map(c => max(col(c)).as(c)) :+
+          count(lit(1)).as("c")): _*)
       .groupBy("doc_id")
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bi"))
+      .agg(max(col(carry.head)).as(carry.head),
+        (carry.tail.map(c => max(col(c)).as(c)) ++ Seq(
+          max(when(col("bg").isNotNull, col("c"))).as("top_c"),
+          sum(when(col("bg").isNotNull, col("c"))).as("n_bi"))): _*)
+  }
 
   private val bigramStatsDuck: String =
     """bg AS (
@@ -1544,11 +1571,11 @@ object DocQueries {
        |ORDER BY 1""".stripMargin) { (s, d) =>
     val toks = docs(s, d)
       .select(col("doc_id"), col("lang"), expr(tokSpark).as("t"))
-    val base = toks.select(col("doc_id"), col("lang"),
+    val perDoc = toks.select(col("doc_id"), col("lang"),
       size(col("t")).cast("long").as("n_tok"),
-      size(array_distinct(col("t"))).cast("long").as("n_uniq"))
-    val tb = bigramStats(docs(s, d))
-    base.join(tb, Seq("doc_id"), "left")
+      size(array_distinct(col("t"))).cast("long").as("n_uniq"),
+      col("t"))
+    foldBigramStats(perDoc, Seq("lang", "n_tok", "n_uniq"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1797,20 +1824,21 @@ object DocQueries {
     val toks = docs(s, d)
       .select(col("doc_id"), col("source"), col("text"),
         expr(tokSpark).as("t"))
-    val base = toks.select(col("doc_id"), col("source"),
+    val perDoc = toks.select(col("doc_id"), col("source"),
       size(col("t")).cast("long").as("n_tok"),
       size(array_distinct(col("t"))).cast("long").as("n_uniq"),
       expr(s"size(filter(t, x -> array_contains($stopListSpark, x)))")
         .cast("long").as("stop_cnt"),
       expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long")
-        .as("n_alpha"))
-    val tb = bigramStats(docs(s, d))
+        .as("n_alpha"),
+      col("t"))
     val pLen = col("n_tok") >= 40
     val pRep = pLen && col("top_c") * 5 < col("n_bi") &&
       col("n_uniq") * 2 > col("n_tok")
     val pQ = pRep && col("stop_cnt") >= 2 &&
       col("n_alpha") * 10 >= col("n_tok") * 7
-    base.join(tb, Seq("doc_id"), "left")
+    foldBigramStats(perDoc,
+      Seq("source", "n_tok", "n_uniq", "stop_cnt", "n_alpha"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1943,8 +1971,15 @@ object DocQueries {
       .groupBy("w").agg(count(lit(1)).as("c"))
     val pc = wc
       .select(col("w"), col("c"),
+        // guard 1-char words: sequence(1, 0) is the DESCENDING [1, 0]
+        // in Spark (substring pos 0 aliases pos 1 → a phantom self-pair
+        // counted twice), while DuckDB's range(1, 1) is empty — the
+        // empty-array guard keeps the twins lockstep (same guard as
+        // bigramsExpr)
         explode(expr(
-          "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+          "CASE WHEN char_length(w) < 2 THEN array() ELSE " +
+            "transform(sequence(1, char_length(w) - 1), " +
+            "i -> substring(w, i, 2)) END"))
           .as("p"))
       .groupBy("p").agg(sum(col("c")).as("pair_count"))
     val top = pc.orderBy(col("pair_count").desc, col("p")).limit(1)

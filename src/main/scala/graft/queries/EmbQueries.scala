@@ -438,13 +438,19 @@ object EmbQueries {
     private def fingerprint(d: String): String = {
       val p = Paths.get(d, "embeddings.parquet")
       if (Files.isDirectory(p)) {
-        val kids = Files.list(p).iterator()
+        // close the listing stream (Verify.scala's orphan sweep names
+        // this hazard: an unclosed Files.list leaks a directory fd per
+        // probe, and this probe runs on EVERY persisted-index query)
+        val s = Files.list(p)
         var size = 0L; var mt = 0L
-        while (kids.hasNext) {
-          val k = kids.next()
-          size += Files.size(k)
-          mt = math.max(mt, Files.getLastModifiedTime(k).toMillis)
-        }
+        try {
+          val kids = s.iterator()
+          while (kids.hasNext) {
+            val k = kids.next()
+            size += Files.size(k)
+            mt = math.max(mt, Files.getLastModifiedTime(k).toMillis)
+          }
+        } finally s.close()
         s"$size-$mt"
       } else
         s"${Files.size(p)}-${Files.getLastModifiedTime(p).toMillis}"

@@ -101,11 +101,21 @@ object HeavyHitters {
     * and so the TIGHT base for the merged undercount slack: each
     * block's summary undercounts any item by at most nn_b/(k+1), and
     * the bound is additive over the merge. */
-  def totalNonNull(partials: DataFrame): Long =
+  def totalNonNull(partials: DataFrame): Long = {
+    // durable-store back-compat: blocks written before batch_nn existed
+    // carry only batch_n — fall back to it PER ROW (a mixed store reads
+    // old blocks as batch_nn = null under schema merge; dropping them
+    // from the sum would SHRINK the slack base and break the bound).
+    // batch_n is the documented-valid conservative base.
+    val nn =
+      if (partials.columns.contains("batch_nn"))
+        coalesce(col("batch_nn"), col("batch_n")).as("batch_nn")
+      else col("batch_n").as("batch_nn")
     partials
-      .select("block", "batch_nn").distinct()
+      .select(col("block"), nn).distinct()
       .agg(coalesce(sum("batch_nn"), lit(0L)))
       .head().getLong(0)
+  }
 
   /** Heavy-hitter candidates at `frac` of the stream: items whose true
     * count COULD exceed frac·n. `cnt_lb` (summed partial counters) never

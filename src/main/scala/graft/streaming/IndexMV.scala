@@ -33,9 +33,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * blocks into one) is the same fold `merged` performs, elided here. */
 object IndexMV {
 
+  // THE corpus tokenizer — shared with the batch index
+  // (graft.queries.DocQueries), so the merged streaming index can never
+  // silently tokenize differently from the docs_posting_lists lineage
+  // it claims equality with
   private def tokens(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"),
-      explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+      explode(expr(graft.queries.DocQueries.tokSpark)).as("tok"))
 
   /** One batch's index partial: per-term `(tok, df, cf, topk)` where
     * `topk` is the bounded (tf, doc_id) heap over THIS batch's docs. */

@@ -26,7 +26,7 @@ class IndexMVSpec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     spark.read.schema("doc_id LONG, text STRING").json(srcDir)
       .select(col("doc_id"),
-        explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+        explode(expr(graft.queries.DocQueries.tokSpark)).as("tok"))
       .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("tok")
       .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
