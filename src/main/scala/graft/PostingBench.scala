@@ -48,7 +48,7 @@ object PostingBench {
 
     def tf: DataFrame = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+        explode(expr(graft.queries.DocQueries.tokSpark)).as("tok"))
       .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
 
     def bounded: DataFrame = tf.groupBy("tok")

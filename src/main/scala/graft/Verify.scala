@@ -45,11 +45,17 @@ object Verify {
     // keys, so the run would read as all-green "full" coverage that
     // actually compared one query
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
-    if (only.isDefined && Files.exists(oraclePath)) {
-      val existing = Files.readString(oraclePath)
-      val wider = SparkEntry.oracleSql.keys.exists(k =>
-        !only.get(k) && existing.contains("\"" + k + "\""))
-      require(!wider,
+    if (only.isDefined) {
+      val jsonWider = Files.exists(oraclePath) && {
+        val existing = Files.readString(oraclePath)
+        SparkEntry.oracleSql.keys.exists(k =>
+          !only.get(k) && existing.contains("\"" + k + "\""))
+      }
+      // an interrupted full run leaves result dirs but no json — those
+      // current-named dirs survive the orphan sweep, so check them too
+      val dirWider = current.exists(k =>
+        !only.get(k) && Files.isDirectory(outRoot.resolve(k)))
+      require(!jsonWider && !dirWider,
         s"SPARK_GRAFT_ONLY run would shadow a fuller dump in $outDir — " +
           "use a fresh outDir for filtered local iteration")
     }

@@ -1476,7 +1476,8 @@ object DocQueries {
 
   // per-doc word-bigram list behind the CollapseProject lambda barrier
   // (see contamination): without it the tokenizer re-runs once per
-  // bigram. Shared by repetition and filterFunnel.
+  // bigram. Sole remaining consumer: bigramLm (repetition and
+  // filterFunnel moved to the from-tokens [[foldBigramStats]] lineage).
   private def bigramsExpr: org.apache.spark.sql.Column = expr(
     s"""element_at(transform(array($tokSpark), t ->
       |CASE WHEN size(t) < 2 THEN array()
@@ -1989,7 +1990,13 @@ object DocQueries {
       .agg(count(lit(1)).as("n_word_types"), sum(col("c")).as("hit_c"))
     val vocab = wc
       .select(explode(expr(
-        "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))"))
+        // same guard as the pair expr: for the empty-string word type
+        // (a blank doc tokenizes to ['']), sequence(1, 0) is the
+        // DESCENDING [1, 0] and would emit two phantom '' chars where
+        // DuckDB's range is empty
+        "CASE WHEN char_length(w) < 1 THEN array() ELSE " +
+          "transform(sequence(1, char_length(w)), " +
+          "i -> substring(w, i, 1)) END"))
         .as("ch"))
       .agg(countDistinct(col("ch")).as("vocab_chars"))
     top.crossJoin(broadcast(hit))

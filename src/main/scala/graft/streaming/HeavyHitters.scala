@@ -136,7 +136,12 @@ object HeavyHitters {
                  frac: Double): DataFrame = {
     require(frac > 1.0 / (k + 1),
       s"frac=$frac is below the k=$k summary's noise floor 1/(k+1)")
-    val partials = spark.read.parquet(partialsPath).localCheckpoint(true)
+    // mergeSchema: in a mixed old/new-format store, a single sampled
+    // footer would decide whether batch_nn exists at all (the slack
+    // base would then vary with store layout); partials are O(k·blocks)
+    // rows, so the footer merge costs nothing
+    val partials = spark.read.option("mergeSchema", "true")
+      .parquet(partialsPath).localCheckpoint(true)
     // Two different row counts, on purpose: the frac threshold is
     // defined against ALL rows of the stream (n, the total-rows
     // invariant), while the undercount slack derives from the NON-NULL

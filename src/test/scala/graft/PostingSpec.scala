@@ -62,8 +62,8 @@ class PostingSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val got = DocQueries.postingLists.run(spark, dir).collect().toList
     val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr("split(trim(text), '\\\\s+')"))
-        .as("tok"))
+      .select(col("doc_id"),
+        explode(expr(graft.queries.DocQueries.tokSpark)).as("tok"))
     val tf = tok.groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("tok").orderBy(col("c").desc, col("doc_id"))
