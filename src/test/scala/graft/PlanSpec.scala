@@ -241,6 +241,18 @@ class PlanSpec extends SparkSpec {
       "BM25 must never shuffle the tf side for the tiny df/stats joins")
   }
 
+  test("phrase search joins occurrence lists, never the corpus") {
+    // both sides of the adjacency join must be term-filtered BEFORE the
+    // exchange, and the head must be TakeOrdered
+    val p = plan(graft.queries.DocQueries.phraseSearch)
+    assert(p.contains("TakeOrderedAndProject"), "head is not TakeOrdered")
+    assert(!p.contains("CartesianProduct"), "adjacency join went cartesian")
+    // formatted plans render the condition as "(tok#N = table)" — match
+    // on the stable "= table)" / "= hash)" suffixes, one per join side
+    assert(p.contains("= table)") && p.contains("= hash)"),
+      "term filters missing from the occurrence sides")
+  }
+
   test("hybrid RRF limits before ranking: no corpus-sized window input") {
     // both rank windows must be fed by a LocalLimit/GlobalLimit pair
     // (the top-20 TakeOrdered), never by the raw scored frame
