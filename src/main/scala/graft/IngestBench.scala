@@ -64,9 +64,12 @@ object IngestBench {
           element_at(array(lit("btcusdt"), lit("ethusdt"), lit("solusdt"),
             lit("xrpusdt")), (col("id") % 4 + 1).cast("int")).as("s"),
           col("id").as("t"),
-          format_number(lit(100.0) + (col("id") % 10000) / 100.0, 4)
+          // format_string, NOT format_number: the latter inserts locale
+          // grouping separators at >= 1000, which the ingest cast would
+          // turn into nulls if the price range ever widened
+          format_string("%.4f", lit(100.0) + (col("id") % 10000) / 100.0)
             .as("p"),
-          format_number((col("id") % 997 + 1) / 1000.0, 6).as("q"),
+          format_string("%.6f", (col("id") % 997 + 1) / 1000.0).as("q"),
           (lit(anchorMs) + col("id")).as("T"),
           (col("id") % 2 === 0).as("m")).as("data"))).as("value"))
       .repartition(32)
@@ -75,7 +78,7 @@ object IngestBench {
     // both sink shapes: files=1 is the reference-parity trickle sink
     // (coalesce(1) — which also serializes the decode, see ingestSink);
     // files=16 is the firehose shape (repartition = parallel decode+write)
-    def runIngest(tag: String, filesPerBatch: Int): (Double, Int) = {
+    def runIngest(tag: String, filesPerBatch: Int): (Double, Long) = {
       val src = spark.readStream.format("text")
         .option("maxFilesPerTrigger", fpt).load(rawDir)
       val t0 = System.nanoTime()
@@ -83,7 +86,10 @@ object IngestBench {
         s"$tradesDir-$tag", s"$ckptDir-$tag", Trigger.AvailableNow(),
         filesPerBatch)
       q.awaitTermination()
-      ((System.nanoTime() - t0) / 1e9, q.recentProgress.length)
+      // batchId is the authoritative batch counter — recentProgress is
+      // capped (default 100 entries) and under-reports long runs
+      val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      ((System.nanoTime() - t0) / 1e9, batches)
     }
     val (serialSec, batches) = runIngest("serial", 1)
     val (parSec, _) = runIngest("par", 16)

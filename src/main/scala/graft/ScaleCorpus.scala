@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCorpus {
 
-  private val Stride = 10000000L // > every id in any driver SF corpus
+  private val Stride = 10000000L // validated per table in build()
 
   /** FACT table → its remapped id columns (all other columns copied). */
   private val factIds: Map[String, Seq[String]] = Map(
@@ -64,8 +64,22 @@ object ScaleCorpus {
     Tables.corpusTables.foreach { t =>
       val base = Tables.table(spark, src, t)
       val df = factIds.get(t) match {
-        case Some(ids) => scaled(base, ids, factor).repartition(8)
-        case None      => base // dims copy through unchanged
+        case Some(ids) =>
+          // the disjointness of `id + copy·Stride` ranges is what the
+          // duplicate-clique structure rests on — validate it instead of
+          // assuming it (one cheap agg per fact table): a source id ≥
+          // Stride would silently collide remapped ids across copies
+          val maxes = base.agg(
+            max(col(ids.head)).cast("long").as(ids.head),
+            ids.tail.map(c => max(col(c)).cast("long").as(c)): _*).head()
+          ids.zipWithIndex.foreach { case (c, i) =>
+            val mx = if (maxes.isNullAt(i)) 0L else maxes.getLong(i)
+            require(mx < Stride,
+              s"ScaleCorpus: $t.$c max id $mx >= stride $Stride — remapped " +
+                "copies would collide; raise Stride")
+          }
+          scaled(base, ids, factor).repartition(8)
+        case None => base // dims copy through unchanged
       }
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }

@@ -34,8 +34,46 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    wideScan(spark, dir, "documents", "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    wideScan(spark, dir, "embeddings", "vec_id")
+
+  // Scan-partition counts are stable per (session, path) — memoized so the
+  // guard's one-time plan+listing probe doesn't re-run per query build.
+  private val scanPartsCache =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, Integer]]()
+
+  /** CPU-heavy-per-row corpus reader (`documents`/`embeddings`: tokenize,
+    * hash, vector math dominate the scan). A small single-file parquet
+    * input plans ONE scan task, serializing the whole narrow stage on one
+    * core regardless of `local[N]` — sf0.1's one-file `documents.parquet`
+    * ran `docs_bm25_topk` 6× slower than the (8-file) 10× corpus. Guard:
+    * when the scan plans fewer partitions than `defaultParallelism`,
+    * hash-repartition on the unique id column — deterministic, and
+    * result-identical for every consumer (aggregations, sorted heads,
+    * least/greatest-normalized pair sets). `repartition(n, col)` is
+    * REPARTITION_BY_NUM, so AQE cannot coalesce it back to one task; on a
+    * real many-file 100 TB input `parts >= cores` and the guard is a
+    * no-op. Filters still push through the repartition to the scan
+    * (`PushPredicateThroughNonJoin` handles RepartitionByExpression). */
+  private def wideScan(spark: SparkSession, dir: String,
+                       name: String, idCol: String): DataFrame = {
+    val df = table(spark, dir, name)
+    if (sys.env.get("SPARK_GRAFT_WIDE_SCAN").contains("off")) return df
+    val cores = spark.sparkContext.defaultParallelism
+    val perSession = scanPartsCache.synchronized {
+      var m = scanPartsCache.get(spark)
+      if (m == null) {
+        m = new ConcurrentHashMap[String, Integer]()
+        scanPartsCache.put(spark, m)
+      }
+      m
+    }
+    val parts = perSession.computeIfAbsent(s"$dir/$name",
+      { _: String => Integer.valueOf(df.rdd.getNumPartitions) })
+    if (parts < cores) df.repartition(cores, col(idCol)) else df
+  }
 
   /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects by default; `nanosAsLong` reads it as epoch-nanos

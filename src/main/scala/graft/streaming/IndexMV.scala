@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -29,16 +31,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the batch) with ≤ k postings each — the shuffle and the store both
   * carry O(vocab × k) per batch regardless of batch row count; read-time
   * merge is a groupBy over (vocab × blocks) summary rows, never the
-  * corpus. Store growth is O(vocab · batches); compaction (merge all
-  * blocks into one) is the same fold `merged` performs, elided here. */
+  * corpus. Store growth is O(vocab · batches) until [[compact]] folds
+  * the old blocks into one through the same crash-safe swap. */
 object IndexMV {
 
   // THE corpus tokenizer — shared with the batch index
   // (graft.queries.DocQueries), so the merged streaming index can never
   // silently tokenize differently from the docs_posting_lists lineage
   // it claims equality with
+  // doc_id non-null is asserted HERE, not assumed downstream: graft_topk
+  // skips null ids, so a term whose every occurrence carried a null
+  // doc_id would keep df/cf partials but an empty heap — and merged()'s
+  // counters↔posts inner join would silently drop it from the index
   private def tokens(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"),
+    .select(
+      // the assert wraps the CONSUMED column (a dropped assert-only
+      // column would be pruned out of the plan, assertion and all);
+      // assert_true yields null on pass, so the `when` always returns
+      // doc_id or throws
+      when(assert_true(col("doc_id").isNotNull,
+          lit("IndexMV: null doc_id in corpus batch")).isNull,
+        col("doc_id")).as("doc_id"),
       explode(expr(graft.queries.DocQueries.tokSpark)).as("tok"))
 
   /** One batch's index partial: per-term `(tok, df, cf, topk)` where
@@ -76,22 +89,90 @@ object IndexMV {
       }
       .start()
 
-  /** The merged index over every stored block: counters add, posting
-    * heaps union and re-select through the same bounded aggregate. The
-    * result equals the batch index built over all blocks' documents at
-    * once (IndexMVSpec asserts the equality literally). */
-  def merged(spark: SparkSession, partialsPath: String, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val blocks = spark.read.parquet(partialsPath)
+  /** The partial-merge fold, shared by the read path ([[merged]]) and
+    * [[compact]]: counters add; bounded posting heaps union and
+    * re-select through the same `graft_topk`. Associative on the heaps
+    * (any member of the union's top-k is in its origin block's top-k),
+    * so fold-then-fold-again — compact, then merge with newer blocks —
+    * equals the one-shot fold over all blocks. Output keeps the partial
+    * schema `(tok, df, cf, topk)`. */
+  private def fold(blocks: DataFrame, k: Int): DataFrame = {
     val counters = blocks.groupBy("tok")
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
     val posts = blocks
       .select(col("tok"), explode(col("topk")).as("p"))
       .groupBy("tok")
       .agg(expr(s"graft_topk(p.score, p.id, $k)").as("topk"))
+    // inner join is total: partialIndex asserts doc_id non-null, so
+    // every (tok, df, cf) row has a non-empty heap on the posts side
     counters.join(posts, "tok")
+  }
+
+  /** The merged index over every stored block: counters add, posting
+    * heaps union and re-select through the same bounded aggregate. The
+    * result equals the batch index built over all blocks' documents at
+    * once (IndexMVSpec asserts the equality literally). */
+  def merged(spark: SparkSession, partialsPath: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    fold(spark.read.parquet(partialsPath), k)
       .select(col("tok").as("term"), col("df"), col("cf"),
         expr("concat_ws(',', transform(topk, p -> cast(p.id AS string)))")
           .as("top_docs"))
+  }
+
+  /** Fold every block with id ≤ `throughBlockId` into ONE block (stored
+    * as `block=throughBlockId`), bounding store growth at O(vocab ×
+    * recent-blocks). The whole partials directory is rewritten through
+    * ONE [[graft.store.Store.swapDirectory]] at the parent level —
+    * retained blocks (> throughBlockId) are copied alongside the fold,
+    * so every crash window leaves either the old directory or the
+    * complete new one, never a double-counting mix.
+    *
+    * Replay contract: under `foreachBatch` at-least-once delivery, only
+    * the newest not-yet-committed batch can replay — callers must pass
+    * `throughBlockId` < that batch's id (i.e. compact only
+    * checkpoint-committed history). A replayed newer block still
+    * replaces its own `block=<id>` dir exactly as before compaction. */
+  def compact(spark: SparkSession, partialsPath: String, k: Int,
+              throughBlockId: Long): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
+    val blockDirs = {
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.toList.filter(p =>
+        java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("block="))
+      finally s.close()
+    }
+    def blockId(p: java.nio.file.Path): Long =
+      p.getFileName.toString.stripPrefix("block=").toLong
+    val (oldBlocks, retained) = blockDirs.partition(blockId(_) <= throughBlockId)
+    if (oldBlocks.size < 2) return // nothing to fold
+    graft.store.Store.swapDirectory(
+      root.getParent.toString, root.getFileName.toString) { tmp =>
+      val tmpPath = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.createDirectories(tmpPath)
+      // stage() runs BEFORE the rename pair, so the live block dirs are
+      // still in place to read from; they are addressed directly (not
+      // via the partials root) so no listing races the staging write
+      fold(spark.read.parquet(oldBlocks.map(_.toString): _*), k)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/block=$throughBlockId")
+      retained.foreach { src =>
+        copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
+      }
+    }
+  }
+
+  private def copyRecursively(src: java.nio.file.Path,
+                              dst: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val s = Files.walk(src)
+    // depth-first pre-order: directories precede their contents, so
+    // each copy's parent already exists
+    try s.iterator().asScala.foreach { p =>
+      Files.copy(p, dst.resolve(src.relativize(p).toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
   }
 }
