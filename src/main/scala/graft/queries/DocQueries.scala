@@ -2008,6 +2008,120 @@ object DocQueries {
         col("vocab_chars"))
   }
 
+  /** Merges trained by [[bpeTrain]] (chars + 8 merge rules). */
+  private[graft] val BpeMerges = 8
+
+  /** The FULL BPE training loop — [[bpeStep]] iterated to a target
+    * vocabulary (character vocab + [[BpeMerges]] merges), producing the
+    * ordered merge table a tokenizer ships with. Training state is a
+    * symbol string per word type (space-joined — symbols never contain
+    * spaces); one merge round = (1) pair histogram over the type table,
+    * (2) argmax by (count DESC, pair ASC), (3) greedy left-to-right
+    * merge application as a sequential fold over each word's symbols.
+    * Both engines run the IDENTICAL fold (Spark `aggregate` == DuckDB
+    * `list_reduce`, validated on the odd-run case `a a a a` → `aa aa`),
+    * and every value in the merge table is exact (strings + integer
+    * counts), so the twins hash-match with no float discipline needed.
+    *
+    * Scale shape (the production trainer's): the corpus collapses ONCE
+    * to its word-type histogram (one map-side-combined aggregation —
+    * the only corpus-sized pass), then every round runs on the
+    * vocab-sized frame: O(types) pair explode + argmax TakeOrdered(1)
+    * + fold, independent of corpus size. `localCheckpoint` truncates
+    * each round's lineage — without it the state DAG doubles per round
+    * (argmax branch + merge branch both re-derive the parent) and round
+    * K would replay the corpus scan 2^K times.
+    *
+    * Self-validating invariant, property-tested in BpeTrainSpec:
+    * selected pair counts are monotonically NON-increasing — a theorem
+    * (every pair involving a just-merged symbol XY inherits at most
+    * count(X,Y) occurrences; all pre-existing pairs already lost the
+    * argmax), so any increase is an engine bug, not a corpus quirk. */
+  val bpeTrain: NamedQuery = {
+    val k = BpeMerges
+    def pairsDuck(s: String): String =
+      s"list_transform(range(1, len(string_split($s, ' '))), " +
+        s"j -> string_split($s, ' ')[j] || ' ' || string_split($s, ' ')[j+1])"
+    def mergeDuck(s: String, p: String): String =
+      s"""CASE WHEN len(string_split($s, ' ')) < 2 THEN $s
+         |ELSE list_reduce(string_split($s, ' '), (acc, x) -> CASE
+         |  WHEN x = string_split($p, ' ')[2]
+         |       AND string_split(acc, ' ')[-1] = string_split($p, ' ')[1]
+         |  THEN CASE WHEN len(string_split(acc, ' ')) = 1
+         |            THEN replace($p, ' ', '')
+         |       ELSE array_to_string(string_split(acc, ' ')[1:-2], ' ')
+         |            || ' ' || replace($p, ' ', '') END
+         |  ELSE acc || ' ' || x END) END""".stripMargin.replace("\n", " ")
+    val cteChain = (0 until k).map { i =>
+      s"""pc$i AS (SELECT p, CAST(sum(c) AS BIGINT) AS pair_count FROM (
+         |  SELECT c, unnest(${pairsDuck("s")}) AS p FROM wc$i) GROUP BY 1),
+         |top$i AS (SELECT p, pair_count FROM pc$i
+         |          ORDER BY pair_count DESC, p LIMIT 1),
+         |wc${i + 1} AS (SELECT ${mergeDuck("s", "p")} AS s, c
+         |               FROM wc$i, top$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until k).map { i =>
+      s"SELECT ${i + 1} AS step, p AS pair, replace(p, ' ', '') AS merged, " +
+        s"pair_count FROM top$i"
+    }.mkString("\nUNION ALL\n")
+    NamedQuery(
+      "docs_bpe_train",
+      s"""WITH tok AS (SELECT unnest($tokDuck) AS w FROM documents),
+         |wc0 AS (
+         |  SELECT array_to_string(list_transform(range(1, len(w) + 1),
+         |           i -> substr(w, i, 1)), ' ') AS s,
+         |         count(*) AS c
+         |  FROM tok GROUP BY 1),
+         |$cteChain
+         |SELECT step, pair, merged, pair_count FROM (
+         |$unions
+         |) ORDER BY step""".stripMargin) { (s, d) =>
+      // the sequence guards mirror bpeStep's: sequence(1, 0) is the
+      // DESCENDING [1, 0] in Spark where DuckDB's range(1, 1) is empty
+      val charJoin =
+        "CASE WHEN char_length(w) < 1 THEN '' ELSE " +
+          "array_join(transform(sequence(1, char_length(w)), " +
+          "i -> substring(w, i, 1)), ' ') END"
+      val pairsSpark =
+        "CASE WHEN size(split(s, ' ')) < 2 THEN array() " +
+          "ELSE transform(sequence(1, size(split(s, ' ')) - 1), " +
+          "j -> concat(element_at(split(s, ' '), j), ' ', " +
+          "element_at(split(s, ' '), j + 1))) END"
+      val mergeSpark =
+        """CASE WHEN size(split(s, ' ')) < 2 THEN s ELSE
+          |aggregate(slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+          |  element_at(split(s, ' '), 1),
+          |  (acc, x) -> CASE
+          |    WHEN x = element_at(split(p, ' '), 2)
+          |         AND element_at(split(acc, ' '), -1)
+          |             = element_at(split(p, ' '), 1)
+          |    THEN CASE WHEN size(split(acc, ' ')) = 1
+          |              THEN replace(p, ' ', '')
+          |         ELSE concat(array_join(slice(split(acc, ' '), 1,
+          |              size(split(acc, ' ')) - 1), ' '), ' ',
+          |              replace(p, ' ', '')) END
+          |    ELSE concat(acc, ' ', x) END) END"""
+          .stripMargin.replace("\n", " ")
+      var state = docs(s, d)
+        .select(explode(expr(tokSpark)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(expr(charJoin).as("s"), col("c"))
+        .localCheckpoint()
+      val tops = (1 to k).map { step =>
+        val pc = state.select(col("c"), explode(expr(pairsSpark)).as("p"))
+          .groupBy("p").agg(sum(col("c")).as("pair_count"))
+        val top = pc.orderBy(col("pair_count").desc, col("p")).limit(1)
+          .localCheckpoint()
+        state = state.crossJoin(broadcast(top))
+          .select(expr(mergeSpark).as("s"), col("c"))
+          .localCheckpoint()
+        top.select(lit(step).as("step"), col("p").as("pair"),
+          expr("replace(p, ' ', '')").as("merged"), col("pair_count"))
+      }
+      tops.reduce(_ unionAll _).orderBy("step")
+    }
+  }
+
   /** Temperature-scaled language rebalancing (the multilingual-corpus
     * mixing step, α = 0.5): each language keeps an acceptance fraction
     * p_l = √(n_min / n_l), so over-represented languages are downsampled
@@ -2212,8 +2326,13 @@ object DocQueries {
     * Head selection is TakeOrdered on (df DESC, term). Postings travel
     * as a joined string (`concat_ws`), the array-compare-safe shape
     * [[langSources]] established. */
-  val postingLists: NamedQuery = NamedQuery(
-    "docs_posting_lists",
+  /** ONE oracle for both index lineages: the batch build
+    * ([[postingLists]]) and the streaming-MV merge-on-read path
+    * ([[postingListsMv]]) hash-compare against the same SQL — the
+    * reference's readback discipline (its `trades_1m` MV is verified by
+    * re-deriving the aggregate from raw trades, reference:
+    * sql/V2__create_trades_1m_view.sql:16-29) applied to retrieval. */
+  private val postingListsSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest($tokDuck) AS tok FROM documents
        |),
@@ -2237,7 +2356,10 @@ object DocQueries {
        |SELECT a.tok AS term, a.df, a.cf, p.top_docs
        |FROM agg a JOIN post p USING (tok)
        |ORDER BY a.df DESC, term
-       |LIMIT 20""".stripMargin) { (s, d) =>
+       |LIMIT 20""".stripMargin
+
+  val postingLists: NamedQuery = NamedQuery(
+    "docs_posting_lists", postingListsSql) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val tok = docs(s, d)
       .select(col("doc_id"), explode(expr(tokSpark)).as("tok"))
@@ -2250,6 +2372,42 @@ object DocQueries {
       .select(col("tok").as("term"), col("df"), col("cf"),
         expr("concat_ws(',', transform(topk, p -> cast(p.id AS string)))")
           .as("top_docs"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
+
+  /** The streaming inverted-index MV's READ path, oracle-checked: the
+    * corpus is delivered as four doc_id-hash blocks through the real
+    * [[graft.streaming.IndexMV.writeBlock]] store path (per-block
+    * bounded partials, crash-safe swap), the first three blocks are
+    * then compacted through [[graft.streaming.IndexMV.compact]], and
+    * the result is read through the merge fold — so the lineage the
+    * oracle hashes goes partials → compaction → merge, not the batch
+    * shortcut. Verified against the SAME SQL as [[postingLists]]
+    * (df/cf counters add; bounded heaps re-select exactly because each
+    * doc's text lives whole in one block — the MV's stated delivery
+    * contract, guaranteed here by the doc_id split).
+    *
+    * The store builds in a per-invocation temp dir (driver-side, tiny:
+    * O(vocab × k) per block); the returned frame reads from it lazily,
+    * so the dir must outlive the call — it is cleaned on JVM exit, not
+    * eagerly. */
+  val postingListsMv: NamedQuery = NamedQuery(
+    "docs_posting_lists_mv", postingListsSql) { (s, d) =>
+    import graft.streaming.IndexMV
+    graft.functions.GraftFunctions.register(s)
+    val partials = java.nio.file.Files
+      .createTempDirectory("graft-idxmv-").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.store.Store.deleteRecursivelyIfExists(partials)))
+    val corpus = docs(s, d)
+    (0 until 4).foreach { b =>
+      IndexMV.writeBlock(
+        corpus.where(pmod(col("doc_id"), lit(4)) === b), 5, partials,
+        blockId = b.toLong)
+    }
+    IndexMV.compact(s, partials, 5, throughBlockId = 2L)
+    IndexMV.merged(s, partials, 5)
       .orderBy(col("df").desc, col("term"))
       .limit(20)
   }
@@ -2412,6 +2570,6 @@ object DocQueries {
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, dedupThenSimhash, lmSurprise,
-    bpeStep, temperatureMix, epochShuffle, classifierScore, postingLists,
-    bm25TopK, phraseSearch)
+    bpeStep, bpeTrain, temperatureMix, epochShuffle, classifierScore,
+    postingLists, postingListsMv, bm25TopK, phraseSearch)
 }

@@ -758,8 +758,10 @@ object EmbQueries {
     * TakeOrderedAndProject — no shuffle grows beyond 8 rows per vector
     * (and a production deployment persists the codes like
     * [[ivfPersisted]] persists its index). */
-  val pqTopK: NamedQuery = NamedQuery(
-    "emb_pq_topk",
+  /** The PQ top-10 oracle SQL, shared verbatim by [[pqTopK]] and the
+    * [[pqRecall]] gate so the recall measurement can never drift from
+    * the ranking it claims to measure. */
+  private val pqTopKSql: String =
     s"""WITH q AS (
        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
        |         embedding AS qemb
@@ -814,7 +816,9 @@ object EmbQueries {
        |JOIN embeddings e ON s.vec_id = e.vec_id
        |CROSS JOIN q
        |ORDER BY sim_pq DESC, s.vec_id
-       |LIMIT 10""".stripMargin) { (s, d) =>
+       |LIMIT 10""".stripMargin
+
+  val pqTopK: NamedQuery = NamedQuery("emb_pq_topk", pqTopKSql) { (s, d) =>
     // ONE map-side pass: the codebook collapses to a single broadcast
     // row (label-sorted centroids flattened to array<double>, so cell
     // index order == label order), and encode + ADC-score run per
@@ -845,6 +849,50 @@ object EmbQueries {
         expr(cosSpark("qemb", "embedding")).as("sim_exact"))
       .orderBy(col("sim_pq").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** PQ recall gate — recall@10 of the ADC ranking against the exact
+    * cosine top-10, completing the accuracy-readout suite ([[ivfRecall]]
+    * covers the coarse quantizer; this covers the code quantization):
+    * the PQ top-10 (the SAME lineage as [[pqTopK]], kernel scoring and
+    * all) semi-joins the brute-force set, and `recall_ok` is the
+    * self-validating accuracy flag the oracle hash-gates (the
+    * EventQueries `approx_ok` discipline) — a codebook or ADC bug that
+    * silently degraded ranking flips it. Both engines compute the
+    * identical intersection, so hits/recall are exact integers and one
+    * exact IEEE division.
+    *
+    * The bar is `hits >= 1`, calibrated to the deliberately tiny
+    * 10-codeword shared codebook (measured hits: 2/2/1 at
+    * sf0.001/0.01/0.1 — 8-byte codes against a 10-cell quantizer keep
+    * little cosine resolution; production PQ uses 256 codewords per
+    * subspace). The gate is still discriminating: a BROKEN kernel ranks
+    * essentially at random, and a random 10-of-N intersection with the
+    * exact top-10 is empty with ~99% probability at sf0.1 (N≈10⁴), so
+    * the flag separates "quantization works better than chance" from
+    * "scoring path broken" without overclaiming the demo codebook.
+    * Scale shape: both sides are 10-row heads; the join is trivial —
+    * the cost is the two ranking scans it gates, which stay map-side +
+    * TakeOrdered. */
+  val pqRecall: NamedQuery = NamedQuery(
+    "emb_pq_recall",
+    s"""SELECT CAST(count(*) AS BIGINT) AS hits,
+       |       count(*) / 10.0 AS recall_at_10,
+       |       count(*) >= 1 AS recall_ok
+       |FROM ($pqTopKSql) p
+       |JOIN (SELECT b.vec_id
+       |      FROM embeddings b
+       |      CROSS JOIN (SELECT embedding AS qv0 FROM embeddings
+       |                  WHERE vec_id = 0) q0
+       |      WHERE b.vec_id <> 0
+       |      ORDER BY ${cosDuck("q0.qv0", "b.embedding")} DESC, b.vec_id
+       |      LIMIT 10) x ON p.vec_id = x.vec_id""".stripMargin) { (s, d) =>
+    pqTopK.run(s, d).select("vec_id")
+      .join(exactTopMemo(s, d), "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("hits"),
+        (col("hits") / lit(10.0)).as("recall_at_10"),
+        (col("hits") >= 1).as("recall_ok"))
   }
 
   /** One deterministic Lloyd (k-means) iteration over the IVF coarse
@@ -1159,5 +1207,6 @@ object EmbQueries {
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
-    pqTopK, kmeansRefine, semanticDedup, matryoshkaRecall, hybridRrf)
+    pqTopK, pqRecall, kmeansRefine, semanticDedup, matryoshkaRecall,
+    hybridRrf)
 }

@@ -76,6 +76,48 @@ class IndexMVSpec extends SparkSpec {
     }
   }
 
+  test("compaction folds old blocks into one; merged reads identical; " +
+    "a replayed newer block still replaces") {
+    val src = tmpDir("imv-compact-src")
+    val partials = tmpDir("imv-compact-partials")
+
+    // three batches as three blocks
+    val batches = Seq(
+      Seq(docJson(1, "cat cat cat"), docJson(2, "cat dog")),
+      Seq(docJson(3, "dog dog dog dog"), docJson(4, "cat owl")),
+      Seq(docJson(5, "owl owl"), docJson(6, "cat cat cat cat cat")))
+    batches.zipWithIndex.foreach { case (docsJson, i) =>
+      Files.writeString(Paths.get(src, s"b$i.json"), docsJson.mkString("\n"))
+      val docs = spark.read.schema("doc_id LONG, text STRING")
+        .json(s"$src/b$i.json")
+      IndexMV.writeBlock(docs, K, partials, blockId = i.toLong)
+    }
+    val before = collectIndex(IndexMV.merged(spark, partials, K))
+
+    // compact the checkpoint-committed history (blocks 0-1); block 2 is
+    // the newest, still individually replayable
+    IndexMV.compact(spark, partials, K, throughBlockId = 1L)
+    val dirs = Files.list(Paths.get(partials)).iterator()
+    val blockNames = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(dirs).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("block=")).toSet
+    assert(blockNames == Set("block=1", "block=2"),
+      s"expected fold + retained block, got $blockNames")
+    val after = collectIndex(IndexMV.merged(spark, partials, K))
+    assert(after == before, "compaction changed the merged index")
+
+    // at-least-once redelivery of the newest batch still replaces
+    val replay = spark.read.schema("doc_id LONG, text STRING")
+      .json(s"$src/b2.json")
+    IndexMV.writeBlock(replay, K, partials, blockId = 2L)
+    val replayed = collectIndex(IndexMV.merged(spark, partials, K))
+    assert(replayed == before, "replay after compaction drifted the index")
+
+    // idempotent: compacting again with nothing to fold is a no-op
+    IndexMV.compact(spark, partials, K, throughBlockId = 1L)
+    assert(collectIndex(IndexMV.merged(spark, partials, K)) == before)
+  }
+
   test("a replayed block replaces its previous write losslessly") {
     val src = tmpDir("imv-replay-src")
     val partials = tmpDir("imv-replay-partials")
