@@ -37,6 +37,17 @@ object Store {
     *   repartition key). More writers = more files per month, each still
     *   internally (ts, symbol, trade_id)-sorted; readers are unaffected
     *   (parquet merges row groups, `readTradesSince` prunes the same).
+    *   The file count per month is a BEST-EFFORT bound in [1, n]: the
+    *   n (month, bucket) combos map through Murmur3 onto 16n shuffle
+    *   slots, so two combos share a slot with probability ≈ n/32
+    *   (fewer, larger files — skew recovery degrades gracefully), and
+    *   all n collapsing to one file needs a 1/(16n)^(n-1) coincidence.
+    *   Deterministic for fixed data + Spark version (Murmur3 is stable),
+    *   so StoreSpec's multi-file assertion is repeatable, not flaky. An
+    *   exact-count design (bucket as a second partitionBy dir) was
+    *   rejected: it changes the on-disk layout every existing reader
+    *   globs (month=* gaining a nested bucket=* level) to tighten a
+    *   bound that only needs to be approximate.
     *   This is not only write parallelism: `graft.JoinSkewBench`
     *   measured that AQE can only split a skewed reduce partition at
     *   MAP-output boundaries — a month written as one giant file is ONE
