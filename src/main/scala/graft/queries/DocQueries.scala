@@ -2396,8 +2396,12 @@ object DocQueries {
     "docs_posting_lists_mv", postingListsSql) { (s, d) =>
     import graft.streaming.IndexMV
     graft.functions.GraftFunctions.register(s)
-    val partials = java.nio.file.Files
-      .createTempDirectory("graft-idxmv-").toString
+    // repo-local scratch (the IngestBench/StoreBench precedent), unique
+    // per invocation so concurrent runs never share a store
+    val scratch = java.nio.file.Paths.get("target", "idxmv")
+    java.nio.file.Files.createDirectories(scratch)
+    val partials =
+      java.nio.file.Files.createTempDirectory(scratch, "mv-").toString
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       graft.store.Store.deleteRecursivelyIfExists(partials)))
     val corpus = docs(s, d)

@@ -231,6 +231,39 @@ class PlanSpec extends SparkSpec {
       "posting lists must not plan a window sort or cartesian")
   }
 
+  test("MV posting readback heads via TakeOrdered over the merge fold, " +
+    "no window sort") {
+    // the read path must keep the batch index's bounded-aggregate shape:
+    // counters + heap re-select from the block store, TakeOrdered head —
+    // a window or cartesian here would sort/blow up vocab × blocks rows
+    val p = plan(graft.queries.DocQueries.postingListsMv)
+    assert(p.contains("TakeOrderedAndProject"), "MV head is not TakeOrdered")
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded top-k re-select missing from the merge fold")
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"),
+      "MV readback planned a window sort or cartesian")
+  }
+
+  test("BPE trainer's final plan scans the corpus ZERO times (state " +
+    "lineage truncated per round)") {
+    // without localCheckpoint the merge/argmax branches both re-derive
+    // the parent state — the DAG doubles per round and round K replays
+    // the corpus scan 2^K times. The checkpointed plan must read only
+    // materialized partitions: no file scan anywhere in the final plan.
+    val p = plan(graft.queries.DocQueries.bpeTrain)
+    assert(!p.contains("Location: InMemoryFileIndex"),
+      s"BPE trainer re-scans the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "expected checkpointed inputs in the trainer plan")
+  }
+
+  test("PQ recall joins two fixed-k heads, never the corpus") {
+    val p = plan(graft.queries.EmbQueries.pqRecall)
+    assert(p.contains("TakeOrderedAndProject"),
+      "recall sides lost their TakeOrdered heads")
+    assert(!p.contains("CartesianProduct"), "recall join went cartesian")
+  }
+
   test("BM25 broadcasts df and corpus stats; head is TakeOrdered") {
     val p = plan(graft.queries.DocQueries.bm25TopK)
     assert(p.contains("TakeOrderedAndProject"), "BM25 head is not TakeOrdered")
