@@ -192,6 +192,35 @@ object GraftFunctions {
       literalInt("graft_pq_norm", children(2)))
   }
 
+  private val bloomAggInfo = new ExpressionInfo(
+    classOf[BloomAggregate].getName, "graft_bloom_agg")
+
+  private val bloomAggBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 3,
+      s"graft_bloom_agg expects (hash, mBits, k), got ${children.length}")
+    BloomAggregate(children.head,
+      literalInt("graft_bloom_agg", children(1)),
+      literalInt("graft_bloom_agg", children(2))).toAggregateExpression()
+  }
+
+  private val bloomContainsInfo = new ExpressionInfo(
+    classOf[BloomMightContain].getName, "graft_bloom_contains")
+
+  private val bloomContainsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_bloom_contains expects (bloom, hash), got ${children.length}")
+    BloomMightContain(children.head, children(1))
+  }
+
+  private val zorderInfo = new ExpressionInfo(
+    classOf[ZOrder].getName, "graft_zorder")
+
+  private val zorderBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_zorder expects (bucketA, bucketB), got ${children.length}")
+    ZOrder(children.head, children(1))
+  }
+
   private val vecSumInfo = new ExpressionInfo(
     classOf[VectorSum].getName, "graft_vec_sum")
 
@@ -227,6 +256,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_mg"), mgInfo, mgBuilder),
     (FunctionIdentifier("graft_mg_pairs"), mgPairsInfo, mgPairsBuilder),
     (FunctionIdentifier("graft_vec_sum"), vecSumInfo, vecSumBuilder),
+    (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo, bloomAggBuilder),
+    (FunctionIdentifier("graft_bloom_contains"),
+      bloomContainsInfo, bloomContainsBuilder),
+    (FunctionIdentifier("graft_zorder"), zorderInfo, zorderBuilder),
     (FunctionIdentifier("graft_hamming"), hammingInfo, hammingBuilder),
     (FunctionIdentifier("graft_pq_score"), pqScoreInfo, pqScoreBuilder),
     (FunctionIdentifier("graft_pq_norm"), pqNormInfo, pqNormBuilder))

@@ -1635,8 +1635,12 @@ object DocQueries {
     * keyed on (lang, gram) — near-unique key, no skew, both sides
     * prunable to (lang, gram[, doc_id]) columns — then everything
     * collapses to a per-lang rollup joined on a broadcastable lang dim. */
-  val contamination: NamedQuery = NamedQuery(
-    "docs_contamination",
+  /** The decontamination oracle — ONE spelling shared by
+    * [[contamination]] and [[contaminationBloom]]: the Bloom variant is
+    * a pure execution-strategy change (pre-prune before the exact
+    * join), so the two must hash-match the same SQL or the filter has
+    * eaten a true positive. */
+  private def contaminationSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, $tokDuck AS t,
        |         $splitBucketDuck AS b
@@ -1670,7 +1674,33 @@ object DocQueries {
        |FROM td
        |LEFT JOIN tg ON td.lang = tg.lang
        |LEFT JOIN hg ON td.lang = hg.lang
-       |ORDER BY td.lang""".stripMargin) { (s, d) =>
+       |ORDER BY td.lang""".stripMargin
+
+  /** Shared per-lang contamination rollup: everything downstream of the
+    * (test-gram ⋉ train-gram) probe — the only piece the exact and
+    * Bloom-pruned variants spell differently. */
+  private def contaminationReport(split: DataFrame, testGrams: DataFrame,
+                                  hits: DataFrame): DataFrame = {
+    val td = split.where(col("b") === 9)
+      .groupBy("lang").agg(count(lit(1)).as("n_test"))
+    val tg = testGrams.groupBy("lang")
+      .agg(countDistinct(col("gram")).as("n_test_grams"))
+    val hg = hits.groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_contam"),
+        countDistinct(col("gram")).as("n_hit_grams"))
+    td.join(tg, Seq("lang"), "left")
+      .join(hg, Seq("lang"), "left")
+      .select(col("lang"), col("n_test"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        (coalesce(col("n_contam"), lit(0L)).cast("double") /
+          col("n_test").cast("double")).as("contam_rate"),
+        coalesce(col("n_test_grams"), lit(0L)).as("n_test_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .orderBy("lang")
+  }
+
+  val contamination: NamedQuery = NamedQuery(
+    "docs_contamination", contaminationSql) { (s, d) =>
     val b = expr(splitBucketSpark)
     // no per-doc array_distinct: both consumers apply a global DISTINCT
     // right after the explode, so a per-doc dedup pass is pure overhead.
@@ -1697,22 +1727,71 @@ object DocQueries {
     // the shape that survives 100 TB
     val hits = testGrams.join(
       trainGrams.hint("shuffle_hash"), Seq("lang", "gram"), "left_semi")
-    val td = split.where(col("b") === 9)
-      .groupBy("lang").agg(count(lit(1)).as("n_test"))
-    val tg = testGrams.groupBy("lang")
-      .agg(countDistinct(col("gram")).as("n_test_grams"))
-    val hg = hits.groupBy("lang")
-      .agg(countDistinct(col("doc_id")).as("n_contam"),
-        countDistinct(col("gram")).as("n_hit_grams"))
-    td.join(tg, Seq("lang"), "left")
-      .join(hg, Seq("lang"), "left")
-      .select(col("lang"), col("n_test"),
-        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
-        (coalesce(col("n_contam"), lit(0L)).cast("double") /
-          col("n_test").cast("double")).as("contam_rate"),
-        coalesce(col("n_test_grams"), lit(0L)).as("n_test_grams"),
-        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
-      .orderBy("lang")
+    contaminationReport(split, testGrams, hits)
+  }
+
+  /** [[contamination]] with the corpus-sized exchange REMOVED — the
+    * 100 TB execution strategy. The exact variant shuffles every
+    * distinct train gram (most of the corpus) into the semi-join;
+    * here the SMALL side (the test/eval split — in production a fixed,
+    * driver-known benchmark suite) is folded into a Bloom filter by
+    * [[graft.functions.BloomAggregate]] (distributed build, OR-merged
+    * partials), broadcast as one row, and the train side is pre-pruned
+    * MAP-SIDE by the codegen'd [[graft.functions.BloomMightContain]]
+    * probe before anything moves. What survives — true hits plus
+    * fpp·|train| false positives — is distinct-ed (a survivor-sized
+    * exchange, not a corpus-sized one) and exact-semi-joined back, so
+    * false positives are eliminated and the result is bit-identical to
+    * the exact twin: same oracle SQL, same hash.
+    *
+    * Sizing without touching the corpus: the key count is bounded by
+    * the eval split's token count, itself ≤ (n_chars+1)/2 for a
+    * whitespace tokenizer — one COLUMNAR job over the small split's
+    * (doc_id, n_chars) only (no tokenize). Oversizing only lowers the
+    * FP rate; m is floored at 2¹⁴ bits and capped at 2³¹.
+    *
+    * The built filter enters the probe plan as a LITERAL, not through
+    * a 1-row broadcast join: the engine's usual crossJoin(broadcast(…))
+    * idiom is correct for tiny bounds/stats rows but wrong for a
+    * megabyte binary — every probe row's `UnsafeRow.getBinary` would
+    * COPY the filter (measured: 26 s vs 3.8 s for the exact twin at
+    * sf0.1, pure memcpy). A codegen Literal is one reference held by
+    * the generated class, zero per-row cost; the driver-side one-row
+    * collect that creates it ships exactly the bytes a broadcast
+    * would. The final semi-join broadcasts the survivors; that holds
+    * while fpp·|train_grams| fits an executor — at 10¹² train grams
+    * and fpp 10⁻² that is 10¹⁰ rows, NOT broadcastable: at that scale
+    * drop the broadcast hint and the survivors flow through a shuffle
+    * semi-join that is still ~99% smaller than the unpruned exchange;
+    * the map-side Bloom prune is the part that always stands. */
+  val contaminationBloom: NamedQuery = NamedQuery(
+    "docs_contamination_bloom", contaminationSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val b = expr(splitBucketSpark)
+    val grams = gramsCol
+    val split = docs(s, d)
+      .select(col("doc_id"), col("lang"), b.as("b"), grams.as("gs"))
+    val testGrams = split.where(col("b") === 9)
+      .select(col("lang"), col("doc_id"), explode(col("gs")).as("gram"))
+      .distinct()
+    val nBound = docs(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .where(b === 9)
+      .agg(coalesce(sum(expr("(n_chars + 1) div 2 + 1")), lit(0L)))
+      .head.getLong(0)
+    val mBits = math.min(math.max(nBound * 10L, 1L << 14),
+      Int.MaxValue.toLong).toInt
+    val bloomBytes = testGrams
+      .agg(expr(s"graft_bloom_agg(xxhash64(lang, gram), $mBits, 7)"))
+      .head.getAs[Array[Byte]](0)
+    val survivors = split.where(col("b") < 8)
+      .select(col("lang"), explode(col("gs")).as("gram"))
+      .where(call_function("graft_bloom_contains",
+        lit(bloomBytes), xxhash64(col("lang"), col("gram"))))
+      .select(col("lang"), col("gram")).distinct()
+    val hits = testGrams.join(
+      broadcast(survivors), Seq("lang", "gram"), "left_semi")
+    contaminationReport(split, testGrams, hits)
   }
 
   /** Cross-document span duplication — the exact-substring dedup metric
@@ -2573,7 +2652,8 @@ object DocQueries {
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
     redaction, packSequences, repetition, contamination, spanDedup,
-    filterFunnel, fuzzyContamination, dedupThenSimhash, lmSurprise,
+    filterFunnel, fuzzyContamination, contaminationBloom, dedupThenSimhash,
+    lmSurprise,
     bpeStep, bpeTrain, temperatureMix, epochShuffle, classifierScore,
     postingLists, postingListsMv, bm25TopK, phraseSearch)
 }
