@@ -1050,8 +1050,51 @@ object TradeQueries {
       .orderBy("symbol")
   }
 
+  /** Zone-mapped store scan, oracle-checked end-to-end: a deterministic
+    * quarter of the trades (trade_id % 4 = 0) is written through
+    * [[graft.store.Store.writeTradesZoned]] (Morton-clustered files +
+    * footer-stat index), read back through
+    * [[graft.store.Store.readTradesZoned]] with BOTH a symbol bound and
+    * a 10-day time bound — so the lineage the oracle hashes goes write
+    * → zone-map prune → row-level re-filter → rollup, the
+    * `docs_posting_lists_mv` readback discipline applied to storage.
+    * A pruning bug that drops a matching file shows up as a hash
+    * mismatch, not a silent byte saving. The quarter subset keeps the
+    * per-verify store write proportional to one scan of the fact table
+    * at sf scale (the write is the operator under test; the quarter is
+    * pushed to the source scan as `trade_id % 4 = 0`). */
+  val zonedScan: NamedQuery = NamedQuery(
+    "trades_zoned_scan",
+    s"""$tradesWith
+       |SELECT symbol, count(*) AS n, ${dsum("qty")} AS total_qty
+       |FROM trades, anchor
+       |WHERE trade_id % 4 = 0 AND symbol = 'purchase'
+       |  AND ts >= t_anchor - INTERVAL 20 DAY
+       |  AND ts <= t_anchor - INTERVAL 10 DAY
+       |GROUP BY symbol
+       |ORDER BY symbol""".stripMargin) { (s, d) =>
+    import graft.store.Store
+    val scratch = java.nio.file.Paths.get("target", "zoned")
+    java.nio.file.Files.createDirectories(scratch)
+    val store = java.nio.file.Files
+      .createTempDirectory(scratch, "store-").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Store.deleteRecursivelyIfExists(store)))
+    Store.writeTradesZoned(
+      trades(s, d).where(pmod(col("trade_id"), lit(4)) === 0),
+      store, files = 8)
+    val anchor = Tables.anchorMicros(s, d)
+    val day = 86400L * 1000000L
+    Store.readTradesZoned(s, store,
+      tsMicros = Some((anchor - 20 * day, anchor - 10 * day)),
+      symbols = Some(("purchase", "purchase")))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"), Ops.dsum(col("qty")).as("total_qty"))
+      .orderBy("symbol")
+  }
+
   val all: Seq[NamedQuery] = Seq(
-    ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell,
+    ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell, zonedScan,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
     histQuantiles, priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,

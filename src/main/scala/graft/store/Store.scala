@@ -165,6 +165,95 @@ object Store {
         col("ts") >= lit(graft.Tables.microsToTimestamp(sinceMicros)))
   }
 
+  /** Z-ordered, zone-mapped trades layout — the clustering answer for
+    * queries that filter on a NON-leading dimension. [[writeTrades]]'s
+    * `(ts, symbol, trade_id)` sort (the reference's ORDER BY) makes ts
+    * envelopes tight and symbol envelopes useless: every file spans the
+    * whole symbol alphabet, so a symbol-only predicate reads the entire
+    * store. Here rows sort by a Morton interleave
+    * ([[graft.functions.ZOrder]]) of 16-bit ts/symbol buckets and split
+    * into `files` range slices, so per-file footer stats are narrow in
+    * BOTH columns; [[ZoneMap.build]] persists them and
+    * [[readTradesZoned]] prunes the file list on either dimension (or
+    * both) before the scan — measured in ZoneSpec. Flat layout, no hive
+    * partitions: the ts zone map subsumes month pruning (a TTL drop is
+    * `maxLong(ts) < cutoff` on the index), and file-level stats are
+    * strictly finer-grained than directory keys.
+    *
+    * Quantization facts (ts bounds, symbol dictionary) resolve driver-
+    * side in two tiny aggregations. The dictionary-ordinal bucket keeps
+    * lexicographic order so STRING footer stats stay tight — right for
+    * a bounded symbol universe (the reference's market feed); an
+    * unbounded high-cardinality dimension would hash-bucket instead and
+    * carry the bucket as an indexed column. Bucket arithmetic stays in
+    * LONGs end-to-end (a double hop would lose exactness past 2⁵³). */
+  def writeTradesZoned(trades: DataFrame, path: String,
+                       files: Int = 16): Unit = {
+    val spark = trades.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val b = trades.agg(
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    require(!b.isNullAt(0), s"zoned write of an empty trades frame: $path")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = math.max(hi - lo, 1L)
+    val syms = trades.select("symbol").distinct()
+      .orderBy("symbol").collect().map(_.getString(0))
+    val stride = 65536L / syms.length
+    val tsBucket = expr(s"((unix_micros(ts) - ${lo}L) * 65535L) div ${span}L")
+    val symBucket =
+      (array_position(lit(syms), col("symbol")) - 1L) * lit(stride)
+    deleteRecursivelyIfExists(path)
+    // INT64 micros, NOT Spark's INT96 default: INT96 timestamps carry
+    // NO min/max statistics (deprecated in parquet), which silently
+    // blinds the ts zone map — ZoneSpec caught exactly that (symbol
+    // envelopes tight, every ts envelope None). The switch is a session
+    // conf with no per-write option, so set-and-restore around the one
+    // write; the layout contract (stats-bearing timestamps) must not
+    // depend on how the caller's session was built.
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try trades
+      .withColumn("z", call_function("graft_zorder", tsBucket, symBucket))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions("z", "ts", "trade_id")
+      .drop("z")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(path)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
+    ZoneMap.build(spark, path, Seq("ts", "symbol"))
+  }
+
+  /** Zone-pruned read: consult the file index, scan only files whose
+    * stat envelopes overlap the requested ts/symbol ranges, and
+    * RE-APPLY the predicates row-level (pruning is an I/O optimization,
+    * never a filter — the contract [[ZoneMap]] states). Bounds are
+    * inclusive; either dimension may be open. */
+  def readTradesZoned(spark: SparkSession, path: String,
+                      tsMicros: Option[(Long, Long)] = None,
+                      symbols: Option[(String, String)] = None): DataFrame = {
+    val files = ZoneMap.prunedFiles(spark, path,
+      longs = tsMicros.map(r =>
+        ZoneMap.LongRange("ts", Some(r._1), Some(r._2))).toSeq,
+      strs = symbols.map(r =>
+        ZoneMap.StrRange("symbol", Some(r._1), Some(r._2))).toSeq)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+      else spark.read.parquet(files: _*)
+    val t = tsMicros.map { case (l, h) =>
+      col("ts") >= lit(graft.Tables.microsToTimestamp(l)) &&
+        col("ts") <= lit(graft.Tables.microsToTimestamp(h))
+    }.getOrElse(lit(true))
+    val s = symbols.map { case (l, h) =>
+      col("symbol") >= l && col("symbol") <= h
+    }.getOrElse(lit(true))
+    base.where(t && s)
+  }
+
   /** The zone partition month keys are derived in — the SESSION zone,
     * because [[writeTrades]] builds `month` with `date_format`
     * ([[graft.ops.Ops.monthKey]]), which renders in the session zone.

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
+import graft.store.{Store, ZoneMap}
+
+/** Z-order clustering + zone-map pruning: the Morton kernel's bit
+  * layout, index soundness (pruned read ≡ full-scan read), and the
+  * measured claim the layout exists for — a symbol-only predicate
+  * prunes files on the z-ordered layout and CANNOT on the ts-sorted
+  * one, while ts predicates prune on both. */
+class ZoneSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("morton interleave: bit layout, bounds, SQL surface") {
+    // a=5 (101b) spreads to even bits {0,4} = 17; b=3 (11b) to odd
+    // bits {1,3} = 10
+    assert(ZOrder.interleave(5L, 3L) == 27L)
+    assert(ZOrder.interleave(0L, 0L) == 0L)
+    assert(ZOrder.interleave(0xffffffffL, 0L) == 0x5555555555555555L)
+    assert(ZOrder.interleave(0L, 0xffffffffL) == 0xaaaaaaaaaaaaaaaaL)
+    intercept[IllegalArgumentException](ZOrder.interleave(-1L, 0L))
+    intercept[IllegalArgumentException](ZOrder.interleave(0L, 1L << 32))
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val viaSql = Seq((5L, 3L)).toDF("a", "b")
+      .selectExpr("graft_zorder(a, b)").head.getLong(0)
+    assert(viaSql == 27L)
+  }
+
+  private def writeLayouts(): (String, String, Long) = {
+    val trades = Tables.trades(spark, sf)
+    val zoned = tmpDir("graft-zoned")
+    Store.writeTradesZoned(trades, zoned, files = 8)
+    // the contrast layout: same file count, ts-sorted (the linear
+    // store's discipline) with the SAME zone-map index over it
+    val linear = tmpDir("graft-linear")
+    Store.deleteRecursivelyIfExists(linear)
+    // same stats-bearing timestamp encoding the zoned writer forces —
+    // the comparison must isolate LAYOUT, not INT96's missing stats
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try trades.repartitionByRange(8, col("ts"))
+      .sortWithinPartitions("ts", "symbol", "trade_id")
+      .write.mode("overwrite").parquet(linear)
+    finally prev match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
+    ZoneMap.build(spark, linear, Seq("ts", "symbol"))
+    val anchor = Tables.anchorMicros(spark, sf)
+    (zoned, linear, anchor)
+  }
+
+  test("zoned store: pruned reads equal full-scan reads; both dims prune") {
+    val (zoned, linear, anchor) = writeLayouts()
+    val day = 86400L * 1000000L
+    val tsWin = (anchor - 20 * day, anchor - 10 * day)
+    val all = ZoneMap.prunedFiles(spark, zoned)
+    assert(all.size == 8, s"expected 8 zoned files, got ${all.size}")
+
+    // correctness: zone-pruned read ≡ full-scan filtered read, per
+    // predicate shape
+    def fullScan(sym: Option[(String, String)],
+                 ts: Option[(Long, Long)]) = {
+      val base = spark.read.parquet(zoned)
+      val t = ts.map { case (l, h) =>
+        col("ts") >= lit(Tables.microsToTimestamp(l)) &&
+          col("ts") <= lit(Tables.microsToTimestamp(h))
+      }.getOrElse(lit(true))
+      val s = sym.map { case (l, h) =>
+        col("symbol") >= l && col("symbol") <= h
+      }.getOrElse(lit(true))
+      base.where(t && s)
+    }
+    for (
+      (sym, ts) <- Seq(
+        (Some(("purchase", "purchase")), None),
+        (None, Some(tsWin)),
+        (Some(("purchase", "purchase")), Some(tsWin)),
+        (Some(("zzz", "zzzz")), None))
+    ) {
+      val pruned = Store.readTradesZoned(spark, zoned, ts, sym)
+        .agg(count(lit(1)), coalesce(sum(col("trade_id")), lit(0L))).head
+      val full = fullScan(sym, ts)
+        .agg(count(lit(1)), coalesce(sum(col("trade_id")), lit(0L))).head
+      assert(pruned == full, s"pruned read diverged for ($sym, $ts)")
+    }
+
+    // the measured claim: symbol predicate prunes files on the
+    // z-ordered layout only; ts predicate prunes on both
+    val symZ = ZoneMap.prunedFiles(spark, zoned,
+      strs = Seq(ZoneMap.StrRange("symbol", Some("purchase"), Some("purchase"))))
+    val symL = ZoneMap.prunedFiles(spark, linear,
+      strs = Seq(ZoneMap.StrRange("symbol", Some("purchase"), Some("purchase"))))
+    assert(symZ.size <= 4,
+      s"z-order: symbol envelope should keep ≤ half the files, kept ${symZ.size}")
+    assert(symL.size == 8,
+      s"ts-sorted layout cannot prune on symbol, kept ${symL.size}")
+    // the z trade-off, stated precisely: 8 files = 3 z bits, so ts
+    // keeps ONE discriminating bit (the interleave gives the other two
+    // to symbol) — a window inside one ts half prunes, while one
+    // straddling the global midpoint overlaps every file at this
+    // granularity (more files = more bits back; the ts-sorted layout
+    // keeps full leading-dim resolution and zero symbol resolution)
+    val earlyWin = (anchor - 27 * day, anchor - 17 * day)
+    val tsZ = ZoneMap.prunedFiles(spark, zoned,
+      longs = Seq(ZoneMap.LongRange("ts", Some(earlyWin._1), Some(earlyWin._2))))
+    val tsL = ZoneMap.prunedFiles(spark, linear,
+      longs = Seq(ZoneMap.LongRange("ts", Some(earlyWin._1), Some(earlyWin._2))))
+    assert(tsZ.size < 8, s"z-order keeps ${tsZ.size} files for a half-local window")
+    assert(tsL.size < 8, s"ts-sort keeps ${tsL.size} files for a half-local window")
+
+    // disjoint symbol range proves empty without touching data
+    val none = ZoneMap.prunedFiles(spark, zoned,
+      strs = Seq(ZoneMap.StrRange("symbol", Some("zzz"), Some("zzzz"))))
+    assert(none.isEmpty)
+  }
+
+  test("registered query: the zoned scan reads fewer files than the store") {
+    val df = graft.queries.TradeQueries.zonedScan.run(spark, sf)
+    // collect THIS DataFrame (1 row): scan metrics live on its own
+    // QueryExecution — a write would plan a fresh one with zeroed metrics
+    df.collect()
+    val scans = graft.store.ScanStats.of(df)
+    // one data-bearing scan (the zone-pruned file set) — the store has
+    // 8 files; symbol+ts bounds must have removed some BEFORE the scan
+    val dataScan = scans.filter(_.files > 0)
+    assert(dataScan.nonEmpty)
+    assert(dataScan.map(_.files).max < 8,
+      s"zone map pruned nothing: ${scans.map(_.files)}")
+  }
+
+  test("zoned write round-trips every row exactly once") {
+    val trades = Tables.trades(spark, sf)
+    val dir = tmpDir("graft-zrt")
+    Store.writeTradesZoned(trades, dir, files = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == trades.count())
+    assert(back.select("trade_id").distinct().count() ==
+      trades.select("trade_id").distinct().count())
+  }
+}
