@@ -93,12 +93,30 @@ object StoreBench {
     val (sFiles, sBytes, sWall) = run(() => windowed(
       Store.readTradesSince(spark, storePath, sinceUs)))
 
+    // zoned layout, same rows: files ≈ month count so granularity is
+    // comparable with the month-partitioned store
+    val zonedPath = s"$root/zoned"
+    Store.writeTradesZoned(copies, zonedPath, files = months * 2)
+    val (zFiles, zBytes, zWall) = run(() => windowed(
+      Store.readTradesZoned(spark, zonedPath,
+        tsMicros = Some((sinceUs, maxTs)))))
+    // the query the month store CANNOT prune: one symbol, all time —
+    // zone maps + z-clustering prune it file-level
+    val sym = ("purchase", "purchase")
+    val (msFiles, msBytes, msWall) = run(() => windowed(
+      Store.readTrades(spark, storePath).where(col("symbol") === "purchase")))
+    val (zsFiles, zsBytes, zsWall) = run(() => windowed(
+      Store.readTradesZoned(spark, zonedPath, symbols = Some(sym))))
+
     val rows = spark.read.parquet(flatPath).count()
     println(
       s"""{"bench":"store_hot_path","months":$months,"rows":$rows,""" +
         s""""window_days":3,""" +
         s""""flat":{"files":$fFiles,"bytes":$fBytes,"wall_sec":$fWall},""" +
-        s""""store":{"files":$sFiles,"bytes":$sBytes,"wall_sec":$sWall}}""")
+        s""""store":{"files":$sFiles,"bytes":$sBytes,"wall_sec":$sWall},""" +
+        s""""zoned":{"files":$zFiles,"bytes":$zBytes,"wall_sec":$zWall},""" +
+        s""""symbol_scan_store":{"files":$msFiles,"bytes":$msBytes,"wall_sec":$msWall},""" +
+        s""""symbol_scan_zoned":{"files":$zsFiles,"bytes":$zsBytes,"wall_sec":$zsWall}}""")
     spark.stop()
   }
 }
