@@ -1758,12 +1758,21 @@ object DocQueries {
     * sf0.1, pure memcpy). A codegen Literal is one reference held by
     * the generated class, zero per-row cost; the driver-side one-row
     * collect that creates it ships exactly the bytes a broadcast
-    * would. The final semi-join broadcasts the survivors; that holds
-    * while fpp·|train_grams| fits an executor — at 10¹² train grams
-    * and fpp 10⁻² that is 10¹⁰ rows, NOT broadcastable: at that scale
-    * drop the broadcast hint and the survivors flow through a shuffle
-    * semi-join that is still ~99% smaller than the unpruned exchange;
-    * the map-side Bloom prune is the part that always stands. */
+    * would.
+    *
+    * The FP-removing join broadcasts the TEST side — the frame that is
+    * small by the operator's premise — and streams the bloom survivors
+    * through it, so the train lineage is map-side END TO END: scan →
+    * explode → probe → broadcast-hash join → partial agg, no
+    * train-sized exchange under ANY contamination rate. The first cut
+    * broadcast the SURVIVORS instead, which inverts on a
+    * high-contamination corpus: on the deliberately dup-heavy 10×
+    * corpus (~every test doc has a train twin) survivors ≈ all train
+    * grams and the query ran 2.7× its sf0.1 time — survivor size is a
+    * function of the DATA, test size is a designed-in constant, and
+    * only the latter is safe to broadcast. Join duplicates per train
+    * occurrence are harmless: every consumer aggregates with
+    * countDistinct, so survivors need no distinct pass either. */
   val contaminationBloom: NamedQuery = NamedQuery(
     "docs_contamination_bloom", contaminationSql) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
@@ -1784,13 +1793,12 @@ object DocQueries {
     val bloomBytes = testGrams
       .agg(expr(s"graft_bloom_agg(xxhash64(lang, gram), $mBits, 7)"))
       .head.getAs[Array[Byte]](0)
-    val survivors = split.where(col("b") < 8)
+    val hits = split.where(col("b") < 8)
       .select(col("lang"), explode(col("gs")).as("gram"))
       .where(call_function("graft_bloom_contains",
         lit(bloomBytes), xxhash64(col("lang"), col("gram"))))
-      .select(col("lang"), col("gram")).distinct()
-    val hits = testGrams.join(
-      broadcast(survivors), Seq("lang", "gram"), "left_semi")
+      .join(broadcast(testGrams), Seq("lang", "gram"))
+      .select("lang", "doc_id", "gram")
     contaminationReport(split, testGrams, hits)
   }
 

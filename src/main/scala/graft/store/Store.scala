@@ -187,6 +187,26 @@ object Store {
     * unbounded high-cardinality dimension would hash-bucket instead and
     * carry the bucket as an indexed column. Bucket arithmetic stays in
     * LONGs end-to-end (a double hop would lose exactness past 2⁵³). */
+  /** The 64-bit Morton sort key from the store's quantization facts.
+    * ts buckets clamp to [0, 65535] so rows OUTSIDE the bounds the
+    * facts were derived from (later appends) stay writable — they
+    * cluster at the curve's edge with honest (actual-data) footer
+    * stats, so pruning stays sound, just less selective for them.
+    * Symbols absent from the dictionary take bucket 65535 for the same
+    * reason: clustering quality degrades, correctness cannot. */
+  private def zKeyCol(tsLo: Long, span: Long, stride: Long,
+                      syms: Seq[String]): org.apache.spark.sql.Column = {
+    val tsBucket = expr(
+      s"least((greatest(unix_micros(ts) - ${tsLo}L, 0L) * 65535L)" +
+        s" div ${span}L, 65535L)")
+    val pos = array_position(lit(syms.toArray), col("symbol"))
+    val symBucket =
+      when(pos === 0, lit(65535L)).otherwise((pos - 1L) * lit(stride))
+    call_function("graft_zorder", tsBucket, symBucket)
+  }
+
+  private val ZoneMetaDir = "_zonemeta"
+
   def writeTradesZoned(trades: DataFrame, path: String,
                        files: Int = 16): Unit = {
     val spark = trades.sparkSession
@@ -197,11 +217,8 @@ object Store {
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val span = math.max(hi - lo, 1L)
     val syms = trades.select("symbol").distinct()
-      .orderBy("symbol").collect().map(_.getString(0))
+      .orderBy("symbol").collect().map(_.getString(0)).toSeq
     val stride = 65536L / syms.length
-    val tsBucket = expr(s"((unix_micros(ts) - ${lo}L) * 65535L) div ${span}L")
-    val symBucket =
-      (array_position(lit(syms), col("symbol")) - 1L) * lit(stride)
     deleteRecursivelyIfExists(path)
     // INT64 micros, NOT Spark's INT96 default: INT96 timestamps carry
     // NO min/max statistics (deprecated in parquet), which silently
@@ -209,12 +226,16 @@ object Store {
     // envelopes tight, every ts envelope None). The switch is a session
     // conf with no per-write option, so set-and-restore around the one
     // write; the layout contract (stats-bearing timestamps) must not
-    // depend on how the caller's session was built.
+    // depend on how the caller's session was built. Caveat, stated
+    // loudly: session confs are session-global, so a CONCURRENT parquet
+    // write on the same session during this window would also emit
+    // INT64 — harmless for any reader, but a surprise; maintenance
+    // writes like this one run from dedicated sessions at scale.
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
     val prevTsType = spark.conf.getOption(tsTypeKey)
     spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
     try trades
-      .withColumn("z", call_function("graft_zorder", tsBucket, symBucket))
+      .withColumn("z", zKeyCol(lo, span, stride, syms))
       .repartitionByRange(files, col("z"))
       .sortWithinPartitions("z", "ts", "trade_id")
       .drop("z")
@@ -225,7 +246,48 @@ object Store {
       case Some(v) => spark.conf.set(tsTypeKey, v)
       case None => spark.conf.unset(tsTypeKey)
     }
+    // quantization facts persist beside the data so APPENDS z-key new
+    // rows against the same curve the existing files were clustered on
+    import spark.implicits._
+    Seq((lo, span, stride, syms))
+      .toDF("tsLo", "tsSpan", "stride", "symbols")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/$ZoneMetaDir")
     ZoneMap.build(spark, path, Seq("ts", "symbol"))
+  }
+
+  /** Append a batch to an existing zoned store: new rows take the
+    * STORED quantization (same curve ⇒ new files interleave into the
+    * same neighborhoods; out-of-range ts and unseen symbols clamp to
+    * the curve edge, see [[zKeyCol]]), land as fresh z-sorted files via
+    * parquet append, and the zone map extends INCREMENTALLY —
+    * [[ZoneMap.refresh]] footer-reads only files the index has not
+    * seen, the ingest-rate contract at 10⁶-file scale. */
+  def appendTradesZoned(trades: DataFrame, path: String,
+                        files: Int = 4): Unit = {
+    val spark = trades.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val meta = spark.read.parquet(s"$path/$ZoneMetaDir")
+      .select("tsLo", "tsSpan", "stride", "symbols").head()
+    val (lo, span, stride) =
+      (meta.getLong(0), meta.getLong(1), meta.getLong(2))
+    val syms = meta.getSeq[String](3)
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try trades
+      .withColumn("z", zKeyCol(lo, span, stride, syms))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions("z", "ts", "trade_id")
+      .drop("z")
+      .write.mode(SaveMode.Append)
+      .option("compression", "zstd")
+      .parquet(path)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
+    ZoneMap.refresh(spark, path, Seq("ts", "symbol"))
   }
 
   /** Zone-pruned read: consult the file index, scan only files whose

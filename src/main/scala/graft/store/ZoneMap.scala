@@ -50,19 +50,51 @@ object ZoneMap {
   val IndexDir = "_zonemap"
 
   /** Harvest footer stats for `columns` from every data file under
-    * `dir` and persist them as `dir/_zonemap` (overwrite — the index is
-    * derived state, rebuilt after any write). */
+    * `dir` and persist them as `dir/_zonemap` — a full (re)build; the
+    * index is DERIVED state, so this is also the crash-recovery path
+    * (any doubt about index integrity ⇒ rebuild from footers). */
   def build(spark: SparkSession, dir: String, columns: Seq[String]): Unit = {
+    graft.store.Store.deleteRecursivelyIfExists(s"$dir/$IndexDir")
+    refresh(spark, dir, columns)
+  }
+
+  /** Incrementally reconcile the index with the data files actually
+    * present: entries for files the index already covers are KEPT
+    * (their footers are immutable — parquet files never change after
+    * commit), entries for deleted files are dropped, and only unseen
+    * files get a footer read — the property that keeps index
+    * maintenance O(appended files), not O(store), at ingest rates. An
+    * index whose column set differs from the request is rebuilt whole
+    * (its kept rows would silently lack the new column). The rewrite
+    * goes through [[graft.store.Store.swapDirectory]], so a crash
+    * mid-refresh leaves the previous index readable. */
+  def refresh(spark: SparkSession, dir: String,
+              columns: Seq[String]): Unit = {
     val files = listDataFiles(dir)
     require(files.nonEmpty, s"zone map over empty store: $dir")
-    val cols = columns
     import spark.implicits._
-    val entries = spark.sparkContext
-      .parallelize(files, math.min(files.size, 64))
-      .flatMap(f => readFooter(f, cols))
-      .toDF()
-    entries.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/$IndexDir")
+    val idxPath = java.nio.file.Paths.get(dir, IndexDir)
+    val existing: Seq[Entry] =
+      if (java.nio.file.Files.isDirectory(idxPath))
+        spark.read.parquet(idxPath.toString).as[Entry].collect().toSeq
+      else Seq.empty
+    val sameCols =
+      existing.isEmpty || existing.map(_.column).toSet == columns.toSet
+    val live = files.toSet
+    val kept =
+      if (sameCols) existing.filter(e => live(e.file)) else Seq.empty
+    val indexed = kept.map(_.file).toSet
+    val missing = files.filterNot(indexed)
+    val fresh: Seq[Entry] =
+      if (missing.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(missing, math.min(missing.size, 64))
+        .flatMap(f => readFooter(f, columns))
+        .collect().toSeq
+    graft.store.Store.swapDirectory(dir, IndexDir) { tmp =>
+      spark.createDataset(kept ++ fresh).toDF()
+        .coalesce(1).write.parquet(tmp)
+    }
   }
 
   /** Footer stats of one file, one [[Entry]] per indexed column.
@@ -163,7 +195,10 @@ object ZoneMap {
   }
 
   /** Every parquet data file under `dir` (flat layout; the `_zonemap`
-    * index dir and commit markers are not data). */
+    * index dir and commit markers are not data). Local-fs listing — the
+    * sandbox's store substrate; a cluster deployment swaps this one
+    * function for a `FileSystem.listStatus` walk (the footer readers
+    * above already go through the hadoop fs API). */
   private def listDataFiles(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
     require(d.isDirectory, s"not a directory: $dir")

@@ -65,14 +65,16 @@ class BloomSpec extends SparkSpec {
     assert(pruned == exact)
   }
 
-  test("plan: map-side bloom probe, broadcast semi-join on survivors") {
+  test("plan: map-side bloom probe, test side broadcast, no train shuffle") {
     val plan = DocQueries.contaminationBloom.run(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_bloom_contains"),
       "train side must be pre-pruned by the codegen'd bloom probe")
-    assert(plan.contains("BroadcastHashJoin") &&
-      plan.contains("LeftSemi"),
-      "the exact FP-removing join must broadcast the survivor set")
+    // the FP-removing join must broadcast the TEST side (small by the
+    // operator's premise) — survivor size depends on contamination
+    // rate and must never be the build side
+    assert(plan.contains("BroadcastHashJoin"),
+      "the exact FP-removing join must be a broadcast hash join")
     // the exact twin's corpus-sized shuffled semi-join must be gone
     assert(!plan.contains("ShuffledHashJoin"),
       "bloom variant must not shuffle corpus-sized gram sets")

@@ -134,6 +134,42 @@ class ZoneSpec extends SparkSpec {
       s"zone map pruned nothing: ${scans.map(_.files)}")
   }
 
+  test("append: same curve, incremental index, unseen symbols stay findable") {
+    val trades = Tables.trades(spark, sf)
+    val dir = tmpDir("graft-zapp")
+    Store.writeTradesZoned(trades, dir, files = 4)
+    val before = ZoneMap.prunedFiles(spark, dir).size
+    // a later batch: remapped ids, one symbol the dictionary has never
+    // seen, some ts past the original upper bound (clamp path)
+    val batch = trades.where(pmod(col("trade_id"), lit(10)) === 3)
+      .withColumn("trade_id", col("trade_id") + lit(10000000L))
+      .withColumn("symbol",
+        when(pmod(col("trade_id"), lit(7)) === 0, lit("newcoin"))
+          .otherwise(col("symbol")))
+      .withColumn("ts", col("ts") + expr("INTERVAL 40 DAYS"))
+    Store.appendTradesZoned(batch, dir, files = 2)
+    val after = ZoneMap.prunedFiles(spark, dir)
+    // index covers exactly the data files, old entries kept + new added
+    assert(after.size == before + 2, s"index files: $before -> ${after.size}")
+    // full read = base + appended rows
+    val total = spark.read.parquet(dir).count()
+    assert(total == trades.count() + batch.count())
+    // the unseen symbol is findable through the pruned path and the
+    // prune is selective (newcoin lives only in appended files)
+    val nc = Store.readTradesZoned(spark, dir,
+      symbols = Some(("newcoin", "newcoin")))
+    val ncFull = spark.read.parquet(dir)
+      .where(col("symbol") === "newcoin")
+    assert(nc.count() == ncFull.count() && nc.count() > 0)
+    // conservative pruning claim: "newcoin" sorts inside ['click',
+    // 'view'], so base-file envelopes spanning that range legitimately
+    // stay — but files whose envelope excludes 'n*' must go
+    val ncFiles = ZoneMap.prunedFiles(spark, dir,
+      strs = Seq(ZoneMap.StrRange("symbol", Some("newcoin"), Some("newcoin"))))
+    assert(ncFiles.size < after.size,
+      s"newcoin probe pruned nothing: ${ncFiles.size}/${after.size}")
+  }
+
   test("zoned write round-trips every row exactly once") {
     val trades = Tables.trades(spark, sf)
     val dir = tmpDir("graft-zrt")
