@@ -243,6 +243,9 @@ object GraftFunctions {
     val (tid, tinfo, tbuilder) = graft.plans.AsofSql.injection
     spark.sessionState.tableFunctionRegistry
       .registerFunction(tid, tinfo, tbuilder)
+    val (zid, zinfo, zbuilder) = graft.store.ZonedSql.injection
+    spark.sessionState.tableFunctionRegistry
+      .registerFunction(zid, zinfo, zbuilder)
     // the TVF emits an AsofJoin logical node; without the strategy the
     // planner would have no rule for it — registering the SQL surface
     // implies installing what plans it
@@ -284,6 +287,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
     ext.injectTableFunction(graft.plans.AsofSql.injection)
+    ext.injectTableFunction(graft.store.ZonedSql.injection)
     ext.injectOptimizerRule(_ => MonthPruningRule)
     ext.injectOptimizerRule(_ => NanoTsPushdownRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

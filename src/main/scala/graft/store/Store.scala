@@ -267,6 +267,9 @@ object Store {
                         files: Int = 4): Unit = {
     val spark = trades.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    require(Files.isDirectory(Paths.get(path, ZoneMetaDir)),
+      s"$path is not a zoned store (no $ZoneMetaDir — create it with " +
+        "writeTradesZoned first)")
     val meta = spark.read.parquet(s"$path/$ZoneMetaDir")
       .select("tsLo", "tsSpan", "stride", "symbols").head()
     val (lo, span, stride) =

@@ -170,6 +170,30 @@ class ZoneSpec extends SparkSpec {
       s"newcoin probe pruned nothing: ${ncFiles.size}/${after.size}")
   }
 
+  test("SQL surface: graft_zoned_trades prunes and matches the full scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val trades = Tables.trades(spark, sf)
+    val dir = tmpDir("graft-zsql")
+    Store.writeTradesZoned(trades, dir, files = 8)
+    val viaSql = spark.sql(
+      s"""SELECT symbol, count(*) AS n
+         |FROM graft_zoned_trades('$dir', 'purchase', 'purchase', '', '')
+         |GROUP BY symbol ORDER BY symbol""".stripMargin).collect().toSeq
+    val viaScan = spark.read.parquet(dir)
+      .where(col("symbol") === "purchase")
+      .groupBy("symbol").agg(count(lit(1)).as("n"))
+      .orderBy("symbol").collect().toSeq
+    assert(viaSql == viaScan)
+    // both-or-neither bound contract
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_zoned_trades('$dir', 'a', '', '', '')"))
+    assert(e.getMessage.contains("both"))
+    // bad timestamp surfaces the helpful error, not a parse stacktrace
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_zoned_trades('$dir', '', '', 'yesterday', 'now')"))
+    assert(e2.getMessage.contains("ISO-8601"))
+  }
+
   test("zoned write round-trips every row exactly once") {
     val trades = Tables.trades(spark, sf)
     val dir = tmpDir("graft-zrt")
