@@ -758,10 +758,18 @@ object EmbQueries {
     * TakeOrderedAndProject — no shuffle grows beyond 8 rows per vector
     * (and a production deployment persists the codes like
     * [[ivfPersisted]] persists its index). */
-  /** The PQ top-10 oracle SQL, shared verbatim by [[pqTopK]] and the
-    * [[pqRecall]] gate so the recall measurement can never drift from
-    * the ranking it claims to measure. */
-  private val pqTopKSql: String =
+  /** The PQ top-10 oracle SQL, shared verbatim by [[pqTopK]], the
+    * [[pqRecall]] gate, and (with a coarse-probe CTE prepended and the
+    * fact side filtered to the probed cells) [[ivfPqTopK]] — one SQL
+    * body, so neither the recall measurement nor the composite index
+    * can drift from the ranking they claim to share.
+    *
+    * @param bestCte    extra CTE text spliced after `cents` ("" for
+    *                   exhaustive PQ; the `best` coarse-probe head for
+    *                   IVF-PQ)
+    * @param factFilter extra predicate on the encoded fact side ("" or
+    *                   the probed-cells membership test) */
+  private def pqSql(bestCte: String, factFilter: String): String =
     s"""WITH q AS (
        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
        |         embedding AS qemb
@@ -776,7 +784,7 @@ object EmbQueries {
        |cents AS (
        |  SELECT label, list(m ORDER BY dim) AS centroid
        |  FROM comp GROUP BY 1
-       |),
+       |),$bestCte
        |sub AS (
        |  SELECT e.vec_id, c.label AS clabel, s.m,
        |         list_sum(list_transform(range(1, 9), j ->
@@ -784,7 +792,7 @@ object EmbQueries {
        |           * (CAST(e.embedding[8*s.m+j] AS DOUBLE) - c.centroid[8*s.m+j])))
        |           AS d2
        |  FROM embeddings e, cents c, unnest(range(0, 8)) AS s(m)
-       |  WHERE e.vec_id <> 0
+       |  WHERE e.vec_id <> 0$factFilter
        |),
        |code AS (
        |  SELECT vec_id, m, clabel AS code
@@ -818,6 +826,18 @@ object EmbQueries {
        |ORDER BY sim_pq DESC, s.vec_id
        |LIMIT 10""".stripMargin
 
+  private val pqTopKSql: String = pqSql("", "")
+
+  /** The flattened broadcast codebook: label-sorted centroids
+    * concatenated to one array<double>, so cell index order == label
+    * order — the single-row frame both PQ kernels index into. Shared by
+    * [[pqTopK]] and [[ivfPqTopK]]. */
+  private def flatCodebook(s: SparkSession, d: String): DataFrame =
+    centroidFrame(s, d)
+      .agg(expr(
+        """flatten(transform(array_sort(collect_list(struct(label, centroid))),
+          |c -> c.centroid))""".stripMargin.replace("\n", " ")).as("cents"))
+
   val pqTopK: NamedQuery = NamedQuery("emb_pq_topk", pqTopKSql) { (s, d) =>
     // ONE map-side pass: the codebook collapses to a single broadcast
     // row (label-sorted centroids flattened to array<double>, so cell
@@ -832,10 +852,7 @@ object EmbQueries {
     // the whole scoring pass fused in whole-stage codegen, the same
     // justification that produced CosineSimilarity.)
     val e = emb(s, d).where(col("vec_id") =!= 0)
-    val flat = centroidFrame(s, d)
-      .agg(expr(
-        """flatten(transform(array_sort(collect_list(struct(label, centroid))),
-          |c -> c.centroid))""".stripMargin.replace("\n", " ")).as("cents"))
+    val flat = flatCodebook(s, d)
     val q = emb(s, d).where(col("vec_id") === 0)
       .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"),
         col("embedding").as("qemb"))
@@ -893,6 +910,60 @@ object EmbQueries {
       .select(col("hits"),
         (col("hits") / lit(10.0)).as("recall_at_10"),
         (col("hits") >= 1).as("recall_ok"))
+  }
+
+  /** IVF-PQ composite index — the billion-vector production shape
+    * (coarse quantizer prunes the search to `nprobe` cells, PQ ADC
+    * scores only the survivors), composed from the two indexes already
+    * proven separately: [[ivfTopK]]'s centroid probe picks the 3 best
+    * cells, and [[pqTopK]]'s codegen'd kernel scoring runs ONLY on
+    * vectors whose cell survived the probe. One training pass (the
+    * label-mean [[centroidFrame]]) feeds both levels, exactly as a
+    * faiss `IVFx,PQy` factory string shares its coarse quantizer.
+    *
+    * Scale shape — why this is THE 100 TB ANN plan: the probe is a
+    * 10-row broadcast head; the cell membership test is a broadcast
+    * hash semi-join the scan-side filter can apply BEFORE any vector
+    * math (on a cell-partitioned layout it becomes partition pruning,
+    * reading nprobe/cells of the bytes); the survivors score map-side
+    * via 8 table lookups each (no shuffle); the answer is one
+    * TakeOrderedAndProject. Memory: 8-byte codes + an 80-entry ADC
+    * table per query — the fraction-of-RAM story that lets one
+    * executor hold billions of candidates. Exact cosine is emitted
+    * beside the ADC rank as the per-row recall readout, same as
+    * [[pqTopK]]/[[quantizedTopK]]. */
+  val ivfPqTopK: NamedQuery = NamedQuery(
+    "emb_ivfpq_topk",
+    pqSql(
+      s"""
+         |best AS (
+         |  SELECT label AS cell
+         |  FROM cents, q
+         |  ORDER BY ${cosDuckD("centroid", "qv")} DESC, label
+         |  LIMIT 3
+         |),""".stripMargin,
+      " AND e.label IN (SELECT cell FROM best)")) { (s, d) =>
+    val qv = emb(s, d).where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
+    val best = centroidFrame(s, d).crossJoin(broadcast(qv))
+      .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("label"))
+      .limit(3)
+      .select(col("label").as("cell"))
+    val q = emb(s, d).where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"),
+        col("embedding").as("qemb"))
+    emb(s, d).where(col("vec_id") =!= 0)
+      .join(broadcast(best), col("label") === col("cell"), "left_semi")
+      .crossJoin(broadcast(flatCodebook(s, d)))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (expr("graft_pq_score(embedding, cents, qv, 8)") /
+          (sqrt(expr(dotSparkD("qv", "qv"))) *
+            sqrt(expr("graft_pq_norm(embedding, cents, 8)"))))
+          .as("sim_pq"),
+        expr(cosSpark("qemb", "embedding")).as("sim_exact"))
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+      .limit(10)
   }
 
   /** One deterministic Lloyd (k-means) iteration over the IVF coarse
@@ -1207,6 +1278,6 @@ object EmbQueries {
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
-    pqTopK, pqRecall, kmeansRefine, semanticDedup, matryoshkaRecall,
-    hybridRrf)
+    pqTopK, pqRecall, ivfPqTopK, kmeansRefine, semanticDedup,
+    matryoshkaRecall, hybridRrf)
 }

@@ -210,6 +210,21 @@ class PlanSpec extends SparkSpec {
       "PQ ranking did not plan TakeOrderedAndProject")
   }
 
+  test("IVF-PQ probes via broadcast semi-join and keeps kernel scoring " +
+    "map-side") {
+    // the composite's whole point at 100 TB: cell membership must be a
+    // broadcast semi-join the scan side can consume BEFORE vector math
+    // (partition pruning on a cell-partitioned layout), never a shuffle
+    // of the encoded fact side; the rank stays TakeOrdered
+    val p = plan(graft.queries.EmbQueries.ivfPqTopK)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "probed-cell membership is not a broadcast semi-join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "IVF-PQ ranking did not plan TakeOrderedAndProject")
+    assert(!p.contains("SortMergeJoin"),
+      "IVF-PQ shuffled the encoded fact side")
+  }
+
   test("kmeans refine assigns against a broadcast codebook") {
     val p = plan(graft.queries.EmbQueries.kmeansRefine)
     assert(p.contains("BroadcastNestedLoopJoin") ||
