@@ -209,17 +209,27 @@ object Store {
 
   def writeTradesZoned(trades: DataFrame, path: String,
                        files: Int = 16): Unit = {
+    deleteRecursivelyIfExists(path)
+    stageZonedStore(trades, path, files)
+  }
+
+  /** Fit the curve and write a COMPLETE zoned store (data files,
+    * `_zonemeta` quantization facts, `_zonemap` index) at `into` —
+    * shared by [[writeTradesZoned]] (writes in place, fresh store) and
+    * [[compactTradesZoned]] (writes into a staging sibling, then
+    * swaps). */
+  private def stageZonedStore(trades: DataFrame, into: String,
+                              files: Int): Unit = {
     val spark = trades.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val b = trades.agg(
       min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    require(!b.isNullAt(0), s"zoned write of an empty trades frame: $path")
+    require(!b.isNullAt(0), s"zoned write of an empty trades frame: $into")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val span = math.max(hi - lo, 1L)
     val syms = trades.select("symbol").distinct()
       .orderBy("symbol").collect().map(_.getString(0)).toSeq
     val stride = 65536L / syms.length
-    deleteRecursivelyIfExists(path)
     // INT64 micros, NOT Spark's INT96 default: INT96 timestamps carry
     // NO min/max statistics (deprecated in parquet), which silently
     // blinds the ts zone map — ZoneSpec caught exactly that (symbol
@@ -241,7 +251,7 @@ object Store {
       .drop("z")
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
-      .parquet(path)
+      .parquet(into)
     finally prevTsType match {
       case Some(v) => spark.conf.set(tsTypeKey, v)
       case None => spark.conf.unset(tsTypeKey)
@@ -252,8 +262,8 @@ object Store {
     Seq((lo, span, stride, syms))
       .toDF("tsLo", "tsSpan", "stride", "symbols")
       .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/$ZoneMetaDir")
-    ZoneMap.build(spark, path, Seq("ts", "symbol"))
+      .parquet(s"$into/$ZoneMetaDir")
+    ZoneMap.build(spark, into, Seq("ts", "symbol"))
   }
 
   /** Append a batch to an existing zoned store: new rows take the
@@ -291,6 +301,46 @@ object Store {
       case None => spark.conf.unset(tsTypeKey)
     }
     ZoneMap.refresh(spark, path, Seq("ts", "symbol"))
+  }
+
+  /** Compact a zoned store: rewrite ALL current rows as `files` fresh
+    * z-range slices with a REFIT curve, through one whole-store
+    * crash-safe swap. Appends degrade a zoned store two ways the
+    * monthly store doesn't suffer: file count grows per batch (each
+    * append adds its own slices, overlapping existing envelopes — prune
+    * selectivity decays), and clamped rows (out-of-range ts, unseen
+    * symbols, see [[zKeyCol]]) pile up at the curve edge. A compaction
+    * is already a full rewrite, so it also refits the quantization
+    * facts to the data actually present — post-compaction, previously
+    * clamped symbols get their own dictionary slot and tight envelopes.
+    *
+    * Crash safety at the STORE level: the whole replacement store
+    * (data + `_zonemeta` + `_zonemap`) stages in a dot-prefixed sibling
+    * and swaps in via [[swapDirectory]] on the PARENT directory — every
+    * crash window leaves either the old store or the new one readable,
+    * never a mix. This is why [[ZoneMap.Entry.file]] is
+    * store-relative: the index built inside the staging dir stays
+    * valid across the rename. Maintenance single-runner, like
+    * [[compactMonth]]/[[retention]]; a died swap is repaired by
+    * `recoverSwap(parent, storeName)` (the next compaction does it
+    * automatically). */
+  def compactTradesZoned(spark: SparkSession, path: String,
+                         files: Int = 16): Unit = {
+    val p = Paths.get(path).toAbsolutePath.normalize
+    val parent = p.getParent
+    require(parent != null, s"cannot compact a filesystem root: $path")
+    val name = p.getFileName.toString
+    recoverSwap(parent.toString, name)
+    require(Files.isDirectory(p.resolve(ZoneMetaDir)),
+      s"$path is not a zoned store (no $ZoneMetaDir — create it with " +
+        "writeTradesZoned first)")
+    // the snapshot read resolves its file list now, against the live
+    // store; the staged write below executes BEFORE any rename touches
+    // that store
+    val snapshot = spark.read.parquet(p.toString)
+    swapDirectory(parent.toString, name) { tmp =>
+      stageZonedStore(snapshot, tmp, files)
+    }
   }
 
   /** Zone-pruned read: consult the file index, scan only files whose

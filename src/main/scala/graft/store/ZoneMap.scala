@@ -41,7 +41,11 @@ object ZoneMap {
     * longs, timestamps-as-micros) land in minLong/maxLong; string stats
     * in minStr/maxStr. `rows` counts the file's rows, `nulls` the
     * column's nulls (a column that is ALL null in a file overlaps
-    * nothing). */
+    * nothing). `file` is the name RELATIVE to the store root (flat
+    * layout), never an absolute path: the index must survive the store
+    * directory being renamed — compaction stages a whole new store
+    * (data + index) in a dot-prefixed sibling and swaps it in, and a
+    * path-anchored index would go stale at exactly that rename. */
   final case class Entry(
       file: String, column: String, rows: Long, nulls: Long,
       minLong: Option[Long], maxLong: Option[Long],
@@ -81,6 +85,9 @@ object ZoneMap {
     val sameCols =
       existing.isEmpty || existing.map(_.column).toSet == columns.toSet
     val live = files.toSet
+    // an index from before the relative-name contract (absolute paths)
+    // matches nothing here and rebuilds whole — self-healing, no
+    // version sniffing needed
     val kept =
       if (sameCols) existing.filter(e => live(e.file)) else Seq.empty
     val indexed = kept.map(_.file).toSet
@@ -89,7 +96,7 @@ object ZoneMap {
       if (missing.isEmpty) Seq.empty
       else spark.sparkContext
         .parallelize(missing, math.min(missing.size, 64))
-        .flatMap(f => readFooter(f, columns))
+        .flatMap(f => readFooter(dir, f, columns))
         .collect().toSeq
     graft.store.Store.swapDirectory(dir, IndexDir) { tmp =>
       spark.createDataset(kept ++ fresh).toDF()
@@ -101,9 +108,10 @@ object ZoneMap {
     * Row-group chunks fold per file: min of mins, max of maxes — a
     * chunk with absent/untrusted stats poisons that column's bounds to
     * None (file always kept). */
-  private[store] def readFooter(file: String,
+  private[store] def readFooter(dir: String, file: String,
                                 columns: Seq[String]): Seq[Entry] = {
-    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+    val in = HadoopInputFile.fromPath(
+      new Path(s"$dir/$file"), new Configuration())
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks
@@ -191,20 +199,22 @@ object ZoneMap {
     idx.groupBy("file")
       .agg(min(keep.cast("int")).as("keep"))
       .where(col("keep") === 1)
-      .select("file").collect().map(_.getString(0)).toSeq.sorted
+      .select("file").collect().map(r => s"$dir/${r.getString(0)}")
+      .toSeq.sorted
   }
 
-  /** Every parquet data file under `dir` (flat layout; the `_zonemap`
-    * index dir and commit markers are not data). Local-fs listing — the
-    * sandbox's store substrate; a cluster deployment swaps this one
-    * function for a `FileSystem.listStatus` walk (the footer readers
-    * above already go through the hadoop fs API). */
+  /** Every parquet data file under `dir`, as names RELATIVE to it
+    * (flat layout; the `_zonemap` index dir and commit markers are not
+    * data). Local-fs listing — the sandbox's store substrate; a cluster
+    * deployment swaps this one function for a `FileSystem.listStatus`
+    * walk (the footer readers above already go through the hadoop fs
+    * API). */
   private def listDataFiles(dir: String): Seq[String] = {
     val d = new java.io.File(dir)
     require(d.isDirectory, s"not a directory: $dir")
     d.listFiles().toSeq
       .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(_.getAbsolutePath).sorted
+      .map(_.getName).sorted
   }
 }

@@ -170,6 +170,60 @@ class ZoneSpec extends SparkSpec {
       s"newcoin probe pruned nothing: ${ncFiles.size}/${after.size}")
   }
 
+  test("compaction: refit curve, exact rows, tighter envelopes, " +
+    "crash-safe swap") {
+    val trades = Tables.trades(spark, sf)
+    val dir = tmpDir("graft-zcomp")
+    Store.writeTradesZoned(trades, dir, files = 4)
+    // two appends degrade the store the way ingest does: extra file
+    // slices + rows clamped to the curve edge (unseen symbol, late ts)
+    def batch(offset: Long) = trades
+      .where(pmod(col("trade_id"), lit(10)) === 3)
+      .withColumn("trade_id", col("trade_id") + lit(offset))
+      .withColumn("symbol",
+        when(pmod(col("trade_id"), lit(7)) === 0, lit("newcoin"))
+          .otherwise(col("symbol")))
+      .withColumn("ts", col("ts") + expr("INTERVAL 40 DAYS"))
+    Store.appendTradesZoned(batch(10000000L), dir, files = 2)
+    Store.appendTradesZoned(batch(20000000L), dir, files = 2)
+    val degraded = ZoneMap.prunedFiles(spark, dir).size
+    assert(degraded == 8, s"expected 4+2+2 files, got $degraded")
+    val rows = spark.read.parquet(dir).count()
+    val idSum = spark.read.parquet(dir)
+      .agg(sum(col("trade_id"))).head.getLong(0)
+
+    Store.compactTradesZoned(spark, dir, files = 4)
+    // file count restored, every row carried over exactly once
+    val after = ZoneMap.prunedFiles(spark, dir)
+    assert(after.size == 4, s"compaction left ${after.size} files")
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(spark.read.parquet(dir)
+      .agg(sum(col("trade_id"))).head.getLong(0) == idSum)
+    // the REFIT curve: the once-clamped symbol now has a dictionary
+    // slot, so its probe prunes the rebuilt (smaller) file set too
+    val meta = spark.read.parquet(s"$dir/_zonemeta").head
+    assert(meta.getSeq[String](3).contains("newcoin"),
+      "compaction did not refit the symbol dictionary")
+    val ncFiles = ZoneMap.prunedFiles(spark, dir,
+      strs = Seq(ZoneMap.StrRange("symbol", Some("newcoin"), Some("newcoin"))))
+    assert(ncFiles.size < after.size,
+      s"newcoin probe pruned nothing post-compaction: ${ncFiles.size}/4")
+    // pruned read ≡ full scan through the rebuilt index
+    val nc = Store.readTradesZoned(spark, dir,
+      symbols = Some(("newcoin", "newcoin"))).count()
+    val ncFull = spark.read.parquet(dir)
+      .where(col("symbol") === "newcoin").count()
+    assert(nc == ncFull && nc > 0)
+
+    // crash recovery: a swap that died between its two renames leaves
+    // only .old_<store> — the next compaction repairs it, then runs
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.move(p, p.resolveSibling(".old_" + p.getFileName))
+    Store.compactTradesZoned(spark, dir, files = 3)
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(ZoneMap.prunedFiles(spark, dir).size == 3)
+  }
+
   test("SQL surface: graft_zoned_trades prunes and matches the full scan") {
     graft.functions.GraftFunctions.register(spark)
     val trades = Tables.trades(spark, sf)
