@@ -833,7 +833,12 @@ object EmbQueries {
     * order — the single-row frame both PQ kernels index into. Shared by
     * [[pqTopK]] and [[ivfPqTopK]]. */
   private def flatCodebook(s: SparkSession, d: String): DataFrame =
-    centroidFrame(s, d)
+    flatCodebookOf(centroidFrame(s, d))
+
+  /** Flatten any (label, centroid) frame — inline-trained or read back
+    * from the persisted index — into the kernels' codebook row. */
+  private def flatCodebookOf(cents: DataFrame): DataFrame =
+    cents
       .agg(expr(
         """flatten(transform(array_sort(collect_list(struct(label, centroid))),
           |c -> c.centroid))""".stripMargin.replace("\n", " ")).as("cents"))
@@ -931,7 +936,14 @@ object EmbQueries {
     * table per query — the fraction-of-RAM story that lets one
     * executor hold billions of candidates. Exact cosine is emitted
     * beside the ADC rank as the per-row recall readout, same as
-    * [[pqTopK]]/[[quantizedTopK]]. */
+    * [[pqTopK]]/[[quantizedTopK]].
+    *
+    * Unlike the inline-training [[pqTopK]] (which deliberately shows
+    * the one-pass lineage), the composite probes the PERSISTED
+    * centroids ([[IvfIndex]], fingerprint-validated) for BOTH levels —
+    * train once, query many, the faiss deployment discipline
+    * [[ivfPersisted]] established; the index read is bit-identical to
+    * the inline training it materializes, so the oracle is unchanged. */
   val ivfPqTopK: NamedQuery = NamedQuery(
     "emb_ivfpq_topk",
     pqSql(
@@ -945,7 +957,8 @@ object EmbQueries {
       " AND e.label IN (SELECT cell FROM best)")) { (s, d) =>
     val qv = emb(s, d).where(col("vec_id") === 0)
       .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
-    val best = centroidFrame(s, d).crossJoin(broadcast(qv))
+    val cents = IvfIndex.centroids(s, d)
+    val best = cents.crossJoin(broadcast(qv))
       .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("label"))
       .limit(3)
       .select(col("label").as("cell"))
@@ -954,7 +967,7 @@ object EmbQueries {
         col("embedding").as("qemb"))
     emb(s, d).where(col("vec_id") =!= 0)
       .join(broadcast(best), col("label") === col("cell"), "left_semi")
-      .crossJoin(broadcast(flatCodebook(s, d)))
+      .crossJoin(broadcast(flatCodebookOf(cents)))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         (expr("graft_pq_score(embedding, cents, qv, 8)") /
