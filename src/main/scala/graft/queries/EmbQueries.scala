@@ -1088,6 +1088,150 @@ object EmbQueries {
       .orderBy("cell")
   }
 
+  /** How many Lloyd iterations [[kmeansTrain]] runs — small enough that
+    * the unrolled oracle CTE chain stays readable, large enough to show
+    * convergence behavior (assignments stabilize, shifts shrink). */
+  private val KmeansIters = 3
+
+  /** The unrolled oracle for [[kmeansTrain]]: one
+    * dist→argmin→recompute CTE block per iteration, chained — the
+    * [[graft.queries.DocQueries]] BPE-trainer discipline applied to the
+    * quantizer loop (DuckDB has no iterative SQL; K is small and fixed,
+    * so unrolling IS the faithful twin). Determinism carries across
+    * iterations because every centroid component is the round-12
+    * exact-decimal mean both engines compute bit-identically — so the
+    * iteration-2 distances fold over IDENTICAL doubles in identical
+    * index order, and so on inductively. */
+  private def kmeansTrainSql: String = {
+    val iterCtes = (1 to KmeansIters).map { k =>
+      s"""dist$k AS (
+         |  SELECT e.vec_id, e.label AS orig, e.embedding, c.cell,
+         |         list_sum(list_transform(range(1, 65), i ->
+         |           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+         |           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS d2
+         |  FROM embeddings e, cents${k - 1} c
+         |  WHERE e.vec_id <> 0
+         |),
+         |asg$k AS (
+         |  SELECT vec_id, orig, embedding, cell
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                     ORDER BY d2, cell) AS rk
+         |        FROM dist$k)
+         |  WHERE rk = 1
+         |),
+         |stat$k AS (
+         |  SELECT cell, count(*) AS n_assigned,
+         |         CAST(count(*) FILTER (WHERE orig <> cell) AS BIGINT)
+         |           AS n_moved
+         |  FROM asg$k GROUP BY 1
+         |),
+         |na$k AS (
+         |  SELECT cell, i AS dim, ${Sql.avgFloat(embDimValDuck)} AS m
+         |  FROM asg$k, unnest(range(1, 65)) AS u(i)
+         |  GROUP BY 1, 2
+         |),
+         |cents$k AS (SELECT cell, list(m ORDER BY dim) AS centroid
+         |            FROM na$k GROUP BY 1),
+         |out$k AS (
+         |  SELECT $k AS iter, s.cell, s.n_assigned, s.n_moved,
+         |         sqrt(list_sum(list_transform(range(1, 65), i ->
+         |           (n.centroid[i] - p.centroid[i])
+         |           * (n.centroid[i] - p.centroid[i])))) AS shift
+         |  FROM stat$k s
+         |  JOIN cents$k n ON s.cell = n.cell
+         |  JOIN cents${k - 1} p ON s.cell = p.cell
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to KmeansIters)
+      .map(k => s"SELECT * FROM out$k").mkString(" UNION ALL ")
+    s"""WITH comp AS (
+       |  SELECT label, i AS dim,
+       |         ${Sql.avgFloat(embDimValDuck)} AS m
+       |  $embDimsFromDuck
+       |  GROUP BY 1, 2
+       |),
+       |cents0 AS (
+       |  SELECT label AS cell, list(m ORDER BY dim) AS centroid
+       |  FROM comp GROUP BY 1
+       |),
+       |$iterCtes
+       |SELECT iter, cell, n_assigned, n_moved, shift
+       |FROM ($unions) ORDER BY iter, cell""".stripMargin
+  }
+
+  /** The FULL quantizer training loop — [[kmeansRefine]]'s single Lloyd
+    * step loop-driven to [[KmeansIters]] rounds, closing the training
+    * loop the way [[graft.queries.DocQueries]] `docs_bpe_train` closed
+    * the tokenizer's: per round, assign every base vector to its
+    * nearest current centroid (broadcast codebook, partial-aggregated
+    * argmin), recompute exact-decimal cell means, report (population,
+    * migrations off the seed label, centroid shift), and feed the new
+    * codebook to the next round. `localCheckpoint` truncates the state
+    * lineage per round — the BPE trainer's lesson: without it the
+    * assign/recompute branches double the DAG per round and round K
+    * replays the corpus 2^K times. Scale shape per round is exactly the
+    * single step's: per-row assignment work + one O(cells × dims)
+    * exchange; the loop multiplies rounds, never the exchange width.
+    * Convergence-to-fixpoint is this same loop with a driver-side test
+    * on the O(cells)-row shift frame. */
+  val kmeansTrain: NamedQuery = NamedQuery(
+    "emb_kmeans_train", kmeansTrainSql) { (s, d) =>
+    // one read of the base vectors feeds every round (at scale:
+    // persist/cache; here the same lineage-truncation call the round
+    // state uses)
+    val e = emb(s, d).where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint()
+    val d2 = expr(
+      """aggregate(zip_with(embedding, centroid, (x, y) ->
+        |  (cast(x AS double) - y) * (cast(x AS double) - y)),
+        |cast(0.0 AS double), (acc, v) -> acc + v)"""
+        .stripMargin.replace("\n", " "))
+    var cur = centroidFrame(s, d)
+      .select(col("label").as("cell"), col("centroid"))
+      .localCheckpoint()
+    val outs = (1 to KmeansIters).map { k =>
+      val assigned = e.crossJoin(broadcast(
+          cur.select(col("cell").as("clabel"), col("centroid"))))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("clabel"), d2.as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("clabel"), col("label"),
+          col("embedding"))).as("b"))
+        .select(col("vec_id"), col("b.clabel").as("cell"),
+          col("b.label").as("orig"), col("b.embedding").as("embedding"))
+      val stats = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n_assigned"),
+          count(when(col("orig") =!= col("cell"), 1)).as("n_moved"))
+      val ncent = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+          col("v").cast("double").as("v"))
+        .groupBy("cell", "dim")
+        .agg(Ops.avgFloat(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
+          .as("centroid"))
+        .localCheckpoint()
+      val out = stats
+        .join(ncent.select(col("cell"), col("centroid").as("ncentroid")),
+          "cell")
+        .join(broadcast(cur.select(col("cell").as("pcell"),
+          col("centroid").as("pcentroid"))), col("cell") === col("pcell"))
+        .select(lit(k).as("iter"), col("cell"),
+          col("n_assigned"), col("n_moved"),
+          sqrt(expr(
+            """aggregate(zip_with(ncentroid, pcentroid, (x, y) ->
+              |  (x - y) * (x - y)),
+              |cast(0.0 AS double), (acc, v) -> acc + v)"""
+              .stripMargin.replace("\n", " "))).as("shift"))
+      cur = ncent
+      out
+    }
+    outs.reduce(_ unionAll _).orderBy("iter", "cell")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): partition the corpus into clusters, then remove
@@ -1291,6 +1435,6 @@ object EmbQueries {
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
-    pqTopK, pqRecall, ivfPqTopK, kmeansRefine, semanticDedup,
+    pqTopK, pqRecall, ivfPqTopK, kmeansRefine, kmeansTrain, semanticDedup,
     matryoshkaRecall, hybridRrf)
 }

@@ -31,6 +31,30 @@ class SketchQuantizeSpec extends SparkSpec {
       s"quantized top-10 diverged from exact top-10: $q8Top vs $exactTop")
   }
 
+  test("kmeans trainer: round 1 equals the single refine step; " +
+    "populations conserve vectors") {
+    // the loop's first round IS kmeansRefine (same seed centroids, same
+    // argmin, same recompute) — if they ever diverge, one of the two
+    // lineages drifted
+    val train = EmbQueries.kmeansTrain.run(spark, sf).collect()
+    val refine = EmbQueries.kmeansRefine.run(spark, sf).collect()
+    val round1 = train.filter(_.getAs[Int]("iter") == 1)
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_assigned"),
+        r.getAs[Long]("n_moved"), r.getAs[Double]("shift"))).toSeq
+    val refined = refine
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_assigned"),
+        r.getAs[Long]("n_moved"), r.getAs[Double]("shift"))).toSeq
+    assert(round1 == refined,
+      "kmeans_train round 1 diverged from kmeans_refine")
+    // every round partitions the full base-vector set
+    val base = EmbQueries.kmeansRefine.run(spark, sf)
+      .agg(sum(col("n_assigned"))).head.getLong(0)
+    train.groupBy(_.getAs[Int]("iter")).foreach { case (it, rows) =>
+      assert(rows.map(_.getAs[Long]("n_assigned")).sum == base,
+        s"iteration $it lost or duplicated vectors")
+    }
+  }
+
   test("quantization maps the zero vector to zero codes, not NaN") {
     val df = spark.sql(
       """SELECT transform(array(cast(0.0 AS float), cast(0.0 AS float)),
