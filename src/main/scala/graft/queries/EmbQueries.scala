@@ -944,17 +944,20 @@ object EmbQueries {
     * train once, query many, the faiss deployment discipline
     * [[ivfPersisted]] established; the index read is bit-identical to
     * the inline training it materializes, so the oracle is unchanged. */
+  /** The composite's oracle body, shared with [[ivfPqRecall]] (the
+    * [[pqTopKSql]]/[[pqRecall]] single-body discipline). */
+  private val ivfPqSqlBody: String = pqSql(
+    s"""
+       |best AS (
+       |  SELECT label AS cell
+       |  FROM cents, q
+       |  ORDER BY ${cosDuckD("centroid", "qv")} DESC, label
+       |  LIMIT 3
+       |),""".stripMargin,
+    " AND e.label IN (SELECT cell FROM best)")
+
   val ivfPqTopK: NamedQuery = NamedQuery(
-    "emb_ivfpq_topk",
-    pqSql(
-      s"""
-         |best AS (
-         |  SELECT label AS cell
-         |  FROM cents, q
-         |  ORDER BY ${cosDuckD("centroid", "qv")} DESC, label
-         |  LIMIT 3
-         |),""".stripMargin,
-      " AND e.label IN (SELECT cell FROM best)")) { (s, d) =>
+    "emb_ivfpq_topk", ivfPqSqlBody) { (s, d) =>
     val qv = emb(s, d).where(col("vec_id") === 0)
       .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
     val cents = IvfIndex.centroids(s, d)
@@ -1086,6 +1089,84 @@ object EmbQueries {
             |cast(0.0 AS double), (acc, v) -> acc + v)"""
             .stripMargin.replace("\n", " "))).as("shift"))
       .orderBy("cell")
+  }
+
+  /** Recall gate for the COMPOSITE — the third of the accuracy-readout
+    * trio ([[ivfRecall]] isolates coarse-probe loss, [[pqRecall]]
+    * isolates code-quantization loss; this measures their PRODUCT, the
+    * number a deployment actually ships). Two readouts: `hits_exact`
+    * vs the global brute-force top-10 (the shipped number — measured
+    * 2/1/0 at sf0.001/0.01/0.1: the demo codebook's compounded losses,
+    * reported honestly, not gated vacuously), and `hits_probed` vs the
+    * exact-cosine top-10 RESTRICTED to the probed cells — the readout
+    * that isolates "the composite pipeline ranks sanely" from "the
+    * 10-codeword demo codebook is weak". `recall_ok` gates on
+    * `hits_probed >= 1`, which dominates `hits_exact` by construction
+    * (the composite's candidates all live in probed cells, so any
+    * global-top-10 hit is also a restricted-top-10 member), making the
+    * gate well-defined at every SF while a broken probe or kernel —
+    * ranking at chance within ~600 probed candidates at sf0.1 — still
+    * fails it with ~98% probability. */
+  val ivfPqRecall: NamedQuery = NamedQuery(
+    "emb_ivfpq_recall",
+    s"""SELECT CAST(count(x.vec_id) AS BIGINT) AS hits_exact,
+       |       CAST(count(r.vec_id) AS BIGINT) AS hits_probed,
+       |       count(x.vec_id) / 10.0 AS recall_exact,
+       |       count(r.vec_id) / 10.0 AS recall_probed,
+       |       count(r.vec_id) >= 1 AS recall_ok
+       |FROM ($ivfPqSqlBody) p
+       |LEFT JOIN (SELECT b.vec_id
+       |      FROM embeddings b
+       |      CROSS JOIN (SELECT embedding AS qv0 FROM embeddings
+       |                  WHERE vec_id = 0) q0
+       |      WHERE b.vec_id <> 0
+       |      ORDER BY ${cosDuck("q0.qv0", "b.embedding")} DESC, b.vec_id
+       |      LIMIT 10) x ON p.vec_id = x.vec_id
+       |LEFT JOIN (
+       |  WITH comp2 AS (
+       |    SELECT label, i AS dim, ${Sql.avgFloat(embDimValDuck)} AS m
+       |    $embDimsFromDuck
+       |    GROUP BY 1, 2),
+       |  cents2 AS (SELECT label, list(m ORDER BY dim) AS centroid
+       |             FROM comp2 GROUP BY 1),
+       |  q2 AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+       |                embedding AS qemb
+       |         FROM embeddings WHERE vec_id = 0),
+       |  best2 AS (SELECT label AS cell FROM cents2, q2
+       |            ORDER BY ${cosDuckD("centroid", "qv")} DESC, label
+       |            LIMIT 3)
+       |  SELECT b.vec_id
+       |  FROM embeddings b
+       |  JOIN best2 ON b.label = best2.cell
+       |  CROSS JOIN q2
+       |  WHERE b.vec_id <> 0
+       |  ORDER BY ${cosDuck("q2.qemb", "b.embedding")} DESC, b.vec_id
+       |  LIMIT 10) r ON p.vec_id = r.vec_id""".stripMargin) { (s, d) =>
+    val top = ivfPqTopK.run(s, d).select("vec_id")
+    val cents = IvfIndex.centroids(s, d)
+    val qv = emb(s, d).where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
+    val best = cents.crossJoin(broadcast(qv))
+      .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("label"))
+      .limit(3)
+      .select(col("label").as("cell"))
+    val q2 = emb(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"))
+    val restricted = emb(s, d).where(col("vec_id") =!= 0)
+      .join(broadcast(best), col("label") === col("cell"), "left_semi")
+      .crossJoin(broadcast(q2))
+      .orderBy(expr(cosSpark("qemb", "embedding")).desc, col("vec_id"))
+      .limit(10)
+      .select("vec_id")
+    top
+      .join(exactTopMemo(s, d).withColumn("ex", lit(1)), Seq("vec_id"), "left")
+      .join(restricted.withColumn("pr", lit(1)), Seq("vec_id"), "left")
+      .agg(count(col("ex")).as("hits_exact"),
+        count(col("pr")).as("hits_probed"))
+      .select(col("hits_exact"), col("hits_probed"),
+        (col("hits_exact") / lit(10.0)).as("recall_exact"),
+        (col("hits_probed") / lit(10.0)).as("recall_probed"),
+        (col("hits_probed") >= 1).as("recall_ok"))
   }
 
   /** How many Lloyd iterations [[kmeansTrain]] runs — small enough that
@@ -1435,6 +1516,6 @@ object EmbQueries {
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
-    pqTopK, pqRecall, ivfPqTopK, kmeansRefine, kmeansTrain, semanticDedup,
-    matryoshkaRecall, hybridRrf)
+    pqTopK, pqRecall, ivfPqTopK, ivfPqRecall, kmeansRefine, kmeansTrain,
+    semanticDedup, matryoshkaRecall, hybridRrf)
 }
