@@ -198,7 +198,7 @@ object DocQueries {
     * bound column FIRST: `element_at(split(...), i)` inside the lambda
     * would re-run the regex split once per array element — O(tokens²)
     * splits per document, ~30× this query's cost. */
-  private def shingleFrame(docsDf: DataFrame): DataFrame =
+  private[graft] def shingleFrame(docsDf: DataFrame): DataFrame =
     docsDf
       .select(col("doc_id"), expr(tokSpark).as("t"))
       .select(
@@ -216,7 +216,16 @@ object DocQueries {
     * stages, split from the Jaccard verification so callers (the
     * cross-split contamination check) can prune candidates BEFORE the
     * expensive shingle join. */
-  private def minhashCandPairs(sh: DataFrame): DataFrame = {
+  private[graft] def minhashCandPairs(sh: DataFrame): DataFrame =
+    bandPairs(minhashBands(sh))
+
+  /** The per-document half of the LSH chain — `hashed → sig → bands` —
+    * as a compact `(doc_id, band, bucket)` frame. Split from
+    * [[bandPairs]] because this half is embarrassingly per-doc (no
+    * cross-document state at all), which is what lets
+    * [[graft.streaming.DedupMV]] run it incrementally at ingest and
+    * persist ONLY these three small columns as the index partial. */
+  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
     // `hs` is bound to a column BEFORE the signature lambdas so the md5 +
     // hex parse run once per shingle, not once per (shingle, permutation).
     val hashed = sh.select(col("doc_id"), col("shingles"),
@@ -228,7 +237,7 @@ object DocQueries {
       expr(MinhashPerms.map { case (a, b) =>
         s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${MinhashP}L))"
       }.mkString("array(", ", ", ")")).as("sig"))
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"),
         col("sig"))
       .select(col("doc_id"), col("band"),
@@ -238,13 +247,27 @@ object DocQueries {
       // short docs have no shingles → null signature → null bucket; the
       // oracle's bucket equi-join drops nulls, groupBy would keep them
       .where(col("bucket").isNotNull)
-    // Pairs are generated INSIDE each bucket (collect_list + index-lambda
-    // cross of the bucket's ids) instead of a bands⋈bands self-join: the
-    // signature lineage (the md5-heavy part) then executes once, where a
-    // self-join would re-execute it per side — 100× wall-clock at sf0.1.
-    // Bucket membership stays the scale bound either way; a bucket too
-    // big to pair in memory means the band config is too coarse.
-    bands
+  }
+
+  /** Bucket-local candidate pair generation over a `(doc_id, band,
+    * bucket)` frame. Pairs are generated INSIDE each bucket
+    * (collect_list + index-lambda cross of the bucket's ids) instead of
+    * a bands⋈bands self-join: the signature lineage (the md5-heavy
+    * part) then executes once, where a self-join would re-execute it
+    * per side — 100× wall-clock at sf0.1. Bucket membership stays the
+    * scale bound either way; a bucket too big to pair in memory means
+    * the band config is too coarse. `dedupBands` guards an extra
+    * leading exchange: the single-frame batch lineage has one bucket
+    * per (doc, band) by construction and skips it; the merge-on-read
+    * caller ([[graft.streaming.DedupMV.candidates]]) sets it so a
+    * doc's bands appearing in two MV blocks (a replay mid-replace)
+    * cannot fabricate self-pairs. */
+  private[graft] def bandPairs(bands: DataFrame,
+                               dedupBands: Boolean = false): DataFrame = {
+    val b =
+      if (dedupBands) bands.select("doc_id", "band", "bucket").distinct()
+      else bands
+    b
       .groupBy("band", "bucket")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
@@ -255,7 +278,7 @@ object DocQueries {
 
   /** Exact shingle-Jaccard verification of a candidate-pair frame:
     * preserves every column of `cand` and appends `jaccard`. */
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
+  private[graft] def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val keep = cand.columns.map(col).toSeq
     cand
       .join(sh.as("x"), col("x.doc_id") === col("doc_a"))
@@ -281,8 +304,10 @@ object DocQueries {
     * top-20 pairs. Never all-pairs: candidates are generated strictly
     * inside (band, bucket) groups, so the work is bucket-local at any
     * scale. */
-  val minhashPairs: NamedQuery = NamedQuery(
-    "docs_minhash_pairs",
+  /** Shared by [[minhashPairs]] and its streaming-MV readback twin
+    * [[minhashPairsMv]] — the `docs_posting_lists` / `_mv` discipline:
+    * one oracle spelling, two lineages that must hash-match it. */
+  private val minhashPairsSql: String =
     s"""WITH ${minhashChainDuck("SELECT doc_id, text FROM documents")}
        |SELECT doc_a, doc_b,
        |       $jaccardSelectDuck
@@ -290,8 +315,50 @@ object DocQueries {
        |JOIN sh x ON x.doc_id = doc_a
        |JOIN sh y ON y.doc_id = doc_b
        |ORDER BY jaccard DESC, doc_a, doc_b
-       |LIMIT 20""".stripMargin) { (s, d) =>
+       |LIMIT 20""".stripMargin
+
+  val minhashPairs: NamedQuery = NamedQuery(
+    "docs_minhash_pairs", minhashPairsSql) { (s, d) =>
     minhashVerifiedPairs(shingleFrame(docs(s, d).select("doc_id", "text")))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** [[minhashPairs]] through the streaming-MV lineage
+    * ([[graft.streaming.DedupMV]]): the corpus is delivered in four
+    * blocks (the ingest shape), each block persisting only its docs'
+    * `(doc_id, band, bucket)` rows; committed history is compacted;
+    * candidates come from the merge-on-read fold — then the SAME
+    * oracle SQL must hash-match, so the incremental index provably
+    * equals the batch one (the `docs_posting_lists_mv` readback
+    * discipline applied to dedup). The verification step shingles ONLY
+    * docs that appear in a candidate pair — a left-semi prune runs
+    * before any tokenization, so read-time text work is
+    * candidates-sized, never corpus-sized (at 100 TB the difference
+    * between touching KBs and re-reading the lake). */
+  val minhashPairsMv: NamedQuery = NamedQuery(
+    "docs_minhash_pairs_mv", minhashPairsSql) { (s, d) =>
+    import graft.streaming.DedupMV
+    val scratch = java.nio.file.Paths.get("target", "dedupmv")
+    java.nio.file.Files.createDirectories(scratch)
+    val partials =
+      java.nio.file.Files.createTempDirectory(scratch, "mv-").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.store.Store.deleteRecursivelyIfExists(partials)))
+    val corpus = docs(s, d).select("doc_id", "text")
+    (0 until 4).foreach { b =>
+      DedupMV.writeBlock(
+        corpus.where(pmod(col("doc_id"), lit(4)) === b), partials,
+        blockId = b.toLong)
+    }
+    DedupMV.compact(s, partials, throughBlockId = 2L)
+    val cand = DedupMV.candidates(s, partials)
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sh = shingleFrame(
+      corpus.join(candIds, Seq("doc_id"), "left_semi"))
+    verifyJaccard(sh, cand)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -2655,7 +2722,8 @@ object DocQueries {
   }
 
   val all: Seq[NamedQuery] = Seq(
-    textStats, exactDedup, minhashPairs, dedupThenMinhash, simhash,
+    textStats, exactDedup, minhashPairs, minhashPairsMv, dedupThenMinhash,
+    simhash,
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
