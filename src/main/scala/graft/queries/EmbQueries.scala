@@ -377,6 +377,33 @@ object EmbQueries {
        |ORDER BY sim DESC, e.vec_id
        |LIMIT 10""".stripMargin
 
+  /** Nearest-centroid (L2², tie-break on centroid label) cell
+    * assignment of a vector frame `(vec_id, label, embedding)` against
+    * a quantizer frame `(clabel, centroid)` — THE Lloyd assignment
+    * step, shared by [[kmeansRefine]] and the streaming index MV
+    * ([[graft.streaming.AnnMV]]) so ingest-time and training-time
+    * assignment can never drift. Argmin via partial-aggregated
+    * min(struct): ordering is decided by (d2, clabel) — unique per
+    * candidate — so the trailing payload fields (orig label, embedding)
+    * ride along without affecting it. Shape at 100 TB: the codebook
+    * broadcasts, d2 is per-row map-side work, and the argmin is a
+    * vec_id-keyed aggregation whose partials collapse per task. */
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = expr(
+      """aggregate(zip_with(embedding, centroid, (x, y) ->
+        |  (cast(x AS double) - y) * (cast(x AS double) - y)),
+        |cast(0.0 AS double), (acc, v) -> acc + v)"""
+        .stripMargin.replace("\n", " "))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"), col("clabel"),
+        d2.as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("clabel"), col("label"),
+        col("embedding"))).as("b"))
+      .select(col("vec_id"), col("b.clabel").as("cell"),
+        col("b.label").as("orig"), col("b.embedding").as("embedding"))
+  }
+
   /** The (label, centroid) frame of the coarse quantizer — per-label
     * exact-decimal dimension means, shared by the inline IVF queries
     * and the persisted index builder. */
@@ -1051,22 +1078,9 @@ object EmbQueries {
     val e = emb(s, d).where(col("vec_id") =!= 0)
     val cents = centroidFrame(s, d)
       .select(col("label").as("clabel"), col("centroid"))
-    val d2 = expr(
-      """aggregate(zip_with(embedding, centroid, (x, y) ->
-        |  (cast(x AS double) - y) * (cast(x AS double) - y)),
-        |cast(0.0 AS double), (acc, v) -> acc + v)"""
-        .stripMargin.replace("\n", " "))
-    // argmin via partial-aggregated min(struct): ordering is decided by
-    // (d2, clabel) — unique per candidate — so the trailing payload
-    // fields (orig label, embedding) ride along without affecting it
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("embedding"), col("clabel"),
-        d2.as("d2"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("clabel"), col("label"),
-        col("embedding"))).as("b"))
-      .select(col("vec_id"), col("b.clabel").as("cell"),
-        col("b.label").as("orig"), col("b.embedding").as("embedding"))
+    val assigned = assignCells(e, cents)
+      .select(col("vec_id"), col("cell"),
+        col("orig"), col("embedding"))
     val stats = assigned.groupBy("cell")
       .agg(count(lit(1)).as("n_assigned"),
         count(when(col("orig") =!= col("cell"), 1)).as("n_moved"))
@@ -1089,6 +1103,103 @@ object EmbQueries {
             |cast(0.0 AS double), (acc, v) -> acc + v)"""
             .stripMargin.replace("\n", " "))).as("shift"))
       .orderBy("cell")
+  }
+
+  /** IVF search through the STREAMED index ([[graft.streaming.AnnMV]]):
+    * the base corpus is delivered in four blocks (the embedding-firehose
+    * ingest shape), each block assigned at ingest against the frozen
+    * label-mean quantizer by the REAL Lloyd assignment step
+    * ([[assignCells]] — nearest centroid by L2², not a label
+    * pass-through), persisting only `(vec_id, cell)` deltas; committed
+    * history is compacted; the probe resolves cell membership from the
+    * merge-on-read fold and exact-ranks only those members. The oracle
+    * recomputes the whole thing from scratch in DuckDB — quantizer,
+    * per-vector argmin assignment, probe, ranking — so a drift anywhere
+    * in the incremental path (a block lost, double-counted, or assigned
+    * off-spelling) is a hash mismatch. This is the index-maintenance
+    * cost model the persisted index lacks: `IvfIndex` rebuilds wholesale
+    * on any corpus change, while here new vectors cost O(batch) to
+    * become searchable and the searched structure provably equals the
+    * from-scratch build. */
+  val ivfStreamed: NamedQuery = NamedQuery(
+    "emb_ivf_streamed",
+    s"""WITH comp AS (
+       |  SELECT label, i AS dim,
+       |         ${Sql.avgFloat(embDimValDuck)} AS m
+       |  $embDimsFromDuck
+       |  GROUP BY 1, 2
+       |),
+       |cents AS (
+       |  SELECT label, list(m ORDER BY dim) AS centroid
+       |  FROM comp GROUP BY 1
+       |),
+       |dist AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.label AS clabel,
+       |         list_sum(list_transform(range(1, 65), i ->
+       |           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+       |           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS d2
+       |  FROM embeddings e, cents c
+       |  WHERE e.vec_id <> 0
+       |),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, clabel AS cell
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                     ORDER BY d2, clabel) AS rk
+       |        FROM dist)
+       |  WHERE rk = 1
+       |),
+       |q AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id = 0
+       |),
+       |best AS (
+       |  SELECT label AS probe_cell
+       |  FROM cents, q
+       |  ORDER BY ${cosDuckD("centroid", "qv")} DESC, label
+       |  LIMIT 1
+       |)
+       |SELECT a.vec_id, a.label,
+       |       ${cosDuck("q2.qv2", "a.embedding")} AS sim
+       |FROM assigned a
+       |JOIN best ON a.cell = best.probe_cell
+       |CROSS JOIN (SELECT embedding AS qv2 FROM embeddings
+       |            WHERE vec_id = 0) q2
+       |ORDER BY sim DESC, a.vec_id
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    import graft.streaming.AnnMV
+    val scratch = java.nio.file.Paths.get("target", "annmv")
+    java.nio.file.Files.createDirectories(scratch)
+    val partials =
+      java.nio.file.Files.createTempDirectory(scratch, "mv-").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.store.Store.deleteRecursivelyIfExists(partials)))
+    val cents = centroidFrame(s, d)
+      .select(col("label").as("clabel"), col("centroid"))
+    val base = emb(s, d).where(col("vec_id") =!= 0)
+    (0 until 4).foreach { b =>
+      AnnMV.writeBlock(
+        base.where(pmod(col("vec_id"), lit(4)) === b), cents, partials,
+        blockId = b.toLong)
+    }
+    AnnMV.compact(s, partials, throughBlockId = 2L)
+    val q = emb(s, d).where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
+    val best = cents.crossJoin(broadcast(q))
+      .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("clabel"))
+      .limit(1)
+      .select(col("clabel").as("probe_cell"))
+    val members = AnnMV.assignments(s, partials)
+      .join(broadcast(best), col("cell") === col("probe_cell"))
+      .select("vec_id")
+    val q2 = emb(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("qv2"))
+    emb(s, d).where(col("vec_id") =!= 0)
+      .join(broadcast(members), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q2))
+      .select(col("vec_id"), col("label"),
+        expr(cosSpark("qv2", "embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
   }
 
   /** Recall gate for the COMPOSITE — the third of the accuracy-readout
@@ -1517,5 +1628,5 @@ object EmbQueries {
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
     pqTopK, pqRecall, ivfPqTopK, ivfPqRecall, kmeansRefine, kmeansTrain,
-    semanticDedup, matryoshkaRecall, hybridRrf)
+    ivfStreamed, semanticDedup, matryoshkaRecall, hybridRrf)
 }
