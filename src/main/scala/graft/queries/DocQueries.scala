@@ -339,12 +339,7 @@ object DocQueries {
   val minhashPairsMv: NamedQuery = NamedQuery(
     "docs_minhash_pairs_mv", minhashPairsSql) { (s, d) =>
     import graft.streaming.DedupMV
-    val scratch = java.nio.file.Paths.get("target", "dedupmv")
-    java.nio.file.Files.createDirectories(scratch)
-    val partials =
-      java.nio.file.Files.createTempDirectory(scratch, "mv-").toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.store.Store.deleteRecursivelyIfExists(partials)))
+    val partials = graft.store.Store.scratchStore("dedupmv")
     val corpus = docs(s, d).select("doc_id", "text")
     (0 until 4).foreach { b =>
       DedupMV.writeBlock(
@@ -2550,14 +2545,9 @@ object DocQueries {
     "docs_posting_lists_mv", postingListsSql) { (s, d) =>
     import graft.streaming.IndexMV
     graft.functions.GraftFunctions.register(s)
-    // repo-local scratch (the IngestBench/StoreBench precedent), unique
-    // per invocation so concurrent runs never share a store
-    val scratch = java.nio.file.Paths.get("target", "idxmv")
-    java.nio.file.Files.createDirectories(scratch)
-    val partials =
-      java.nio.file.Files.createTempDirectory(scratch, "mv-").toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.store.Store.deleteRecursivelyIfExists(partials)))
+    // repo-local scratch, unique per invocation so concurrent runs
+    // never share a store; swept once at JVM exit (Store.scratchStore)
+    val partials = graft.store.Store.scratchStore("idxmv")
     val corpus = docs(s, d)
     (0 until 4).foreach { b =>
       IndexMV.writeBlock(

@@ -1167,12 +1167,7 @@ object EmbQueries {
        |ORDER BY sim DESC, a.vec_id
        |LIMIT 10""".stripMargin) { (s, d) =>
     import graft.streaming.AnnMV
-    val scratch = java.nio.file.Paths.get("target", "annmv")
-    java.nio.file.Files.createDirectories(scratch)
-    val partials =
-      java.nio.file.Files.createTempDirectory(scratch, "mv-").toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      graft.store.Store.deleteRecursivelyIfExists(partials)))
+    val partials = graft.store.Store.scratchStore("annmv")
     val cents = centroidFrame(s, d)
       .select(col("label").as("clabel"), col("centroid"))
     val base = emb(s, d).where(col("vec_id") =!= 0)

@@ -1074,12 +1074,7 @@ object TradeQueries {
        |GROUP BY symbol
        |ORDER BY symbol""".stripMargin) { (s, d) =>
     import graft.store.Store
-    val scratch = java.nio.file.Paths.get("target", "zoned")
-    java.nio.file.Files.createDirectories(scratch)
-    val store = java.nio.file.Files
-      .createTempDirectory(scratch, "store-").toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      Store.deleteRecursivelyIfExists(store)))
+    val store = Store.scratchStore("zoned")
     Store.writeTradesZoned(
       trades(s, d).where(pmod(col("trade_id"), lit(4)) === 0),
       store, files = 8)

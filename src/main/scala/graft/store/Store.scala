@@ -94,6 +94,28 @@ object Store {
     if (Files.exists(p)) deleteRecursively(p)
   }
 
+  private val scratchHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A unique scratch store directory under `target/<sub>`, swept at
+    * JVM exit by ONE shutdown hook per root — the store-building
+    * queries (`trades_zoned_scan`, `docs_*_mv`, `emb_ivf_streamed`)
+    * run per verify/bench invocation, and a per-invocation hook would
+    * accumulate a live Thread (and an undeletable temp store) for every
+    * run of a long-lived session. Unique-per-invocation stays: stores
+    * are read lazily by the returned DataFrames, so concurrent runs
+    * must never share or eagerly delete one. */
+  private[graft] def scratchStore(sub: String): String = {
+    val root = Paths.get("target", sub)
+    Files.createDirectories(root)
+    val abs = root.toAbsolutePath.toString
+    if (scratchHooked.add(abs))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteRecursivelyIfExists(abs)
+        catch { case _: Exception => () }))
+    Files.createTempDirectory(root, "store-").toString
+  }
+
   private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
     val s = Files.list(p)
     try s.iterator().asScala.toSeq
@@ -196,9 +218,24 @@ object Store {
     * reason: clustering quality degrades, correctness cannot. */
   private def zKeyCol(tsLo: Long, span: Long, stride: Long,
                       syms: Seq[String]): org.apache.spark.sql.Column = {
-    val tsBucket = expr(
-      s"least((greatest(unix_micros(ts) - ${tsLo}L, 0L) * 65535L)" +
-        s" div ${span}L, 65535L)")
+    // Clamp the delta to span BEFORE the ×65535 — an out-of-range
+    // append (the documented clamp-to-curve-edge path) can carry a
+    // delta far beyond span, and multiply-first would wrap negative
+    // past Long.MaxValue/65535 (~4.46 years of µs) and crash the
+    // interleave instead of clamping. In-range rows are unaffected
+    // (delta ≤ span ⇒ least() is identity). A store whose OWN span
+    // exceeds that bound can't multiply-first at all: divide first by
+    // the cell width — coarser for small spans (which is why it isn't
+    // the default) but exact at any width.
+    val tsBucket =
+      if (span <= Long.MaxValue / 65535L)
+        expr(s"least((least(greatest(unix_micros(ts) - ${tsLo}L, 0L), " +
+          s"${span}L) * 65535L) div ${span}L, 65535L)")
+      else {
+        val cell = span / 65536L + 1L
+        expr(s"least(greatest(unix_micros(ts) - ${tsLo}L, 0L)" +
+          s" div ${cell}L, 65535L)")
+      }
     val pos = array_position(lit(syms.toArray), col("symbol"))
     val symBucket =
       when(pos === 0, lit(65535L)).otherwise((pos - 1L) * lit(stride))

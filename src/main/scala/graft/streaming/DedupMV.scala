@@ -1,6 +1,5 @@
 package graft.streaming
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -123,48 +122,11 @@ object DedupMV {
 
   /** Fold every block with id ≤ `throughBlockId` into ONE block. Bands
     * are plain rows (no aggregation state), so the fold is a
-    * concatenation — rewritten through one
-    * [[graft.store.Store.swapDirectory]] at the parent level with
-    * retained newer blocks copied alongside, exactly [[IndexMV]]'s
-    * crash-safety and replay contract (compact only
-    * checkpoint-committed history; a replayed newer block still
-    * replaces its own dir). */
+    * concatenation — through [[graft.store.BlockStore.compact]]'s
+    * crash-safe parent-level swap (see there for the fold-naming and
+    * replay contract). */
   def compact(spark: SparkSession, partialsPath: String,
-              throughBlockId: Long): Unit = {
-    val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
-    val blockDirs = {
-      val s = java.nio.file.Files.list(root)
-      try s.iterator().asScala.toList.filter(p =>
-        java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("block="))
-      finally s.close()
-    }
-    def blockId(p: java.nio.file.Path): Long =
-      p.getFileName.toString.stripPrefix("block=").toLong
-    val (oldBlocks, retained) =
-      blockDirs.partition(blockId(_) <= throughBlockId)
-    if (oldBlocks.size < 2) return // nothing to fold
-    graft.store.Store.swapDirectory(
-      root.getParent.toString, root.getFileName.toString) { tmp =>
-      val tmpPath = java.nio.file.Paths.get(tmp)
-      java.nio.file.Files.createDirectories(tmpPath)
-      spark.read.parquet(oldBlocks.map(_.toString): _*)
-        .select("doc_id", "band", "bucket")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$tmp/block=$throughBlockId")
-      retained.foreach { src =>
-        copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
-      }
-    }
-  }
-
-  private def copyRecursively(src: java.nio.file.Path,
-                              dst: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    val s = Files.walk(src)
-    try s.iterator().asScala.foreach { p =>
-      Files.copy(p, dst.resolve(src.relativize(p).toString),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally s.close()
-  }
+              throughBlockId: Long): Unit =
+    graft.store.BlockStore.compact(spark, partialsPath, throughBlockId)(
+      _.select("doc_id", "band", "bucket"))
 }

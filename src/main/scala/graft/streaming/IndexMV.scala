@@ -1,6 +1,5 @@
 package graft.streaming
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -120,59 +119,16 @@ object IndexMV {
           .as("top_docs"))
   }
 
-  /** Fold every block with id ≤ `throughBlockId` into ONE block (stored
-    * as `block=throughBlockId`), bounding store growth at O(vocab ×
-    * recent-blocks). The whole partials directory is rewritten through
-    * ONE [[graft.store.Store.swapDirectory]] at the parent level —
-    * retained blocks (> throughBlockId) are copied alongside the fold,
-    * so every crash window leaves either the old directory or the
-    * complete new one, never a double-counting mix.
-    *
-    * Replay contract: under `foreachBatch` at-least-once delivery, only
-    * the newest not-yet-committed batch can replay — callers must pass
-    * `throughBlockId` < that batch's id (i.e. compact only
-    * checkpoint-committed history). A replayed newer block still
-    * replaces its own `block=<id>` dir exactly as before compaction. */
+  /** Fold every block with id ≤ `throughBlockId` into ONE block,
+    * bounding store growth at O(vocab × recent-blocks) — through
+    * [[graft.store.BlockStore.compact]]'s crash-safe parent-level swap
+    * (see there for the fold-naming and replay contract). The fold
+    * re-merges through [[fold]], which is associative on the heaps, so
+    * compact-then-merge equals the one-shot merge over all blocks. */
   def compact(spark: SparkSession, partialsPath: String, k: Int,
               throughBlockId: Long): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
-    val blockDirs = {
-      val s = java.nio.file.Files.list(root)
-      try s.iterator().asScala.toList.filter(p =>
-        java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("block="))
-      finally s.close()
-    }
-    def blockId(p: java.nio.file.Path): Long =
-      p.getFileName.toString.stripPrefix("block=").toLong
-    val (oldBlocks, retained) = blockDirs.partition(blockId(_) <= throughBlockId)
-    if (oldBlocks.size < 2) return // nothing to fold
-    graft.store.Store.swapDirectory(
-      root.getParent.toString, root.getFileName.toString) { tmp =>
-      val tmpPath = java.nio.file.Paths.get(tmp)
-      java.nio.file.Files.createDirectories(tmpPath)
-      // stage() runs BEFORE the rename pair, so the live block dirs are
-      // still in place to read from; they are addressed directly (not
-      // via the partials root) so no listing races the staging write
-      fold(spark.read.parquet(oldBlocks.map(_.toString): _*), k)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$tmp/block=$throughBlockId")
-      retained.foreach { src =>
-        copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
-      }
-    }
-  }
-
-  private def copyRecursively(src: java.nio.file.Path,
-                              dst: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    val s = Files.walk(src)
-    // depth-first pre-order: directories precede their contents, so
-    // each copy's parent already exists
-    try s.iterator().asScala.foreach { p =>
-      Files.copy(p, dst.resolve(src.relativize(p).toString),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally s.close()
+    graft.store.BlockStore.compact(spark, partialsPath, throughBlockId)(
+      blocks => fold(blocks, k))
   }
 }

@@ -130,6 +130,39 @@ class DedupMVSpec extends SparkSpec {
     assert(torn == before, "duplicated bands changed the candidate set")
   }
 
+  test("a too-high throughBlockId cannot park folded history under a " +
+    "future batch's block id") {
+    val src = tmpDir("dmv-foot-src")
+    val partials = tmpDir("dmv-foot-partials")
+    Files.writeString(Paths.get(src, "b1.json"), Seq(
+      docJson(1, d1), docJson(2, d2), docJson(3, d3)).mkString("\n"))
+    val all = readDocs(src)
+    DedupMV.writeBlock(all.where(col("doc_id") === 1L), partials, 0L)
+    DedupMV.writeBlock(all.where(col("doc_id") === 2L), partials, 1L)
+    val before = collectPairs(DedupMV.candidates(spark, partials))
+
+    // the classic off-by-one: the caller passes the NEWEST batch id
+    // (2, not yet delivered) instead of newest-1 — the fold must land
+    // under the highest ABSORBED id (1), which is committed and so can
+    // never be replaced by a later batch
+    DedupMV.compact(spark, partials, throughBlockId = 2L)
+    val blockNames = {
+      val s = Files.list(Paths.get(partials))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("block=")).toSet
+      finally s.close()
+    }
+    assert(blockNames == Set("block=1"),
+      s"fold parked under a foldable-future id: $blockNames")
+
+    // batch 2 now arrives: it must ADD, not silently destroy the fold
+    DedupMV.writeBlock(all.where(col("doc_id") === 3L), partials, 2L)
+    val after = collectPairs(DedupMV.candidates(spark, partials))
+    assert(after == before, // doc 3 is disjoint; pair set unchanged
+      "history lost: a later batch replaced the folded block")
+  }
+
   test("candidate generation reads only the band partials — no text " +
     "column in any scan") {
     val src = tmpDir("dmv-plan-src")

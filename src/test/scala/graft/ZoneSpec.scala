@@ -168,6 +168,23 @@ class ZoneSpec extends SparkSpec {
       strs = Seq(ZoneMap.StrRange("symbol", Some("newcoin"), Some("newcoin"))))
     assert(ncFiles.size < after.size,
       s"newcoin probe pruned nothing: ${ncFiles.size}/${after.size}")
+
+    // far-future append, ~5.2 years past the curve's upper bound: the
+    // ts delta × 65535 exceeds Long.MaxValue, so multiply-first bucket
+    // arithmetic would wrap negative and crash the interleave — the
+    // clamp must run BEFORE the multiply, landing these rows at the
+    // curve edge (bucket 65535) with honest footer stats
+    val far = trades.where(pmod(col("trade_id"), lit(97)) === 5)
+      .withColumn("trade_id", col("trade_id") + lit(30000000L))
+      .withColumn("ts", col("ts") + expr("INTERVAL 1900 DAYS"))
+    Store.appendTradesZoned(far, dir, files = 1)
+    assert(spark.read.parquet(dir).count() == total + far.count())
+    // the clamped rows stay findable through the zone-pruned path
+    val fb = far.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val farRead = Store.readTradesZoned(spark, dir,
+      tsMicros = Some((fb.getLong(0), fb.getLong(1))))
+    assert(farRead.count() == far.count())
   }
 
   test("compaction: refit curve, exact rows, tighter envelopes, " +
