@@ -130,6 +130,29 @@ class DedupMVSpec extends SparkSpec {
     assert(torn == before, "duplicated bands changed the candidate set")
   }
 
+  test("online ingest gate: probe-then-index per batch flags arrivals " +
+    "against everything seen before, first-seen id wins") {
+    val partials = tmpDir("dmv-gate")
+    def docsDf(rows: Seq[(Long, String)]) =
+      spark.createDataFrame(rows).toDF("doc_id", "text")
+    // the production ingest loop: each batch is probed against the
+    // accumulated index BEFORE being indexed itself (batch 0 has
+    // nothing to probe against)
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> d1, 3L -> d3),
+      Seq(2L -> d2),  // near-dup of doc 1 → flagged at arrival
+      Seq(4L -> d4))  // exact dup of doc 1 → flagged at arrival
+    val decisions = scala.collection.mutable.Map.empty[Long, Long]
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val df = docsDf(rows)
+      if (i > 0)
+        DedupMV.probe(spark, partials, df).collect()
+          .foreach(r => decisions(r.getLong(0)) = r.getLong(1))
+      DedupMV.writeBlock(df, partials, blockId = i.toLong)
+    }
+    assert(decisions == Map(2L -> 1L, 4L -> 1L))
+  }
+
   test("a too-high throughBlockId cannot park folded history under a " +
     "future batch's block id") {
     val src = tmpDir("dmv-foot-src")
