@@ -539,13 +539,31 @@ object DocQueries {
     * two 32-char signatures — at the dup-heavy 10× corpus the heavier
     * rows OOM'd an 8 GB driver, the light ones stream fine. distinct on
     * (doc_a, doc_b, hamming) equals distinct on the pair: hamming is a
-    * pure function of the two docs' signatures. */
+    * pure function of the two docs' signatures.
+    *
+    * BUCKET-LOCAL BOUNDED SELECTION: each bucket's pair array is
+    * sorted by the GLOBAL ranking order — hamming leads the struct, so
+    * `array_sort`'s lexicographic struct order IS (hamming, doc_a,
+    * doc_b) — and sliced to the global k=20 before the explode. Sound
+    * because the order is total and a bucket's pairs are a subset of
+    * all pairs: a pair in the global top-20 has <20 pairs ahead of it
+    * anywhere, so it survives the top-20 cut of EVERY bucket that
+    * contains it. What this buys at scale: the per-bucket O(|bucket|²)
+    * hamming term is inherent to exact ranking (and stays inside one
+    * codegen'd fused pass), but the explode → distinct exchange drops
+    * from ~all candidate pairs (~100× inflated on a dup-heavy corpus
+    * — this WAS the top line of the 10× bench at 151 s) to ≤ 20 rows
+    * per bucket. Measured: 151 → 70 s at 10× (sf0.1 unchanged, hash
+    * unchanged); what remains is the in-bucket pair computation
+    * itself, which is exactly the term the registered dedup-first
+    * twin (`docs_dedup_then_simhash`, 2.9 s at the same 10× corpus)
+    * removes by collapsing the cliques before pairing. */
   private def hammingTopPairs(sig: DataFrame): DataFrame = {
     val pairsOfStructs =
       """flatten(transform(xs, (x, i) ->
         |  transform(slice(xs, i + 2, size(xs)),
-        |    y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |                graft_hamming(x.simhash, y.simhash) AS hamming))))"""
+        |    y -> struct(graft_hamming(x.simhash, y.simhash) AS hamming,
+        |                x.doc_id AS doc_a, y.doc_id AS doc_b))))"""
         .stripMargin.replace("\n", " ")
     sig
       .select(col("doc_id"), col("simhash"),
@@ -554,7 +572,8 @@ object DocQueries {
       .groupBy("j", "bucket")
       .agg(expr("array_sort(collect_list(struct(doc_id, simhash)))").as("xs"))
       .where(size(col("xs")) > 1)
-      .select(explode(expr(pairsOfStructs)).as("p"))
+      .select(explode(expr(s"slice(array_sort($pairsOfStructs), 1, 20)"))
+        .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.hamming").as("hamming"))
       .distinct()
