@@ -259,6 +259,34 @@ class PlanSpec extends SparkSpec {
       "MV readback planned a window sort or cartesian")
   }
 
+  test("dedup-MV readback verifies through a semi-join prune — " +
+    "tokenization runs only on candidate docs, never a cartesian") {
+    // the verification joins shingles for docs appearing in candidate
+    // pairs: the corpus scan must sit under a LeftSemi against the
+    // candidate-id set, so read-time text work is candidates-sized
+    val p = plan(graft.queries.DocQueries.minhashPairsMv)
+    assert(p.contains("LeftSemi"),
+      "candidate-id semi-join prune missing from MV verification")
+    assert(p.contains("TakeOrderedAndProject"), "MV head is not TakeOrdered")
+    assert(!p.contains("CartesianProduct"),
+      "MV readback planned a cartesian")
+  }
+
+  test("streamed-IVF search probes membership via broadcast joins and " +
+    "ranks via TakeOrdered") {
+    // cell membership resolves from the merged blocks through broadcast
+    // joins (probe cell → members → fact semi-join); the corpus-sized
+    // side must never shuffle, and the head is a bounded TakeOrdered
+    val p = plan(graft.queries.EmbQueries.ivfStreamed)
+    assert(p.contains("BroadcastHashJoin"),
+      "membership probe is not a broadcast join")
+    assert(p.contains("LeftSemi"),
+      "fact-side membership test is not a semi-join")
+    assert(p.contains("TakeOrderedAndProject"), "head is not TakeOrdered")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "streamed-IVF probe planned a shuffle join or cartesian")
+  }
+
   test("BPE trainer's final plan scans the corpus ZERO times (state " +
     "lineage truncated per round)") {
     // without localCheckpoint the merge/argmax branches both re-derive
