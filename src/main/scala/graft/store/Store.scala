@@ -534,6 +534,14 @@ object Store {
     val target = Paths.get(s"$path/$dirName")
     val old = Paths.get(s"$path/.old_$dirName")
     val tmp = s"$path/.stage_$dirName"
+    // a crash AFTER staging began but BEFORE the rename pair leaves a
+    // populated .stage_ dir behind; stage() implementations overwrite
+    // only what they write themselves (a parquet overwrite clears its
+    // own subdir, copyRecursively replaces but never removes), so
+    // without this pre-clean a later swap would carry the dead
+    // attempt's leftover content live — e.g. a stale block=N folding
+    // into a block store twice
+    if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
     try {
       stage(tmp)
       if (Files.exists(target)) {

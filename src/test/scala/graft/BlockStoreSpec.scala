@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.store.{BlockStore, Store}
+
+/** The shared block-partial machinery: for ANY (seeded-random)
+  * interleaving of block writes, replays, and compactions at arbitrary
+  * cut points, the merged read equals the one-shot union of the final
+  * committed batches — the invariant all three streaming MVs lean on. */
+class BlockStoreSpec extends SparkSpec {
+
+  private def writeBlock(partials: String, blockId: Long,
+                         rows: Seq[Long]): Unit = {
+    import spark.implicits._
+    Store.swapDirectory(partials, s"block=$blockId") { tmp =>
+      rows.toDF("v").coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  private def mergedRows(partials: String): Seq[Long] =
+    spark.read.parquet(partials).select("v")
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  test("random interleavings of write/replay/compact always read back " +
+    "the one-shot union (seeded)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val partials = tmpDir(s"bs-prop-$trial")
+      val nBatches = 4 + rnd.nextInt(4)
+      // batch i carries rows [i*100, i*100 + len)
+      val batches = (0 until nBatches).map { i =>
+        i.toLong -> (0 until (1 + rnd.nextInt(5)))
+          .map(j => i * 100L + j)
+      }.toMap
+      var delivered = List.empty[Long]
+      batches.toSeq.sortBy(_._1).foreach { case (id, rows) =>
+        writeBlock(partials, id, rows)
+        delivered ::= id
+        // at-least-once: maybe replay the newest committed batch
+        if (rnd.nextBoolean()) writeBlock(partials, id, rows)
+        // maybe compact through a random already-committed point
+        if (rnd.nextBoolean() && delivered.size > 1) {
+          val cut = delivered(rnd.nextInt(delivered.size))
+          BlockStore.compact(spark, partials, cut)(_.select("v"))
+        }
+      }
+      val expect = batches.values.flatten.toSeq.sorted
+      assert(mergedRows(partials) == expect,
+        s"trial $trial: merged read diverged from one-shot union")
+    }
+  }
+
+  test("compact is a no-op with fewer than two foldable blocks and " +
+    "idempotent after a fold") {
+    val partials = tmpDir("bs-idem")
+    writeBlock(partials, 0L, Seq(1L, 2L))
+    BlockStore.compact(spark, partials, 0L)(_.select("v")) // 1 block: no-op
+    assert(mergedRows(partials) == Seq(1L, 2L))
+    writeBlock(partials, 1L, Seq(3L))
+    writeBlock(partials, 2L, Seq(4L))
+    BlockStore.compact(spark, partials, 1L)(_.select("v"))
+    val once = mergedRows(partials)
+    BlockStore.compact(spark, partials, 1L)(_.select("v")) // nothing left
+    assert(mergedRows(partials) == once && once == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("a stale staging dir from a crashed compaction cannot leak its " +
+    "content into the next swap") {
+    val partials = tmpDir("bs-crash")
+    writeBlock(partials, 0L, Seq(1L))
+    writeBlock(partials, 1L, Seq(2L))
+    writeBlock(partials, 2L, Seq(3L))
+
+    // simulate a compaction that died AFTER staging began: a populated
+    // .stage_<name> dir holding a dead attempt's folded block with
+    // rows that were since superseded — if the next swap doesn't
+    // pre-clean, this block would ride into the live store
+    val p = Paths.get(partials)
+    val stage = p.getParent.resolve(".stage_" + p.getFileName.toString)
+    Files.createDirectories(stage)
+    import spark.implicits._
+    Seq(999L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(stage.resolve("block=7").toString)
+
+    BlockStore.compact(spark, partials, 1L)(_.select("v"))
+    assert(mergedRows(partials) == Seq(1L, 2L, 3L),
+      "stale staging content leaked into the live store")
+  }
+}
