@@ -94,26 +94,31 @@ object Store {
     if (Files.exists(p)) deleteRecursively(p)
   }
 
-  private val scratchHooked =
+  private val scratchDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val scratchHookInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** A unique scratch store directory under `target/<sub>`, swept at
-    * JVM exit by ONE shutdown hook per root — the store-building
+    * JVM exit by ONE process-wide shutdown hook — the store-building
     * queries (`trades_zoned_scan`, `docs_*_mv`, `emb_ivf_streamed`)
     * run per verify/bench invocation, and a per-invocation hook would
-    * accumulate a live Thread (and an undeletable temp store) for every
-    * run of a long-lived session. Unique-per-invocation stays: stores
-    * are read lazily by the returned DataFrames, so concurrent runs
-    * must never share or eagerly delete one. */
+    * accumulate a live Thread for every run of a long-lived session.
+    * The hook deletes ONLY this JVM's own stores (never the shared
+    * root): stores are read lazily by the returned DataFrames and a
+    * concurrent JVM's store under the same root must survive this
+    * process' exit. */
   private[graft] def scratchStore(sub: String): String = {
     val root = Paths.get("target", sub)
     Files.createDirectories(root)
-    val abs = root.toAbsolutePath.toString
-    if (scratchHooked.add(abs))
+    val dir = Files.createTempDirectory(root, "store-").toString
+    scratchDirs.add(dir)
+    if (scratchHookInstalled.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try deleteRecursivelyIfExists(abs)
-        catch { case _: Exception => () }))
-    Files.createTempDirectory(root, "store-").toString
+        scratchDirs.forEach(d =>
+          try deleteRecursivelyIfExists(d)
+          catch { case _: Exception => () })))
+    dir
   }
 
   private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {

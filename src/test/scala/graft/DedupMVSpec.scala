@@ -169,13 +169,8 @@ class DedupMVSpec extends SparkSpec {
     // under the highest ABSORBED id (1), which is committed and so can
     // never be replaced by a later batch
     DedupMV.compact(spark, partials, throughBlockId = 2L)
-    val blockNames = {
-      val s = Files.list(Paths.get(partials))
-      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
-        .asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("block=")).toSet
-      finally s.close()
-    }
+    val blockNames = graft.store.BlockStore.blockDirs(Paths.get(partials))
+      .map(_.getFileName.toString).toSet
     assert(blockNames == Set("block=1"),
       s"fold parked under a foldable-future id: $blockNames")
 
