@@ -559,6 +559,124 @@ object DocQueries {
     * twin (`docs_dedup_then_simhash`, 2.9 s at the same 10× corpus)
     * removes by collapsing the cliques before pairing. */
   private def hammingTopPairs(sig: DataFrame): DataFrame = {
+    // SIGNATURE-GROUP COLLAPSE: docs with byte-identical signatures
+    // (the dup cliques) are indistinguishable to this operator —
+    // within a group every pair has hamming 0, and against any other
+    // group every member scores the SAME hamming. So the pairing runs
+    // over DISTINCT signatures, and hamming is computed once per
+    // GROUP pair instead of once per member pair (~100× fewer 32-char
+    // scans on a 10-copy-clique corpus). Exact-top-20 reconstruction
+    // rests on one bound, proved by counting: *21 smallest ids per
+    // side bound every top-20 pair list*. If a pair (a, b) uses an id
+    // beyond its group's 21st, the ≥21 smaller same-group ids each
+    // form a pair strictly preceding (a, b) in the total order
+    // (same partner, smaller member — on whichever side of the pair
+    // it lands), so ≥21 pairs precede it and it cannot be top-20.
+    // The same counting argument stacks twice more, giving nested
+    // bounded selections whose every slice is provably lossless:
+    //  1. per group pair, top-20 pairs come from ids21 × ids21;
+    //  2. per bucket, only the top-20 group pairs by (hamming,
+    //     best pair) can contribute — each better group pair's best
+    //     pair precedes EVERY pair of a dropped one, and (hamming,
+    //     best pair) is unique per group pair (best pair = the two
+    //     group minima, and minima are distinct across groups);
+    //  3. per bucket, the flattened expansion slices to the global
+    //     k=20 (the subset argument of the earlier revision).
+    // Within-group (hamming-0) pairs short-circuit the bucket stage
+    // entirely: identical signatures share every block bucket, so
+    // they are always candidates — emitted once per group, globally.
+    // Measured at the 10× dup-heavy corpus: 151 s (pre-round explode
+    // of all pairs) → 70 s (bucket-local bounded selection,
+    // [[hammingTopPairsFlat]]) → 5.8 s (this revision); sf0.01/sf0.1
+    // hashes unchanged. The collapse costs one extra exchange + a
+    // second signature lineage, so the FLAT tail below stays the
+    // right choice for inputs whose cliques are already removed —
+    // the two tails are result-identical, pure cost alternatives.
+    val groups = sig.groupBy("simhash")
+      .agg(expr("slice(array_sort(collect_list(doc_id)), 1, 21)").as("ids"))
+    // within-group (hamming-0) pairs are emitted from each group's
+    // j=0 bucket row — NOT as a second DataFrame branch off `groups`:
+    // the two branches would not unify into a ReusedExchange (their
+    // pruned aggregate outputs differ), so the whole tokenize +
+    // signature lineage would execute twice (measured ~2× the sf0.1
+    // wall). The `slice(array(1), 1, if(j = 0, 1, 0))` wrapper is the
+    // lazily-typed empty: on j≠0 the transform's lambda never runs.
+    val withinArr =
+      """flatten(transform(slice(array(1), 1, if(j = 0, 1, 0)), one ->
+        |  flatten(transform(gs, g ->
+        |    slice(flatten(transform(g.ids, (x, i) ->
+        |      transform(slice(g.ids, i + 2, size(g.ids)),
+        |        y -> struct(0 AS hamming, x AS doc_a, y AS doc_b)))),
+        |      1, 20)))))"""
+        .stripMargin.replace("\n", " ")
+    val groupPairsArr =
+      """flatten(transform(gs, (x, i) ->
+        |  transform(slice(gs, i + 2, size(gs)),
+        |    y -> struct(graft_hamming(x.simhash, y.simhash) AS h,
+        |                least(element_at(x.ids, 1),
+        |                      element_at(y.ids, 1)) AS a0,
+        |                greatest(element_at(x.ids, 1),
+        |                         element_at(y.ids, 1)) AS b0,
+        |                x.ids AS xs, y.ids AS ys))))"""
+        .stripMargin.replace("\n", " ")
+    // two exact expansion regimes, chosen per bucket: a SMALL bucket
+    // (≤64 member docs) expands every group pair's cross product
+    // directly — the nested top-20-group-pair machinery would cost
+    // 20×441 struct builds even when the bucket holds 200 pairs total
+    // (measured: it DOUBLED the sf0.1 wall) — while a LARGE bucket
+    // takes the bounded selection, whose cost is independent of the
+    // clique inflation. Both branches compute hamming once per GROUP
+    // pair and produce the identical top-20 (the bounds above), so
+    // the switch is a pure cost choice; CaseWhen evaluates only the
+    // taken branch.
+    val fullExpandArr =
+      s"""flatten(transform($groupPairsArr,
+         |  g -> flatten(transform(g.xs, x ->
+         |         transform(g.ys, y ->
+         |           struct(g.h AS hamming, least(x, y) AS doc_a,
+         |                  greatest(x, y) AS doc_b))))))"""
+        .stripMargin.replace("\n", " ")
+    val boundedExpandArr =
+      s"""flatten(transform(slice(array_sort($groupPairsArr), 1, 20),
+         |  g -> slice(array_sort(flatten(transform(g.xs, x ->
+         |         transform(g.ys, y ->
+         |           struct(g.h AS hamming, least(x, y) AS doc_a,
+         |                  greatest(x, y) AS doc_b))))), 1, 20)))"""
+        .stripMargin.replace("\n", " ")
+    val bucketTop =
+      s"""slice(array_sort(concat($withinArr,
+         |  CASE WHEN aggregate(gs, 0, (acc, g) -> acc + size(g.ids)) <= 64
+         |    THEN $fullExpandArr
+         |    ELSE $boundedExpandArr END)), 1, 20)"""
+        .stripMargin.replace("\n", " ")
+    groups
+      .select(col("simhash"), col("ids"),
+        explode(sequence(lit(0), lit(1))).as("j"))
+      .withColumn("bucket", expr("substring(simhash, 1 + 8 * j, 8)"))
+      .groupBy("j", "bucket")
+      .agg(expr("array_sort(collect_list(struct(simhash, ids)))").as("gs"))
+      // single-group buckets still carry their j=0 within pairs; an
+      // empty bucketTop explodes to zero rows on its own
+      .where(size(col("gs")) > 1 || col("j") === 0)
+      .select(explode(expr(bucketTop)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
+      .distinct()
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** The flat (no signature-group collapse) pairing tail: bucket-local
+    * bounded selection only — per-pair hamming inside the lambda, each
+    * bucket's pair array sorted by the global order and sliced to the
+    * global k before the explode (soundness: a globally-top-20 pair
+    * has <20 pairs ahead of it anywhere, so it survives every
+    * containing bucket's cut). Result-identical to
+    * [[hammingTopPairs]]; cheaper when the input carries no dup
+    * cliques (one lineage, one fewer exchange), quadratically worse
+    * when it does — [[dedupThenSimhash]] uses this one BECAUSE its
+    * exact-dedup front half already removed the cliques. */
+  private def hammingTopPairsFlat(sig: DataFrame): DataFrame = {
     val pairsOfStructs =
       """flatten(transform(xs, (x, i) ->
         |  transform(slice(xs, i + 2, size(xs)),
@@ -612,7 +730,7 @@ object DocQueries {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    hammingTopPairs(
+    hammingTopPairsFlat(
       simhashFramesOf(s, reps.join(dd.select("doc_id", "text"), "doc_id")))
   }
 
