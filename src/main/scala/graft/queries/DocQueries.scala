@@ -942,7 +942,10 @@ object DocQueries {
       s"/ len(list_distinct($x.grams || $y.grams))"
 
   private def gramProfiles(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    gramProfilesOf(docs(s, d))
+
+  private def gramProfilesOf(docsDf: DataFrame): DataFrame =
+    docsDf
       .where(expr("char_length(text) >= 4"))
       .select(col("doc_id"),
         md5(expr(s"array_join(slice($tokSpark, 1, 3), ' ')")).as("bucket"),
@@ -1222,7 +1225,31 @@ object DocQueries {
        |FROM sizes
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, d) =>
-    val g = gramProfiles(s, d)
+    // TEXT-GROUP COLLAPSE before the graph (the simhash-hamming
+    // discipline applied to connected components): byte-identical
+    // texts have identical gram profiles, so they share every bucket,
+    // every jaccard-1 within-edge, and every cross-edge — the raw
+    // graph's components are EXACTLY the expansion of the
+    // distinct-text graph's components, with sizes as multiplicity
+    // sums and the same min-doc-id labels (each group's rep IS its
+    // minimum id). On the dup-heavy 10× corpus this removes the ~100×
+    // clique edge inflation from BOTH the pair generation and every
+    // propagation round. Two reconstruction cases: reps in the rep
+    // graph expand by multiplicity; a dup group (m ≥ 2) whose rep has
+    // a profile but NO cross edges is its own raw component (its
+    // members pairwise share buckets at jaccard 1) and re-enters as a
+    // singleton cluster of size m.
+    val dd = docs(s, d)
+    // materialized once (distinct-text-sized): three consumers below
+    // (profiles, expansion join, solo-dup probe) must not re-run the
+    // corpus groupBy each — the `edges` checkpoint discipline
+    val tg = dd.groupBy(md5(col("text")).as("th"))
+      // min(text) IS the text — the group key is its md5 — so the rep
+      // needs no join back to the corpus
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"),
+        min(col("text")).as("text"))
+      .localCheckpoint()
+    val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
     val pairs = inBucketPairs(g)
       .join(g.as("x"), col("x.doc_id") === col("doc_a"))
       .join(g.as("y"), col("y.doc_id") === col("doc_b"))
@@ -1261,8 +1288,16 @@ object DocQueries {
     // fixpoint, so a capped-out loop MUST fail, not return a near-answer
     if (!converged) throw new IllegalStateException(
       s"docs_dup_clusters: label propagation did not converge in $MaxRounds rounds")
-    labels
-      .groupBy("label").agg(count(lit(1)).as("sz"))
+    // expand rep-level components back to document counts
+    val mult = tg.select(col("rep").as("id"), col("m"))
+    val clustered = labels.join(mult, "id").select("label", "m")
+    val soloDups = mult
+      .join(g.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .where(col("m") >= 2)
+      .select(col("id").as("label"), col("m"))
+    clustered.unionByName(soloDups)
+      .groupBy("label").agg(sum(col("m")).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(
         count(lit(1)).as("n_clusters"),
