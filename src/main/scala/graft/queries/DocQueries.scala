@@ -319,6 +319,14 @@ object DocQueries {
 
   val minhashPairs: NamedQuery = NamedQuery(
     "docs_minhash_pairs", minhashPairsSql) { (s, d) =>
+    // Deliberately NOT text-group-collapsed (unlike ngramJaccard /
+    // containment / simhashHamming): this chain evaluates its shingle
+    // frame three times (candidate generation + both verification
+    // sides), and feeding it through a checkpointed distinct-text
+    // frame measurably SLOWED the common case while the 10× clique
+    // corpus barely moved — the clique answer for the minhash family
+    // is the registered dedup-first twin (docs_dedup_then_minhash),
+    // which removes the inflation at the lineage level instead.
     minhashVerifiedPairs(shingleFrame(docs(s, d).select("doc_id", "text")))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
@@ -990,11 +998,55 @@ object DocQueries {
        |JOIN g y ON y.doc_id = doc_b
        |ORDER BY jaccard DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin) { (s, d) =>
-    val g = gramProfiles(s, d)
-    inBucketPairs(g)
+    // TEXT-GROUP COLLAPSE (the docs_dup_clusters/simhash discipline):
+    // identical texts have identical gram profiles, so within-group
+    // pairs are jaccard-1.0 constants and every cross pair's jaccard
+    // equals its REP pair's — verified once per rep pair instead of
+    // once per member pair (~100× fewer gram-set intersections on a
+    // dup-heavy corpus). Exactness rests on the 21-id counting bound
+    // (see hammingTopPairs): a pair using an id beyond its group's
+    // 21st has ≥21 preceding pairs with the same jaccard, so per-
+    // group-pair top-20 slices lose nothing; the global TakeOrdered
+    // arbitrates the ≤20-per-(group|rep-pair) survivors. Each doc
+    // owns exactly ONE bucket row (single first-3-token bucket), so
+    // rep pairs are unique without a distinct — same as the raw
+    // spelling.
+    val dd = docs(s, d)
+    val tg = dd.groupBy(md5(col("text")).as("th"))
+      .agg(expr("slice(array_sort(collect_list(doc_id)), 1, 21)").as("ids"),
+        min(col("doc_id")).as("rep"), min(col("text")).as("text"))
+      .localCheckpoint()
+    val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
+    val idPairsArr =
+      """flatten(transform(ids, (x, i) ->
+        |  transform(slice(ids, i + 2, size(ids)),
+        |    y -> struct(x AS a, y AS b))))"""
+        .stripMargin.replace("\n", " ")
+    // within-group pairs (already (a,b)-lexicographic: ids sorted) —
+    // only for groups whose rep HAS a profile (len ≥ 4), mirroring
+    // the raw path where profile-less docs never reach a bucket
+    val within = tg
+      .join(g.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(s"slice($idPairsArr, 1, 20)")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val repPairs = inBucketPairs(g)
       .join(g.as("x"), col("x.doc_id") === col("doc_a"))
       .join(g.as("y"), col("y.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jaccardCol.as("jaccard"))
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"),
+        jaccardCol.as("jaccard"))
+    val cross = repPairs
+      .join(tg.select(col("rep").as("ra"), col("ids").as("xs")), "ra")
+      .join(tg.select(col("rep").as("rb"), col("ids").as("ys")), "rb")
+      .select(col("jaccard"), explode(expr(
+        """slice(array_sort(flatten(transform(xs, x ->
+          |  transform(ys, y ->
+          |    struct(least(x, y) AS a, greatest(x, y) AS b))))), 1, 20)"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        col("jaccard"))
+    within.unionByName(cross)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -1524,17 +1576,55 @@ object DocQueries {
        |JOIN g y ON y.doc_id = doc_b
        |ORDER BY cont_max DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin) { (s, d) =>
-    val g = gramProfiles(s, d)
+    // TEXT-GROUP COLLAPSE, the [[ngramJaccard]] rewrite with one
+    // asymmetry to respect: cont_a divides by DOC_A's gram count, and
+    // doc_a = least(x, y) can come from EITHER group — so the rep
+    // pair carries both ratios and the expansion lambda assigns them
+    // per pair by which side holds the smaller id. The ranking key
+    // cont_max is symmetric (constant per rep pair), so the 21-id /
+    // top-20 counting bounds apply unchanged.
+    val dd = docs(s, d)
+    val tg = dd.groupBy(md5(col("text")).as("th"))
+      .agg(expr("slice(array_sort(collect_list(doc_id)), 1, 21)").as("ids"),
+        min(col("doc_id")).as("rep"), min(col("text")).as("text"))
+      .localCheckpoint()
+    val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
+    val idPairsArr =
+      """flatten(transform(ids, (x, i) ->
+        |  transform(slice(ids, i + 2, size(ids)),
+        |    y -> struct(x AS a, y AS b))))"""
+        .stripMargin.replace("\n", " ")
+    val within = tg
+      .join(g.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(s"slice($idPairsArr, 1, 20)")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        lit(1.0).as("cont_a"), lit(1.0).as("cont_b"),
+        lit(1.0).as("cont_max"))
     def inter = size(array_intersect(col("x.grams"), col("y.grams")))
       .cast("double")
-    inBucketPairs(g)
+    val repPairs = inBucketPairs(g)
       .join(g.as("x"), col("x.doc_id") === col("doc_a"))
       .join(g.as("y"), col("y.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (inter / size(col("x.grams"))).as("cont_a"),
-        (inter / size(col("y.grams"))).as("cont_b"),
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"),
+        (inter / size(col("x.grams"))).as("ca"),
+        (inter / size(col("y.grams"))).as("cb"),
         greatest(inter / size(col("x.grams")),
-          inter / size(col("y.grams"))).as("cont_max"))
+          inter / size(col("y.grams"))).as("cmax"))
+    val cross = repPairs
+      .join(tg.select(col("rep").as("ra"), col("ids").as("xs")), "ra")
+      .join(tg.select(col("rep").as("rb"), col("ids").as("ys")), "rb")
+      .select(col("cmax"), explode(expr(
+        """slice(array_sort(flatten(transform(xs, x ->
+          |  transform(ys, y ->
+          |    struct(least(x, y) AS a, greatest(x, y) AS b,
+          |           if(x < y, ca, cb) AS cont_a,
+          |           if(x < y, cb, ca) AS cont_b))))), 1, 20)"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        col("p.cont_a").as("cont_a"), col("p.cont_b").as("cont_b"),
+        col("cmax").as("cont_max"))
+    within.unionByName(cross)
       .orderBy(col("cont_max").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
