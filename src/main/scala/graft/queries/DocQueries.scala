@@ -460,7 +460,7 @@ object DocQueries {
     * BEFORE the transform lambda so the md5 evaluates once per row, not
     * once per lambda element; bit pos i of the big-endian
     * first-8-hex-digit word is bit (31 - i) of the parsed 32-bit value. */
-  private def simhashFrames(s: SparkSession, d: String): DataFrame =
+  private[graft] def simhashFrames(s: SparkSession, d: String): DataFrame =
     simhashFramesOf(s, docs(s, d))
 
   private def simhashFramesOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
@@ -684,7 +684,7 @@ object DocQueries {
     * cliques (one lineage, one fewer exchange), quadratically worse
     * when it does — [[dedupThenSimhash]] uses this one BECAUSE its
     * exact-dedup front half already removed the cliques. */
-  private def hammingTopPairsFlat(sig: DataFrame): DataFrame = {
+  private[graft] def hammingTopPairsFlat(sig: DataFrame): DataFrame = {
     val pairsOfStructs =
       """flatten(transform(xs, (x, i) ->
         |  transform(slice(xs, i + 2, size(xs)),
@@ -949,10 +949,42 @@ object DocQueries {
     s"CAST(len(list_intersect($x.grams, $y.grams)) AS DOUBLE) " +
       s"/ len(list_distinct($x.grams || $y.grams))"
 
-  private def gramProfiles(s: SparkSession, d: String): DataFrame =
-    gramProfilesOf(docs(s, d))
+  /** Distinct-text groups — THE text-group-collapse input, shared by
+    * [[ngramJaccard]], [[containment]] and [[dupClusters]] so the
+    * 21-id bound and the checkpoint discipline have one spelling.
+    * Keyed by the TEXT VALUE itself, not a hash: identical-by-value is
+    * the collapse's semantic ground truth, and a hash key would
+    * silently merge crafted-collision texts that these queries' raw
+    * oracles (which compare real gram sets) treat as distinct. The
+    * groupBy therefore shuffles full texts once — the price of
+    * value-exact grouping; a 100 TB pipeline willing to accept
+    * 2⁻⁶⁴-grade collision odds would key on a wide hash instead (the
+    * [[exactDedup]] discipline, whose ORACLE hashes too, keeping both
+    * engines in the same regime). Carries the smallest 21 member ids
+    * (the counting bound every top-20 pair reconstruction rests on),
+    * the rep (min id), and the multiplicity; checkpointed because
+    * every caller fans out into ≥2 consumers. */
+  private def textGroups(dd: DataFrame): DataFrame =
+    dd.groupBy(col("text"))
+      .agg(expr("slice(array_sort(collect_list(doc_id)), 1, 21)").as("ids"),
+        min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+      .localCheckpoint()
 
-  private def gramProfilesOf(docsDf: DataFrame): DataFrame =
+  /** Within-group pairs of a [[textGroups]] frame: every member pair
+    * of a dup group is a self-evident maximal-similarity pair, so the
+    * (a,b)-lexicographic top-20 per group ([[pairsExpr]] over the
+    * already-sorted, already-21-sliced ids needs no re-sort) is
+    * emitted once, gated to groups whose rep reached `profiled` —
+    * mirroring the raw path, where profile-less docs never reach a
+    * bucket. Callers append their constant score columns. */
+  private def withinGroupPairs(tg: DataFrame,
+                               profiled: DataFrame): DataFrame =
+    tg.join(profiled, Seq("rep"), "left_semi")
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(s"slice($pairsExpr, 1, 20)")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+
+  private[graft] def gramProfilesOf(docsDf: DataFrame): DataFrame =
     docsDf
       .where(expr("char_length(text) >= 4"))
       .select(col("doc_id"),
@@ -967,7 +999,7 @@ object DocQueries {
     * collect_list pairing (not a self-join on the full gram arrays): the
     * slim (bucket, ids) aggregate pairs ids, and only surviving pairs
     * re-join the gram sets. */
-  private def inBucketPairs(g: DataFrame): DataFrame =
+  private[graft] def inBucketPairs(g: DataFrame): DataFrame =
     g.groupBy("bucket")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
@@ -1011,26 +1043,11 @@ object DocQueries {
     // owns exactly ONE bucket row (single first-3-token bucket), so
     // rep pairs are unique without a distinct — same as the raw
     // spelling.
-    val dd = docs(s, d)
-    val tg = dd.groupBy(md5(col("text")).as("th"))
-      .agg(expr("slice(array_sort(collect_list(doc_id)), 1, 21)").as("ids"),
-        min(col("doc_id")).as("rep"), min(col("text")).as("text"))
-      .localCheckpoint()
+    val tg = textGroups(docs(s, d))
     val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
-    val idPairsArr =
-      """flatten(transform(ids, (x, i) ->
-        |  transform(slice(ids, i + 2, size(ids)),
-        |    y -> struct(x AS a, y AS b))))"""
-        .stripMargin.replace("\n", " ")
-    // within-group pairs (already (a,b)-lexicographic: ids sorted) —
-    // only for groups whose rep HAS a profile (len ≥ 4), mirroring
-    // the raw path where profile-less docs never reach a bucket
-    val within = tg
-      .join(g.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(s"slice($idPairsArr, 1, 20)")).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
-        lit(1.0).as("jaccard"))
+    val within =
+      withinGroupPairs(tg, g.select(col("doc_id").as("rep")))
+        .withColumn("jaccard", lit(1.0))
     val repPairs = inBucketPairs(g)
       .join(g.as("x"), col("x.doc_id") === col("doc_a"))
       .join(g.as("y"), col("y.doc_id") === col("doc_b"))
@@ -1291,16 +1308,7 @@ object DocQueries {
     // a profile but NO cross edges is its own raw component (its
     // members pairwise share buckets at jaccard 1) and re-enters as a
     // singleton cluster of size m.
-    val dd = docs(s, d)
-    // materialized once (distinct-text-sized): three consumers below
-    // (profiles, expansion join, solo-dup probe) must not re-run the
-    // corpus groupBy each — the `edges` checkpoint discipline
-    val tg = dd.groupBy(md5(col("text")).as("th"))
-      // min(text) IS the text — the group key is its md5 — so the rep
-      // needs no join back to the corpus
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("m"),
-        min(col("text")).as("text"))
-      .localCheckpoint()
+    val tg = textGroups(docs(s, d))
     val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
     val pairs = inBucketPairs(g)
       .join(g.as("x"), col("x.doc_id") === col("doc_a"))
@@ -1550,7 +1558,7 @@ object DocQueries {
     * ≈ 1 in the short→long direction, which is exactly the
     * sub-document-duplication case corpus dedup cares about. Same shared
     * candidate front end as [[ngramJaccard]] ([[gramCteDuck]] /
-    * [[gramProfiles]] — bucket-local, never all-pairs); both directions
+    * [[gramProfilesOf]] — bucket-local, never all-pairs); both directions
     * plus the max are emitted, ranked by the max. Exact cross-engine:
     * integer set sizes under one IEEE division. */
   val containment: NamedQuery = NamedQuery(
@@ -1583,24 +1591,13 @@ object DocQueries {
     // per pair by which side holds the smaller id. The ranking key
     // cont_max is symmetric (constant per rep pair), so the 21-id /
     // top-20 counting bounds apply unchanged.
-    val dd = docs(s, d)
-    val tg = dd.groupBy(md5(col("text")).as("th"))
-      .agg(expr("slice(array_sort(collect_list(doc_id)), 1, 21)").as("ids"),
-        min(col("doc_id")).as("rep"), min(col("text")).as("text"))
-      .localCheckpoint()
+    val tg = textGroups(docs(s, d))
     val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
-    val idPairsArr =
-      """flatten(transform(ids, (x, i) ->
-        |  transform(slice(ids, i + 2, size(ids)),
-        |    y -> struct(x AS a, y AS b))))"""
-        .stripMargin.replace("\n", " ")
-    val within = tg
-      .join(g.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(s"slice($idPairsArr, 1, 20)")).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
-        lit(1.0).as("cont_a"), lit(1.0).as("cont_b"),
-        lit(1.0).as("cont_max"))
+    val within =
+      withinGroupPairs(tg, g.select(col("doc_id").as("rep")))
+        .withColumn("cont_a", lit(1.0))
+        .withColumn("cont_b", lit(1.0))
+        .withColumn("cont_max", lit(1.0))
     def inter = size(array_intersect(col("x.grams"), col("y.grams")))
       .cast("double")
     val repPairs = inBucketPairs(g)
