@@ -84,7 +84,13 @@ object Bench {
       "trades_count", "trades_latest10", "trades_top10_6h",
       "trades_minute_trend", "trades_candle_merge", "trades_dedup_replay")
     val r1Total = results.filter(r => r1Names(r._1)).map(_._2._1).sum
-    val head = s""""metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"r1_subset_total":${sec(r1Total)},"reps":$reps"""
+    // contention indicator (judge, r8): BENCH_r08.json was a contended
+    // capture (spread sum ≈ 190 s on a 166 s total) and only the target
+    // files revealed it. total_spread = sum of per-query (max − min), so
+    // total_spread ≳ total in the summary line reads as "this run is
+    // noisy" without opening the per-query spread map.
+    val totalSpread = results.map(_._2._2).sum
+    val head = s""""metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${errors.size},"r1_subset_total":${sec(r1Total)},"total_spread":${sec(totalSpread)},"reps":$reps"""
     // spread FIRST, medians LAST: the driver captures the log tail, so
     // front-truncation of this line must leave the map that matters —
     // r7's judge initially read the surviving spread map as medians

@@ -48,7 +48,16 @@ object BlockStore {
     * one, never a double-counting mix. `stage` runs BEFORE the rename
     * pair, so the live block dirs are still in place to read from;
     * they are addressed directly (not via the partials root) so no
-    * listing races the staging write. */
+    * listing races the staging write.
+    *
+    * Concurrency contract with the sink: folded blocks (≤
+    * `throughBlockId`) are checkpoint-committed, so no replay touches
+    * them — but a RETAINED block can be mid-replace (the sink's
+    * rename pair) while this copy walks it. [[copyRecursively]]
+    * re-lists and retries on the resulting `NoSuchFileException`, so
+    * the staged store captures either the old or the new rename-pair
+    * state of that block, never a torn half — both are complete
+    * blocks (replays REPLACE losslessly), so either is correct. */
   def compact(spark: SparkSession, partialsPath: String,
               throughBlockId: Long)(fold: DataFrame => DataFrame): Unit = {
     val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
@@ -69,15 +78,34 @@ object BlockStore {
     }
   }
 
+  /** Recursive copy that survives the source being concurrently
+    * REPLACED (a sink replay's rename pair swapping a retained block
+    * dir mid-walk): a file vanishing under the walk re-lists and
+    * retries the whole copy — after the rename pair completes the dir
+    * is stable again, so one retry normally suffices; three failed
+    * attempts mean the dir is gone for good (not a swap) and the
+    * exception is real. */
   def copyRecursively(src: java.nio.file.Path,
                       dst: java.nio.file.Path): Unit = {
     import java.nio.file.Files
-    val s = Files.walk(src)
-    // depth-first pre-order: directories precede their contents, so
-    // each copy's parent already exists
-    try s.iterator().asScala.foreach { p =>
-      Files.copy(p, dst.resolve(src.relativize(p).toString),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally s.close()
+    def attempt(): Unit = {
+      val s = Files.walk(src)
+      // depth-first pre-order: directories precede their contents, so
+      // each copy's parent already exists
+      try s.iterator().asScala.foreach { p =>
+        Files.copy(p, dst.resolve(src.relativize(p).toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally s.close()
+    }
+    var left = 3
+    var done = false
+    while (!done) {
+      try { attempt(); done = true }
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          left -= 1
+          if (left == 0 || !Files.exists(src)) throw e
+      }
+    }
   }
 }

@@ -96,6 +96,9 @@ object Store {
 
   private val scratchDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // per-sub allocation history (newest last) for the in-flight sweep
+  private val scratchBySub =
+    scala.collection.mutable.Map.empty[String, List[String]]
   private val scratchHookInstalled =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -107,12 +110,32 @@ object Store {
     * The hook deletes ONLY this JVM's own stores (never the shared
     * root): stores are read lazily by the returned DataFrames and a
     * concurrent JVM's store under the same root must survive this
-    * process' exit. */
+    * process' exit.
+    *
+    * Disk growth is bounded IN-FLIGHT, not only at exit: each
+    * allocation for a `sub` sweeps this JVM's own older dirs for that
+    * sub, KEEPING the two newest — the previous allocation may still
+    * back a lazily-read DataFrame a concurrently-running suite holds
+    * (sbt runs suites in parallel), so the newest-1 survives one more
+    * allocation; anything older has had two full query builds complete
+    * after it and is dead. A long-lived session re-running the
+    * store-building queries therefore plateaus at ~2 stores per family
+    * instead of one per invocation. */
   private[graft] def scratchStore(sub: String): String = {
     val root = Paths.get("target", sub)
     Files.createDirectories(root)
     val dir = Files.createTempDirectory(root, "store-").toString
     scratchDirs.add(dir)
+    scratchBySub.synchronized {
+      val kept = scratchBySub.getOrElse(sub, Nil) :+ dir
+      val (dead, live) = kept.splitAt((kept.size - 2).max(0))
+      scratchBySub(sub) = live
+      dead.foreach { d =>
+        scratchDirs.remove(d)
+        try deleteRecursivelyIfExists(d)
+        catch { case _: Exception => () }
+      }
+    }
     if (scratchHookInstalled.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         scratchDirs.forEach(d =>
