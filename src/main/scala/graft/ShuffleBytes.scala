@@ -1,0 +1,65 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic: TOTAL shuffle bytes/rows written while executing each
+  * named query — the evidence a shuffle-thinning rewrite leaves behind.
+  * Plan-walking ([[graft.store.ScanStats]]' approach) cannot see this:
+  * the collapse queries `localCheckpoint` their group frame, which cuts
+  * lineage and hides the group-shuffle from the final plan — so this
+  * harness listens at the scheduler level instead, summing every
+  * stage's shuffle-write metrics between query start and end.
+  *
+  * Usage: runMain graft.ShuffleBytes <sfDir> <name> [name...]
+  */
+object ShuffleBytes {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val bytes = new LongAdder
+    val rows = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          bytes.add(m.shuffleWriteMetrics.bytesWritten)
+          rows.add(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+    })
+
+    val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+    // session warmup (codegen, parquet footers)
+    byName("trades_count").run(spark, sfDir).write
+      .mode("overwrite").format("noop").save()
+    names.foreach { n =>
+      // listener events are asynchronous; a short drain window before
+      // reset/readout is fine for a diagnostic (stage events land well
+      // inside it once the blocking action returned)
+      Thread.sleep(1000)
+      bytes.reset(); rows.reset()
+      val t0 = System.nanoTime()
+      byName(n).run(spark, sfDir).write.mode("overwrite").format("noop").save()
+      Thread.sleep(1000)
+      val mb = bytes.sum / 1e6
+      val wall = (System.nanoTime() - t0) / 1e9
+      println("SHUFFLE {\"query\":\"" + n + "\"," +
+        f"""\"shuffle_mb\":$mb%.2f,\"shuffle_rows\":${rows.sum},""" +
+        f"""\"wall_sec\":$wall%.2f}""")
+    }
+    spark.stop()
+  }
+}

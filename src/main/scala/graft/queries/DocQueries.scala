@@ -952,22 +952,55 @@ object DocQueries {
   /** Distinct-text groups — THE text-group-collapse input, shared by
     * [[ngramJaccard]], [[containment]] and [[dupClusters]] so the
     * 21-id bound and the checkpoint discipline have one spelling.
-    * Keyed by the TEXT VALUE itself, not a hash: identical-by-value is
-    * the collapse's semantic ground truth, and a hash key would
-    * silently merge crafted-collision texts that these queries' raw
-    * oracles (which compare real gram sets) treat as distinct. The
-    * groupBy therefore shuffles full texts once — the price of
-    * value-exact grouping; a 100 TB pipeline willing to accept
-    * 2⁻⁶⁴-grade collision odds would key on a wide hash instead (the
-    * [[exactDedup]] discipline, whose ORACLE hashes too, keeping both
-    * engines in the same regime). Carries the smallest 21 member ids
-    * (the counting bound every top-20 pair reconstruction rests on),
-    * the rep (min id), and the multiplicity; checkpointed because
-    * every caller fans out into ≥2 consumers. */
-  private def textGroups(dd: DataFrame): DataFrame =
-    dd.groupBy(col("text"))
+    *
+    * COLLISION-CHECKED hash key (round 9, replacing the value-exact
+    * text key): grouping keys on `(xxhash64(text), char_length(text))`
+    * — 16 bytes — where the text key compared and partitioned full
+    * documents through the collapse family's one corpus-sized exchange.
+    * Identical-by-value stays the semantic ground truth, enforced
+    * rather than assumed: the aggregation carries `collect_set(text)`,
+    * whose partial buffers dedup map-side — in the no-collision case
+    * EXACTLY ONE text per (group, map task) rides the exchange, the
+    * same text bytes the value-key spelling shipped as its key (the
+    * canonical text must cross the exchange either way: every caller
+    * gram-profiles the rep) — and a key collision between DISTINCT
+    * texts makes the set grow past one, tripping the `assert_true`
+    * below: the query dies loudly instead of silently merging
+    * crafted-collision texts its raw oracle treats as distinct. The
+    * check is exact over ALL members, not just the retained 21 (the
+    * set ranges over the whole group), strictly stronger than a
+    * retained-members re-fetch at the same payload — a join-fetch
+    * would add a corpus-sized exchange to save bytes this spelling
+    * never ships. What the hash key buys at 100 TB: the exchange
+    * partitioner and the aggregate hash table compare 16 bytes, never
+    * document-length keys. Collision odds are a real design input at
+    * trillion-doc scale (~n²/2⁶⁵ same-length birthday pairs), which is
+    * exactly why the check exists: detection costs one comparison per
+    * group; silent merge would corrupt the ranking.
+    *
+    * Carries the smallest 21 member ids (the counting bound every
+    * top-20 pair reconstruction rests on), the rep (min id), the
+    * canonical text, and the multiplicity; checkpointed (eagerly — so
+    * the collision check fires at build, not per consumer) because
+    * every caller fans out into ≥2 consumers.
+    *
+    * `textKey` is injectable ONLY so CollapseBoundsSpec can force a
+    * collision (a real xxhash64 collision is not craftable); every
+    * production caller uses the default. */
+  private[graft] def textGroups(
+      dd: DataFrame,
+      textKey: org.apache.spark.sql.Column = xxhash64(col("text")))
+      : DataFrame =
+    dd.groupBy(textKey.as("tkey"), char_length(col("text")).as("tlen"))
       .agg(expr("slice(array_sort(collect_list(doc_id)), 1, 21)").as("ids"),
-        min(col("doc_id")).as("rep"), count(lit(1)).as("m"))
+        min(col("doc_id")).as("rep"), count(lit(1)).as("m"),
+        collect_set(col("text")).as("ts"))
+      .select(
+        when(assert_true(size(col("ts")) === 1,
+          concat(lit("textGroups: text-key collision between distinct " +
+            "texts in group rep "), col("rep"))).isNull,
+          element_at(col("ts"), 1)).as("text"),
+        col("ids"), col("rep"), col("m"))
       .localCheckpoint()
 
   /** Within-group pairs of a [[textGroups]] frame: every member pair

@@ -110,6 +110,39 @@ class CollapseBoundsSpec extends SparkSpec {
       collect(DocQueries.hammingTopPairsFlat(sig)))
   }
 
+  test("textGroups: a crafted key collision between distinct texts " +
+    "fails loudly instead of silently merging groups") {
+    import spark.implicits._
+    // two DISTINCT texts of EQUAL length — under the injected constant
+    // key they land in one group, which only the min/max equality check
+    // can catch (a real xxhash64 collision is not craftable, so the
+    // key is injected; the checked property is the same)
+    val dd = Seq((1L, "alpha beta gamma one"), (2L, "alpha beta gamma two"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      DocQueries.textGroups(dd, lit(0L)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("collision")),
+      s"expected a collision failure, got: $e")
+  }
+
+  test("textGroups: equal texts group under the hash key exactly as " +
+    "under the value key, with the canonical text preserved") {
+    import spark.implicits._
+    val dd = Seq((5L, "aa bb cc"), (3L, "aa bb cc"), (9L, "dd ee ff"))
+      .toDF("doc_id", "text")
+    val got = DocQueries.textGroups(dd)
+      .orderBy("rep").collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Seq[Long]]("ids").toList,
+        r.getAs[Long]("rep"), r.getAs[Long]("m"))).toList
+    assert(got == List(
+      ("aa bb cc", List(3L, 5L), 3L, 2L),
+      ("dd ee ff", List(9L), 9L, 1L)))
+  }
+
   test("dup clusters: component expansion equals a driver-side " +
     "union-find over the flat pair graph") {
     val g = DocQueries.gramProfilesOf(
