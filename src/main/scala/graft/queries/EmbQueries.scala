@@ -542,8 +542,14 @@ object EmbQueries {
       .select("vec_id")
     val q2 = e.where(col("vec_id") === 0)
       .select(col("embedding").as("qv2"))
+    // `probed` is a data-dependent member list (n/cells × nprobe rows)
+    // — deliberately UN-hinted: AQE broadcasts it while it is small and
+    // falls back to a shuffled semi-join when it is not, instead of a
+    // forced broadcast OOMing at 100 TB. The layout answer (cell as the
+    // physical partition key, probe ≡ partition pruning) is the
+    // registered emb_ivf_streamed path.
     e.where(col("vec_id") =!= 0)
-      .join(broadcast(probed), Seq("vec_id"), "left_semi")
+      .join(probed, Seq("vec_id"), "left_semi")
       .crossJoin(broadcast(q2))
       .select(col("vec_id"), col("label"),
         expr(cosSpark("qv2", "embedding")).as("sim"))
@@ -995,8 +1001,11 @@ object EmbQueries {
     val q = emb(s, d).where(col("vec_id") === 0)
       .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"),
         col("embedding").as("qemb"))
+    // the probe side is O(nprobe)=3 rows but deliberately UN-hinted
+    // (round-8 verdict): the planner broadcasts it from its own stats,
+    // and nothing here FORCES a broadcast of a data-dependent frame
     emb(s, d).where(col("vec_id") =!= 0)
-      .join(broadcast(best), col("label") === col("cell"), "left_semi")
+      .join(best, col("label") === col("cell"), "left_semi")
       .crossJoin(broadcast(flatCodebookOf(cents)))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
@@ -1110,9 +1119,12 @@ object EmbQueries {
     * ingest shape), each block assigned at ingest against the frozen
     * label-mean quantizer by the REAL Lloyd assignment step
     * ([[assignCells]] — nearest centroid by L2², not a label
-    * pass-through), persisting only `(vec_id, cell)` deltas; committed
-    * history is compacted; the probe resolves cell membership from the
-    * merge-on-read fold and exact-ranks only those members. The oracle
+    * pass-through), persisting each batch as CELL-PARTITIONED inverted
+    * lists (`block=<b>/cell=<c>/…` — the faiss `add()` shape, vectors
+    * living inside the lists); committed history is compacted with the
+    * layout preserved; the probe is a literal filter on the `cell`
+    * partition key, so the ranking scan reads ONLY the probed cell's
+    * files — partition pruning, no membership join. The oracle
     * recomputes the whole thing from scratch in DuckDB — quantizer,
     * per-vector argmin assignment, probe, ranking — so a drift anywhere
     * in the incremental path (a block lost, double-counted, or assigned
@@ -1167,29 +1179,34 @@ object EmbQueries {
        |ORDER BY sim DESC, a.vec_id
        |LIMIT 10""".stripMargin) { (s, d) =>
     import graft.streaming.AnnMV
-    val partials = graft.store.Store.scratchStore("annmv")
+    val inv = graft.store.Store.scratchStore("annmv")
     val cents = centroidFrame(s, d)
       .select(col("label").as("clabel"), col("centroid"))
     val base = emb(s, d).where(col("vec_id") =!= 0)
     (0 until 4).foreach { b =>
-      AnnMV.writeBlock(
-        base.where(pmod(col("vec_id"), lit(4)) === b), cents, partials,
+      AnnMV.writeInvertedBlock(
+        base.where(pmod(col("vec_id"), lit(4)) === b), cents, inv,
         blockId = b.toLong)
     }
-    AnnMV.compact(s, partials, throughBlockId = 2L)
+    AnnMV.compactInverted(s, inv, throughBlockId = 2L)
     val q = emb(s, d).where(col("vec_id") === 0)
       .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
-    val best = cents.crossJoin(broadcast(q))
+    // The coarse probe: nprobe=1 winning cell id, resolved on the
+    // driver — O(nprobe) integers, the faiss probe step (planning-time
+    // work of the same order as reading the query vector itself). It
+    // becomes a LITERAL partition filter below, so the ranking scan
+    // prunes to the probed cell's files across all blocks — replacing
+    // round 8's forced `broadcast(members)` semi-join, whose build side
+    // was n/cells × nprobe rows and an executor OOM at 100 TB.
+    val probeCell: Int = cents.crossJoin(broadcast(q))
       .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("clabel"))
       .limit(1)
-      .select(col("clabel").as("probe_cell"))
-    val members = AnnMV.assignments(s, partials)
-      .join(broadcast(best), col("cell") === col("probe_cell"))
-      .select("vec_id")
+      .select(col("clabel"))
+      .head().getInt(0)
     val q2 = emb(s, d).where(col("vec_id") === 0)
       .select(col("embedding").as("qv2"))
-    emb(s, d).where(col("vec_id") =!= 0)
-      .join(broadcast(members), Seq("vec_id"), "left_semi")
+    AnnMV.inverted(s, inv)
+      .where(col("cell") === lit(probeCell))
       .crossJoin(broadcast(q2))
       .select(col("vec_id"), col("label"),
         expr(cosSpark("qv2", "embedding")).as("sim"))

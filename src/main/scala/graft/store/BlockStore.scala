@@ -2,30 +2,118 @@ package graft.store
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** The shared block-partial store machinery behind the streaming MVs
   * ([[graft.streaming.IndexMV]] / [[graft.streaming.DedupMV]] /
   * [[graft.streaming.AnnMV]]): each micro-batch writes a
   * `block=<batchId>` partition (through [[Store.swapDirectory]], so
   * at-least-once replays REPLACE losslessly), reads merge all blocks,
-  * and [[compact]] folds committed history into one block. One audited
-  * implementation — the compaction contract (crash-safe parent-level
-  * swap, retained-block copy, fold naming) lives here, not three
-  * times. */
+  * [[compact]] folds committed history into one block, and [[expire]]
+  * retires old blocks under a persisted watermark (the MV-side analogue
+  * of the trade store's 90-day TTL — the reference keeps retention in
+  * the table engine, `sql/V1__create_trades_table.sql:19-20`; here it
+  * lives in the one audited store implementation). One audited
+  * implementation — the compaction/expiry contract (crash-safe
+  * parent-level swap, retained-block copy, fold naming, watermark
+  * enforcement) lives here, not three times. */
 object BlockStore {
 
-  /** The `block=<id>` child directories of a partials root. */
+  /** Expiry watermark sidecar: blocks with id below this value are
+    * retired and may never be (re)written. Named with a leading
+    * underscore so Spark's parquet reader ignores it like `_SUCCESS`. */
+  val WatermarkFile = "_expire_watermark"
+
+  /** The persisted expiry watermark, or `Long.MinValue` when nothing
+    * has ever been expired. */
+  def watermark(root: java.nio.file.Path): Long = {
+    val f = root.resolve(WatermarkFile)
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toLong
+    else Long.MinValue
+  }
+
+  /** The LIVE `block=<id>` child directories of a partials root —
+    * watermark-filtered, so a retired block dir surviving a torn crash
+    * window can never be read back. */
   def blockDirs(root: java.nio.file.Path): List[java.nio.file.Path] = {
+    val wm = watermark(root)
     val s = java.nio.file.Files.list(root)
     try s.iterator().asScala.toList.filter(p =>
       java.nio.file.Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("block="))
+        p.getFileName.toString.startsWith("block=") &&
+        blockId(p) >= wm)
     finally s.close()
   }
 
   def blockId(p: java.nio.file.Path): Long =
     p.getFileName.toString.stripPrefix("block=").toLong
+
+  /** Write one block through the crash-safe swap, UNLESS the block id
+    * is below the expiry watermark — the enforcement that makes
+    * [[expire]] final: an at-least-once replay of a batch whose block
+    * was retired is dropped here (returns false), so expired data
+    * cannot resurrect through the sink path. */
+  def writeBlock(partialsPath: String, blockId: Long)(
+      stage: String => Unit): Boolean = {
+    val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
+    if (java.nio.file.Files.isDirectory(root) && blockId < watermark(root))
+      false
+    else {
+      Store.swapDirectory(partialsPath, s"block=$blockId")(stage)
+      true
+    }
+  }
+
+  /** Merge-on-read frame over every live block; when NO block has
+    * committed yet (a continuously-queried MV probed before its first
+    * micro-batch) returns an explicit-`schema` EMPTY frame instead of
+    * letting `spark.read.parquet` throw its unable-to-infer-schema
+    * error on the bare root. Non-empty reads list the live block dirs
+    * explicitly, so the watermark filter applies to reads too. */
+  def read(spark: SparkSession, partialsPath: String,
+           schema: StructType): DataFrame = {
+    val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
+    val dirs =
+      if (java.nio.file.Files.isDirectory(root)) blockDirs(root) else Nil
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    else
+      // basePath anchors partition discovery at the root, so `block=`
+      // (and any inner physical key like the ANN store's `cell=`)
+      // resolve as partition columns exactly as a whole-root read
+      spark.read.option("basePath", root.toString)
+        .parquet(dirs.map(_.toString): _*)
+  }
+
+  /** Retire every block with id < `beforeBlockId`: rewrite the root
+    * (one crash-safe parent-level swap, as [[compact]]) keeping only
+    * newer blocks, and persist the watermark INSIDE the staged dir —
+    * so every crash window leaves either the old store or the complete
+    * expired store with its watermark, never retired data without the
+    * guard that keeps it gone. Monotone: an older watermark never
+    * overwrites a newer one. Same concurrency contract as [[compact]]:
+    * callers expire only checkpoint-committed history, and retained
+    * blocks mid-replace survive via [[copyRecursively]]'s retry. */
+  def expire(partialsPath: String, beforeBlockId: Long): Unit = {
+    val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val wm = math.max(watermark(root), beforeBlockId)
+    val retained = blockDirs(root).filter(blockId(_) >= wm)
+    if (wm == watermark(root)) return // nothing new to retire
+    Store.swapDirectory(
+      root.getParent.toString, root.getFileName.toString) { tmp =>
+      val tmpPath = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.createDirectories(tmpPath)
+      java.nio.file.Files.writeString(
+        tmpPath.resolve(WatermarkFile), wm.toString + "\n")
+      retained.foreach { src =>
+        copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
+      }
+    }
+  }
 
   /** Fold every block with id ≤ `throughBlockId` into ONE block via
     * `fold` (identity/concatenation for row-fact partials, a re-merge
@@ -59,8 +147,10 @@ object BlockStore {
     * state of that block, never a torn half — both are complete
     * blocks (replays REPLACE losslessly), so either is correct. */
   def compact(spark: SparkSession, partialsPath: String,
-              throughBlockId: Long)(fold: DataFrame => DataFrame): Unit = {
+              throughBlockId: Long, partitionCols: Seq[String] = Nil)(
+      fold: DataFrame => DataFrame): Unit = {
     val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
+    val wm = watermark(root)
     val (oldBlocks, retained) =
       blockDirs(root).partition(blockId(_) <= throughBlockId)
     if (oldBlocks.size < 2) return // nothing to fold
@@ -69,9 +159,25 @@ object BlockStore {
       root.getParent.toString, root.getFileName.toString) { tmp =>
       val tmpPath = java.nio.file.Paths.get(tmp)
       java.nio.file.Files.createDirectories(tmpPath)
-      fold(spark.read.parquet(oldBlocks.map(_.toString): _*))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$tmp/block=$foldedId")
+      // the expiry watermark survives compaction — dropping it would
+      // re-arm retired block ids for a later replay to resurrect
+      if (wm != Long.MinValue)
+        java.nio.file.Files.writeString(
+          tmpPath.resolve(WatermarkFile), wm.toString + "\n")
+      val folded = fold(
+        spark.read.option("basePath", root.toString)
+          .parquet(oldBlocks.map(_.toString): _*))
+      // a physically-partitioned family (the ANN inverted lists) keeps
+      // its layout through compaction so the probe's prune survives
+      if (partitionCols.nonEmpty)
+        folded
+          .repartition(partitionCols.map(
+            org.apache.spark.sql.functions.col): _*)
+          .write.partitionBy(partitionCols: _*)
+          .mode("overwrite").parquet(s"$tmp/block=$foldedId")
+      else
+        folded.coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/block=$foldedId")
       retained.foreach { src =>
         copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
       }

@@ -56,11 +56,72 @@ object AnnMV {
     * replay is lossless). */
   def writeBlock(vecs: DataFrame, cents: DataFrame, partialsPath: String,
                  blockId: Long): Unit =
-    graft.store.Store.swapDirectory(partialsPath, s"block=$blockId") { tmp =>
+    graft.store.BlockStore.writeBlock(partialsPath, blockId) { tmp =>
       partialAssignments(vecs, cents)
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp)
     }
+
+  /** One batch's inverted-list delta: the batch's FULL vector rows laid
+    * out `cell`-partitioned — the faiss `add()` shape, where the
+    * vectors live inside the inverted lists rather than beside them.
+    * Complements [[partialAssignments]] (the two-longs-per-vector
+    * membership delta): the assignments store answers "which cell is
+    * vec 17 in", this store answers the probe's actual question —
+    * "give me cell 3's vectors" — as a DIRECTORY read. `cell` is the
+    * physical partition key (`partitionBy`), so an IVF probe over the
+    * merged blocks is partition pruning: nprobe/cells of the files,
+    * no membership join, no broadcast of a data-dependent member list
+    * (the round-8 soft spot — a forced `broadcast(members)` whose size
+    * is n/cells × nprobe OOMs at 100 TB). */
+  def partialInverted(vecs: DataFrame, cents: DataFrame): DataFrame =
+    graft.queries.EmbQueries.assignCells(
+      vecs.select(
+        when(assert_true(col("vec_id").isNotNull,
+            lit("AnnMV: null vec_id in embedding batch")).isNull,
+          col("vec_id")).as("vec_id"),
+        col("label"), col("embedding")),
+      cents)
+      .select(col("cell"), col("vec_id"), col("orig").as("label"),
+        col("embedding"))
+
+  /** Write one batch's inverted-list delta as its `block=<id>`
+    * partition with `cell` as the inner physical partition key —
+    * `block=<id>/cell=<c>/…` — replacing any previous write for that
+    * block (same lossless last-write-wins replay as [[writeBlock]]). */
+  def writeInvertedBlock(vecs: DataFrame, cents: DataFrame,
+                         invertedPath: String, blockId: Long): Unit =
+    graft.store.BlockStore.writeBlock(invertedPath, blockId) { tmp =>
+      partialInverted(vecs, cents)
+        .repartition(col("cell")) // one file per populated cell
+        .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    }
+
+  private def invertedSchema(
+      spark: SparkSession): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cell", IntegerType)))
+  }
+
+  /** Merge-on-read inverted-list frame over every stored block
+    * (empty-safe). `cell` resolves as a partition column, so a filter
+    * on it prunes `cell=<c>` directories across ALL blocks — callers
+    * rank a probed cell by reading only its files. */
+  def inverted(spark: SparkSession, invertedPath: String): DataFrame =
+    graft.store.BlockStore.read(spark, invertedPath, invertedSchema(spark))
+      .select("vec_id", "label", "embedding", "cell")
+
+  /** Fold committed inverted-list blocks into one, preserving the
+    * `cell` physical partitioning (the probe's prune survives
+    * compaction). */
+  def compactInverted(spark: SparkSession, invertedPath: String,
+                      throughBlockId: Long): Unit =
+    graft.store.BlockStore.compact(spark, invertedPath, throughBlockId,
+      partitionCols = Seq("cell"))(
+      _.select("vec_id", "label", "embedding", "cell"))
 
   /** Streaming sink: one assignment block per micro-batch. `cents` is
     * resolved once at sink start — the frozen-quantizer contract made
@@ -80,8 +141,13 @@ object AnnMV {
   /** Merge-on-read assignment frame over every stored block. Row-level
     * union — assignment rows are independent facts, so the merge needs
     * no aggregation at all. */
-  def assignments(spark: SparkSession, partialsPath: String): DataFrame =
-    spark.read.parquet(partialsPath).select("vec_id", "cell")
+  def assignments(spark: SparkSession, partialsPath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.store.BlockStore.read(spark, partialsPath,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("cell", IntegerType))))
+      .select("vec_id", "cell")
+  }
 
   /** Fold every block with id ≤ `throughBlockId` into ONE block —
     * concatenation through [[graft.store.BlockStore.compact]]'s

@@ -71,11 +71,28 @@ object DedupMV {
     * last-write-wins is lossless). */
   def writeBlock(docs: DataFrame, partialsPath: String,
                  blockId: Long): Unit =
-    graft.store.Store.swapDirectory(partialsPath, s"block=$blockId") { tmp =>
+    graft.store.BlockStore.writeBlock(partialsPath, blockId) { tmp =>
       partialBands(docs)
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp)
     }
+
+  /** The persisted partial schema — also the explicit-schema answer for
+    * a read racing the first block commit (empty frame, not an
+    * inference error). */
+  private val bandsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "band", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField(
+        "bucket", org.apache.spark.sql.types.StringType)))
+
+  /** Merge-on-read band frame over every stored block (empty-safe). */
+  def bands(spark: SparkSession, partialsPath: String): DataFrame =
+    graft.store.BlockStore.read(spark, partialsPath, bandsSchema)
+      .select("doc_id", "band", "bucket")
 
   /** Streaming sink: one band-index block per micro-batch. */
   def dedupSink(docs: DataFrame, partialsPath: String,
@@ -96,8 +113,7 @@ object DedupMV {
     * `minhashCandPairs` over all delivered documents at once. */
   def candidates(spark: SparkSession, partialsPath: String): DataFrame =
     graft.queries.DocQueries.bandPairs(
-      spark.read.parquet(partialsPath).select("doc_id", "band", "bucket"),
-      dedupBands = true)
+      bands(spark, partialsPath), dedupBands = true)
 
   /** Probe-side dedup decision for a NEW batch of documents against the
     * persisted index, without touching any stored document: compute the
@@ -111,7 +127,7 @@ object DedupMV {
     * collision is a candidate, not a verdict. */
   def probe(spark: SparkSession, partialsPath: String,
             newDocs: DataFrame): DataFrame = {
-    val index = spark.read.parquet(partialsPath)
+    val index = bands(spark, partialsPath)
       .select(col("band"), col("bucket"), col("doc_id").as("seen_id"))
     partialBands(newDocs)
       .join(index, Seq("band", "bucket"))

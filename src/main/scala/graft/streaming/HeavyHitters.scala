@@ -68,7 +68,7 @@ object HeavyHitters {
     * FileNotFound window; the swap narrows that to two renames. */
   def writeBlock(events: DataFrame, itemCol: String, k: Int,
                  partialsPath: String, blockId: Long): Unit =
-    graft.store.Store.swapDirectory(partialsPath, s"block=$blockId") { tmp =>
+    graft.store.BlockStore.writeBlock(partialsPath, blockId) { tmp =>
       partialSummary(events, itemCol, k, blockId)
         .drop("block") // encoded by the partition directory
         .coalesce(1)

@@ -61,7 +61,7 @@ object HistogramMV {
   def writeBlock(rows: DataFrame, keyCol: String, valueCol: String,
                  lo: Double, hi: Double, buckets: Int,
                  partialsPath: String, blockId: Long): Unit =
-    graft.store.Store.swapDirectory(partialsPath, s"block=$blockId") { tmp =>
+    graft.store.BlockStore.writeBlock(partialsPath, blockId) { tmp =>
       partialHistogram(rows, keyCol, valueCol, lo, hi, buckets, blockId)
         .drop("block") // encoded by the partition directory
         .coalesce(1)

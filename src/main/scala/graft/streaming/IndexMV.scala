@@ -69,11 +69,24 @@ object IndexMV {
     * a batch's partial is exact, so last-write-wins is lossless). */
   def writeBlock(docs: DataFrame, k: Int, partialsPath: String,
                  blockId: Long): Unit =
-    graft.store.Store.swapDirectory(partialsPath, s"block=$blockId") { tmp =>
+    graft.store.BlockStore.writeBlock(partialsPath, blockId) { tmp =>
       partialIndex(docs, k)
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp)
     }
+
+  /** The persisted partial schema — also the explicit-schema answer
+    * for a read racing the first block commit. */
+  private val partialSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("tok", StringType), StructField("df", LongType),
+      StructField("cf", LongType),
+      StructField("topk", ArrayType(StructType(Seq(
+        StructField("score", DoubleType, nullable = false),
+        StructField("id", LongType, nullable = false))),
+        containsNull = false))))
+  }
 
   /** Streaming sink: one index partial block per micro-batch. */
   def indexSink(docs: DataFrame, k: Int, partialsPath: String,
@@ -113,7 +126,8 @@ object IndexMV {
     * once (IndexMVSpec asserts the equality literally). */
   def merged(spark: SparkSession, partialsPath: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    fold(spark.read.parquet(partialsPath), k)
+    fold(graft.store.BlockStore.read(spark, partialsPath, partialSchema)
+      .select("tok", "df", "cf", "topk"), k)
       .select(col("tok").as("term"), col("df"), col("cf"),
         expr("concat_ws(',', transform(topk, p -> cast(p.id AS string)))")
           .as("top_docs"))

@@ -223,6 +223,18 @@ class PlanSpec extends SparkSpec {
       "IVF-PQ ranking did not plan TakeOrderedAndProject")
     assert(!p.contains("SortMergeJoin"),
       "IVF-PQ shuffled the encoded fact side")
+    // the broadcast above must come from the PLANNER's stats, not a
+    // forced hint on the probe side (round-8 verdict: a pinned
+    // broadcast on a data-dependent frame is an OOM at 100 TB); the
+    // only hints left in the query are the O(1)-bounded codebook / ADC
+    // / query-row frames, none under the semi-join's build side
+    val hinted = graft.queries.EmbQueries.ivfPqTopK
+      .run(spark, sf)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hinted.forall(h => !h.child.toString.contains("LocalLimit")),
+      "the nprobe cell-list (limit-3) frame carries a forced broadcast hint")
   }
 
   test("kmeans refine assigns against a broadcast codebook") {
@@ -272,19 +284,32 @@ class PlanSpec extends SparkSpec {
       "MV readback planned a cartesian")
   }
 
-  test("streamed-IVF search probes membership via broadcast joins and " +
-    "ranks via TakeOrdered") {
-    // cell membership resolves from the merged blocks through broadcast
-    // joins (probe cell → members → fact semi-join); the corpus-sized
-    // side must never shuffle, and the head is a bounded TakeOrdered
-    val p = plan(graft.queries.EmbQueries.ivfStreamed)
-    assert(p.contains("BroadcastHashJoin"),
-      "membership probe is not a broadcast join")
-    assert(p.contains("LeftSemi"),
-      "fact-side membership test is not a semi-join")
+  test("streamed-IVF search ranks behind a PARTITION-PRUNED scan of the " +
+    "cell-partitioned inverted lists — no membership join at all") {
+    // the 100 TB probe shape (round-8 verdict task 1): the probed cell
+    // becomes a literal filter on the store's physical partition key,
+    // so the ranking scan reads only `cell=<probe>` directories — no
+    // member list is ever built, broadcast, or joined; the head stays
+    // a bounded TakeOrdered
+    val df = graft.queries.EmbQueries.ivfStreamed.run(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("TakeOrderedAndProject"), "head is not TakeOrdered")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "streamed-IVF probe planned a shuffle join or cartesian")
+    val pruned = "PartitionFilters: \\[[^\\]]*cell".r
+      .findFirstIn(p).isDefined
+    assert(pruned,
+      "inverted-list scan lost its cell partition filter:\n" + p)
+    // and the prune is REAL: the scan reads strictly fewer files than
+    // the store holds (4 blocks × 10 cells at sf0.001)
+    df.collect()
+    // plan-wide totals: pruned inverted scan (≤1 file per live block ×
+    // 2 blocks) + the 1-file query-vector scan; an unpruned store scan
+    // would read every populated cell dir (~20 files) and fail this
+    val (files, _) = graft.store.ScanStats.totals(df)
+    assert(files > 0 && files <= 3,
+      s"expected ≤3 files across the plan after cell pruning, read $files")
   }
 
   test("BPE trainer's final plan scans the corpus ZERO times (state " +
