@@ -417,6 +417,182 @@ object DocQueries {
       .limit(20)
   }
 
+  /** The DuckDB twin of [[ingestDedupGate]] — the first-seen-wins
+    * recursion unrolled over the four delivery blocks as chained CTEs
+    * (the `emb_kmeans_train` unroll discipline): block b's in-batch
+    * exact dups collapse to their min-id rep, the reps probe
+    * kept(b−1), and `kept(b)` = kept(b−1) plus the reps with no
+    * VERIFIED duplicate there. One `bands`/`sh` chain over the whole
+    * corpus, reused per round. The block key is an md5 spread of the
+    * doc id (not `doc_id % 4`): delivery order must not be correlated
+    * with id arithmetic, or a strided corpus (the 10× scale build
+    * shifts ids by a multiple of 4) aliases every copy of a doc into
+    * one block and the gate never sees a cross-block dup. */
+  private val ingestGateSql: String = {
+    val j =
+      """CAST(len(list_distinct(list_intersect(x.shingles, y.shingles)))
+        |               AS DOUBLE)
+        |            / len(list_distinct(x.shingles || y.shingles))"""
+        .stripMargin
+    val rounds = (1 to 3).map { b =>
+      s"""dec$b AS (
+         |  SELECT v.doc_id,
+         |         min(v.seen_id) FILTER (WHERE v.j >= 0.5) AS dup_of
+         |  FROM (
+         |    SELECT c.doc_id, c.seen_id, $j AS j
+         |    FROM (SELECT DISTINCT n.doc_id, o.doc_id AS seen_id
+         |          FROM bands n
+         |          JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+         |          JOIN reps s ON s.doc_id = n.doc_id AND s.block = $b
+         |          JOIN kept${b - 1} k ON k.doc_id = o.doc_id) c
+         |    JOIN sh x ON x.doc_id = c.doc_id
+         |    JOIN sh y ON y.doc_id = c.seen_id) v
+         |  GROUP BY 1
+         |),
+         |kept$b AS (SELECT doc_id FROM kept${b - 1}
+         |           UNION ALL
+         |           SELECT s.doc_id FROM reps s
+         |           LEFT JOIN dec$b d ON d.doc_id = s.doc_id
+         |           WHERE s.block = $b AND d.dup_of IS NULL)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashChainDuck("SELECT doc_id, text FROM documents")},
+       |src AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+       |              AS BIGINT) % 4 AS block,
+       |         md5(text) AS th
+       |  FROM documents
+       |),
+       |reps AS (
+       |  SELECT min(doc_id) AS doc_id, th, block
+       |  FROM src GROUP BY th, block
+       |),
+       |inb AS (
+       |  SELECT s.doc_id, s.block, r.doc_id AS dup_of
+       |  FROM src s
+       |  JOIN reps r ON r.th = s.th AND r.block = s.block
+       |  WHERE s.doc_id <> r.doc_id
+       |),
+       |kept0 AS (SELECT doc_id FROM reps WHERE block = 0),
+       |$rounds,
+       |alldec AS (SELECT doc_id, dup_of FROM dec1
+       |           UNION ALL SELECT doc_id, dup_of FROM dec2
+       |           UNION ALL SELECT doc_id, dup_of FROM dec3
+       |           UNION ALL SELECT doc_id, dup_of FROM inb)
+       |SELECT s.block,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(d.doc_id) AS BIGINT) AS n_flagged,
+       |       CAST(count(d.dup_of) AS BIGINT) AS n_dropped,
+       |       CAST(count(*) - count(d.dup_of) AS BIGINT) AS n_kept,
+       |       CAST(coalesce(sum(d.dup_of), 0) AS BIGINT) AS dup_of_sum
+       |FROM src s LEFT JOIN alldec d ON d.doc_id = s.doc_id
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** The O(new) ingest-time dedup gate — the production answer to the
+    * dup-heavy corpus, registered end-to-end: the corpus arrives in
+    * four blocks; each block is probed against the index of the blocks
+    * BEFORE it ([[graft.streaming.DedupMV.probeCandidates]] — bucket-
+    * keyed fetch, candidate-sized work), every candidate is verified by
+    * exact shingle-Jaccard, and a doc drops iff some verified (≥ 0.5)
+    * duplicate exists among the docs already KEPT — `dup_of` is the
+    * smallest such, first-seen-wins. Crucially only SURVIVORS' bands
+    * enter the index (`DedupMV.writeBlock` on the gated batch), which
+    * is what keeps a size-m exact-dup clique O(m) end-to-end: the
+    * clique's first copy is the only one ever indexed, so each later
+    * copy generates ONE candidate pair instead of pairing with every
+    * earlier copy — the readback query's lost semi-join prune
+    * (`docs_minhash_pairs_mv`, the round-8 4.6×@10× watch item) never
+    * happens because the quadratic input never exists. Intra-block
+    * dups are deliberately NOT flagged (a batch commits atomically;
+    * in-batch dedup is the batch `docs_exact_dedup` family's job).
+    * Output: per-block kept/dropped/flagged counts plus the dup_of
+    * checksum, so the oracle pins the MAPPING, not just the counts. */
+  val ingestDedupGate: NamedQuery = NamedQuery(
+    "docs_ingest_dedup_gate", ingestGateSql) { (s, d) =>
+    import graft.streaming.DedupMV
+    val partials = graft.store.Store.scratchStore("gatemv")
+    val corpus = docs(s, d).select("doc_id", "text")
+    // md5-spread block key — NOT id arithmetic (see the oracle's
+    // scaladoc: a strided corpus would alias all copies of a doc into
+    // one block and blind the gate)
+    val blockCol = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(4L))
+    val src = corpus
+      .select(col("doc_id"), col("text"), blockCol.as("block"),
+        md5(col("text")).as("th"))
+    // in-batch exact dedup: one rep (min id, its text riding the same
+    // min-struct) per (text-hash, block); copies map to their rep.
+    // reps — the DISTINCT working set every round re-reads — is the
+    // frame worth materializing; src stays a cheap md5-over-scan.
+    val reps = src.groupBy("th", "block")
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("block"), col("th"))
+      .localCheckpoint()
+    val inb = src
+      .join(reps.select(col("th").as("th2"), col("block").as("block2"),
+        col("doc_id").as("dup_of")),
+        col("th") === col("th2") && col("block") === col("block2"))
+      .where(col("doc_id") =!= col("dup_of"))
+      .select(col("doc_id"), col("dup_of"))
+    val jexpr =
+      (size(array_distinct(
+        array_intersect(col("x.shingles"), col("y.shingles"))))
+        .cast("double") /
+        size(array_distinct(
+          concat(col("x.shingles"), col("y.shingles"))))).as("j")
+    val crossDecs = (0 until 4).flatMap { b =>
+      val batch = reps.where(col("block") === b).select("doc_id", "text")
+      // one tokenize+minhash per rep per round, shared by the probe
+      // AND (filtered to survivors) the index write
+      val bandsB = DedupMV.partialBands(batch)
+      val dec =
+        if (b == 0) None
+        else {
+          // pin the PREFIX index before this block's own write lands:
+          // the candidate read is eager from here on
+          val cand = DedupMV.probeCandidatesFromBands(s, partials, bandsB)
+            .localCheckpoint()
+          val ids = cand.select(col("doc_id"))
+            .union(cand.select(col("seen_id").as("doc_id")))
+            .distinct()
+          // candidates (both sides) are reps by construction — verify
+          // from the materialized rep texts, not a corpus re-scan
+          val sh = shingleFrame(reps.select("doc_id", "text")
+            .join(ids, Seq("doc_id"), "left_semi"))
+          Some(cand
+            .join(sh.as("x"), col("x.doc_id") === cand("doc_id"))
+            .join(sh.as("y"), col("y.doc_id") === col("seen_id"))
+            .select(cand("doc_id"), col("seen_id"), jexpr)
+            .groupBy("doc_id")
+            .agg(min(when(col("j") >= 0.5, col("seen_id"))).as("dup_of"))
+            .localCheckpoint())
+        }
+      val survivorBands = dec match {
+        case None => bandsB
+        case Some(dd) => bandsB.join(
+          dd.where(col("dup_of").isNotNull), Seq("doc_id"), "left_anti")
+      }
+      DedupMV.writeBandsBlock(survivorBands, partials, blockId = b.toLong)
+      dec
+    }
+    val alldec = (crossDecs :+ inb).reduce(_ unionByName _)
+    src.select(col("doc_id"), col("block"))
+      .join(alldec.select(col("doc_id").as("fid"), col("dup_of")),
+        col("fid") === col("doc_id"), "left")
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("fid")).as("n_flagged"),
+        count(col("dup_of")).as("n_dropped"),
+        (count(lit(1)) - count(col("dup_of"))).as("n_kept"),
+        coalesce(sum(col("dup_of")), lit(0L)).as("dup_of_sum"))
+      .orderBy("block")
+  }
+
   /** 32-bit SimHash per document: each token votes ±1 per bit position of
     * its md5; bit = 1 where the vote sum is positive. Each distinct term
     * contributes one 32-long vote vector (weighted by term frequency —
@@ -3005,6 +3181,7 @@ object DocQueries {
 
   val all: Seq[NamedQuery] = Seq(
     textStats, exactDedup, minhashPairs, minhashPairsMv, dedupThenMinhash,
+    ingestDedupGate,
     simhash,
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,

@@ -126,15 +126,49 @@ object DedupMV {
     * Callers verify survivors (exact Jaccard) before acting — bucket
     * collision is a candidate, not a verdict. */
   def probe(spark: SparkSession, partialsPath: String,
-            newDocs: DataFrame): DataFrame = {
-    val index = bands(spark, partialsPath)
-      .select(col("band"), col("bucket"), col("doc_id").as("seen_id"))
-    partialBands(newDocs)
-      .join(index, Seq("band", "bucket"))
-      .where(col("seen_id") =!= col("doc_id"))
+            newDocs: DataFrame): DataFrame =
+    probeCandidates(spark, partialsPath, newDocs)
       .groupBy("doc_id")
       .agg(min(col("seen_id")).as("dup_of"))
+
+  /** The pre-verification fan-out behind [[probe]]: distinct `(doc_id,
+    * seen_id)` candidate pairs — every already-indexed doc sharing an
+    * LSH bucket with a new-batch doc. Exposed separately so a caller
+    * can verify EACH candidate by exact Jaccard and then pick the
+    * smallest VERIFIED seen_id (the `docs_ingest_dedup_gate`
+    * discipline) instead of verifying only the blind minimum —
+    * a chance bucket collision with a low id must not shadow a true
+    * duplicate behind it. Work is candidate-sized: index rows are
+    * fetched by bucket key, never scanned. */
+  def probeCandidates(spark: SparkSession, partialsPath: String,
+                      newDocs: DataFrame): DataFrame =
+    probeCandidatesFromBands(spark, partialsPath, partialBands(newDocs))
+
+  /** [[probeCandidates]] over a PRE-computed band frame — so an ingest
+    * loop that both probes and indexes a batch (the
+    * `docs_ingest_dedup_gate` shape) tokenizes/minhashes each doc
+    * exactly once, reusing the same frame for the probe and (filtered
+    * to survivors) the [[writeBandsBlock]]. */
+  def probeCandidatesFromBands(spark: SparkSession, partialsPath: String,
+                               newBands: DataFrame): DataFrame = {
+    val index = bands(spark, partialsPath)
+      .select(col("band"), col("bucket"), col("doc_id").as("seen_id"))
+    newBands
+      .join(index, Seq("band", "bucket"))
+      .where(col("seen_id") =!= col("doc_id"))
+      .select("doc_id", "seen_id")
+      .distinct()
   }
+
+  /** [[writeBlock]] from a pre-computed band frame (same replay
+    * contract); pairs with [[probeCandidatesFromBands]]. */
+  def writeBandsBlock(newBands: DataFrame, partialsPath: String,
+                      blockId: Long): Unit =
+    graft.store.BlockStore.writeBlock(partialsPath, blockId) { tmp =>
+      newBands.select("doc_id", "band", "bucket")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
 
   /** Fold every block with id ≤ `throughBlockId` into ONE block. Bands
     * are plain rows (no aggregation state), so the fold is a

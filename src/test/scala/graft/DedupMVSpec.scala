@@ -153,6 +153,34 @@ class DedupMVSpec extends SparkSpec {
     assert(decisions == Map(2L -> 1L, 4L -> 1L))
   }
 
+  test("survivors-only indexing keeps a size-m dup clique O(m): each " +
+    "later copy yields ONE candidate, and dup_of is the first copy") {
+    val partials = tmpDir("dmv-clique")
+    def docsDf(rows: Seq[(Long, String)]) =
+      spark.createDataFrame(rows).toDF("doc_id", "text")
+    // m=12 exact copies over 4 blocks; the gate indexes survivors only
+    // (block 0 after in-batch dedup keeps doc 1; every later copy is a
+    // verified dup and never indexed), so each later copy sees exactly
+    // one candidate — the first-kept copy
+    val clique = (1L to 12L).map(_ -> d1)
+    var totalCandidates = 0L
+    clique.grouped(3).zipWithIndex.foreach { case (rows, b) =>
+      val df = docsDf(rows)
+      if (b > 0) {
+        val cand = DedupMV.probeCandidates(spark, partials, df).collect()
+        totalCandidates += cand.length
+        assert(cand.forall(_.getLong(1) == 1L),
+          "candidate seen_id is not the first-kept copy")
+        // all verified dups (exact copies): none survive, nothing indexed
+      } else DedupMV.writeBlock(df.where(col("doc_id") === 1L), partials, 0L)
+    }
+    // 9 later copies × exactly 1 candidate each — an unguarded index
+    // would have produced 3+6+9 = 18 within-prefix pairs and grown
+    // quadratically with m
+    assert(totalCandidates == 9L,
+      s"clique candidate fan-out is not O(m): $totalCandidates")
+  }
+
   test("a too-high throughBlockId cannot park folded history under a " +
     "future batch's block id") {
     val src = tmpDir("dmv-foot-src")
