@@ -246,6 +246,9 @@ object GraftFunctions {
     val (zid, zinfo, zbuilder) = graft.store.ZonedSql.injection
     spark.sessionState.tableFunctionRegistry
       .registerFunction(zid, zinfo, zbuilder)
+    val (mid, minfo, mbuilder) = graft.store.MvSql.injection
+    spark.sessionState.tableFunctionRegistry
+      .registerFunction(mid, minfo, mbuilder)
     // the TVF emits an AsofJoin logical node; without the strategy the
     // planner would have no rule for it — registering the SQL surface
     // implies installing what plans it
@@ -288,6 +291,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.injections.foreach(ext.injectFunction)
     ext.injectTableFunction(graft.plans.AsofSql.injection)
     ext.injectTableFunction(graft.store.ZonedSql.injection)
+    ext.injectTableFunction(graft.store.MvSql.injection)
     ext.injectOptimizerRule(_ => MonthPruningRule)
     ext.injectOptimizerRule(_ => NanoTsPushdownRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -771,8 +771,10 @@ object DocQueries {
     // they are always candidates — emitted once per group, globally.
     // Measured at the 10× dup-heavy corpus: 151 s (pre-round explode
     // of all pairs) → 70 s (bucket-local bounded selection,
-    // [[hammingTopPairsFlat]]) → 5.8 s (this revision); sf0.01/sf0.1
-    // hashes unchanged. The collapse costs one extra exchange + a
+    // [[hammingTopPairsFlat]]) → 4.7 s (this revision; recorded
+    // median-of-3, bench_scale10.json — single dev readings ranged
+    // 4.7–5.8 s under host co-tenancy); sf0.01/sf0.1 hashes
+    // unchanged. The collapse costs one extra exchange + a
     // second signature lineage, so the FLAT tail below stays the
     // right choice for inputs whose cliques are already removed —
     // the two tails are result-identical, pure cost alternatives.
@@ -3023,9 +3025,16 @@ object DocQueries {
         blockId = b.toLong)
     }
     IndexMV.compact(s, partials, 5, throughBlockId = 2L)
-    IndexMV.merged(s, partials, 5)
-      .orderBy(col("df").desc, col("term"))
-      .limit(20)
+    // the readback is PURE SQL over the `graft_mv_read` table function
+    // (store/MvSql.scala) — the merged index is addressable exactly
+    // like `graft_zoned_trades`, and this registered query proves the
+    // SQL spelling resolves to the same plan (same oracle hash) as the
+    // Scala `IndexMV.merged` it dispatches to
+    s.sql(
+      s"""SELECT term, df, cf, top_docs
+         |FROM graft_mv_read('$partials', 'index', 5)
+         |ORDER BY df DESC, term
+         |LIMIT 20""".stripMargin)
   }
 
   /** The fixed retrieval query for the sparse-scoring operators: one

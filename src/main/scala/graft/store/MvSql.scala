@@ -1,0 +1,99 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+/** SQL surface for the streaming-MV block stores — the [[ZonedSql]]
+  * treatment applied to the MV families, so every merge-on-read path is
+  * addressable from `spark.sql` exactly like `graft_zoned_trades`:
+  *
+  * {{{
+  *   SELECT * FROM graft_mv_read('/path/to/partials', 'index', 5)
+  *   SELECT * FROM graft_mv_read('/path/to/partials', 'dedup_candidates')
+  *   SELECT * FROM graft_mv_read('/path/to/partials', 'ann_inverted')
+  * }}}
+  *
+  * `kind` selects the family and resolves to the SAME plan the Scala
+  * readback builds — one readback implementation per family, two entry
+  * spellings:
+  *
+  *  - `'index'` → [[graft.streaming.IndexMV.merged]] `(term, df, cf,
+  *    top_docs)`; the optional third argument is the posting-heap bound
+  *    `k` (default 5) and MUST match the k the sink wrote with — the
+  *    merge re-selects top-k over the union of per-block heaps, so a
+  *    larger read-side k cannot invent postings the blocks never kept.
+  *  - `'dedup_bands'` → [[graft.streaming.DedupMV.bands]] `(doc_id,
+  *    band, bucket)` — the raw LSH band index.
+  *  - `'dedup_candidates'` → [[graft.streaming.DedupMV.candidates]]
+  *    `(doc_a, doc_b)` — in-bucket candidate pairs over all blocks.
+  *  - `'ann_assignments'` → [[graft.streaming.AnnMV.assignments]]
+  *    `(vec_id, cell)` — the IVF membership delta rows.
+  *  - `'ann_inverted'` → [[graft.streaming.AnnMV.inverted]] `(vec_id,
+  *    label, embedding, cell)` — the cell-partitioned inverted lists; a
+  *    `WHERE cell = …` on the result partition-prunes the files read,
+  *    same as the Scala probe path.
+  *  - `'histogram'` → [[graft.streaming.HistogramMV.merged]] `(key, k,
+  *    cnt)` — merged equi-width histogram counters.
+  *
+  * All reads are empty-safe ([[BlockStore.read]]: a store probed before
+  * its first block commit yields an empty frame, not an inference
+  * error) and watermark-filtered (expired blocks stay unreadable).
+  * Registered by [[graft.functions.GraftFunctions.register]] next to
+  * `graft_zoned_trades`. */
+object MvSql {
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("graft_mv_read")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    BlockStore.getClass.getName, "graft_mv_read")
+
+  /** The valid `kind` arguments, in the error message's order. */
+  val kinds: Seq[String] = Seq("index", "dedup_bands", "dedup_candidates",
+    "ann_assignments", "ann_inverted", "histogram")
+
+  val builder: Seq[Expression] => LogicalPlan = { children =>
+    require(children.length == 2 || children.length == 3,
+      "graft_mv_read expects (path, kind) or (path, 'index', k), got " +
+        s"${children.length} arguments")
+    def str(i: Int, name: String): String = children(i) match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_mv_read: $name must be a string literal, got $other")
+    }
+    val path = str(0, "path")
+    val kind = str(1, "kind")
+    val k: Option[Int] = children.lift(2).map {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_mv_read: k must be an integer literal, got $other")
+    }
+    if (k.nonEmpty && kind != "index")
+      throw new IllegalArgumentException(
+        s"graft_mv_read: only kind 'index' takes a k argument, got '$kind'")
+    val spark = SparkSession.active
+    val df = kind match {
+      case "index" =>
+        graft.streaming.IndexMV.merged(spark, path, k.getOrElse(5))
+      case "dedup_bands" =>
+        graft.streaming.DedupMV.bands(spark, path)
+      case "dedup_candidates" =>
+        graft.streaming.DedupMV.candidates(spark, path)
+      case "ann_assignments" =>
+        graft.streaming.AnnMV.assignments(spark, path)
+      case "ann_inverted" =>
+        graft.streaming.AnnMV.inverted(spark, path)
+      case "histogram" =>
+        graft.streaming.HistogramMV.merged(spark, path)
+      case other => throw new IllegalArgumentException(
+        s"graft_mv_read: unknown kind '$other' — expected one of " +
+          kinds.mkString("'", "', '", "'"))
+    }
+    df.queryExecution.logical
+  }
+
+  def injection: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (identifier, info, builder)
+}

@@ -84,10 +84,17 @@ object HistogramMV {
       .start()
 
   /** Merged per-key histogram over every stored block — counter
-    * addition, the mergeable-sketch operation. */
-  def merged(spark: SparkSession, partialsPath: String): DataFrame =
-    spark.read.parquet(partialsPath)
+    * addition, the mergeable-sketch operation. Empty-safe and
+    * watermark-filtered through [[graft.store.BlockStore.read]] (the
+    * explicit schema below answers only the no-blocks-yet read; a
+    * non-empty store infers its actual key type from the files). */
+  def merged(spark: SparkSession, partialsPath: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.store.BlockStore.read(spark, partialsPath,
+      StructType(Seq(StructField("key", StringType),
+        StructField("k", LongType), StructField("cnt", LongType))))
       .groupBy("key", "k").agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** Quantile estimates from the merged counters: for each requested
     * rank fraction the estimate interpolates inside the unique bucket
