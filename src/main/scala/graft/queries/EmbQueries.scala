@@ -1180,8 +1180,13 @@ object EmbQueries {
        |LIMIT 10""".stripMargin) { (s, d) =>
     import graft.streaming.AnnMV
     val inv = graft.store.Store.scratchStore("annmv")
+    // the frozen quantizer is consumed by ~6 separate actions below (4
+    // block writes, the compaction fold, the coarse probe); pin its 10
+    // rows once instead of re-running the explode-64-dims + exact-
+    // decimal-mean lineage per action (the emb_kmeans_train discipline)
     val cents = centroidFrame(s, d)
       .select(col("label").as("clabel"), col("centroid"))
+      .localCheckpoint()
     val base = emb(s, d).where(col("vec_id") =!= 0)
     (0 until 4).foreach { b =>
       AnnMV.writeInvertedBlock(
