@@ -1496,6 +1496,101 @@ object EmbQueries {
       .orderBy("label")
   }
 
+  /** [[semanticDedup]]'s 100 TB spelling — the paper's own giant-cluster
+    * caveat closed with machinery the engine already ships: each
+    * semantic cluster is REFINED by an ADAPTIVE number of LSH
+    * sign-projection bits before the pair join, so the quadratic term
+    * is Σ|subcell|² with |subcell| ≈ a fixed target (64) at ANY corpus
+    * size — the demo's fixed 10-cell quantizer stops being a scale
+    * liability (its 30× wall grew 15.5× because |cell| grew 30×; here
+    * bits grow instead). The bit width per cluster is a pure integer
+    * staircase of the cluster's row count (≤64→0 bits, ≤128→1, …,
+    * else 8 — both engines compute it from the same count, no float
+    * log), and the sub-key is a PREFIX of the same 8-bit md5-derived
+    * hyperplane signature [[lshPairs]] uses, so the whole construction
+    * reuses one audited projection. Honesty about recall: a single
+    * band misses near-dup pairs whose signs differ inside the prefix —
+    * the standard LSH trade, bounded per bit by 1−θ/π; the recall
+    * lever is more hyperplanes → more bands (the minhash 4-band
+    * discipline, `DocQueries.minhashBands`), orthogonal to the cap
+    * mechanism certified here. The capped candidate set is a SUBSET of
+    * the uncapped query's (same τ, pairs only ever removed), which
+    * SketchQuantizeSpec pins literally. */
+  val semanticDedupCapped: NamedQuery = {
+    def bitsDuck(cnt: String): String =
+      s"""CASE WHEN $cnt <= 64 THEN 0 WHEN $cnt <= 128 THEN 1
+         |     WHEN $cnt <= 256 THEN 2 WHEN $cnt <= 512 THEN 3
+         |     WHEN $cnt <= 1024 THEN 4 WHEN $cnt <= 2048 THEN 5
+         |     WHEN $cnt <= 4096 THEN 6 WHEN $cnt <= 8192 THEN 7
+         |     ELSE 8 END""".stripMargin
+    NamedQuery(
+      "emb_semantic_dedup_capped",
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, label, embedding,
+         |         ${bucketDuckExpr("embedding")} AS b8
+         |  FROM embeddings
+         |),
+         |wb AS (
+         |  SELECT label, ${bitsDuck("count(*)")} AS bits
+         |  FROM embeddings GROUP BY 1
+         |),
+         |sub AS (
+         |  SELECT b.vec_id, b.label, b.embedding,
+         |         substr(b.b8, 1, wb.bits) AS sk
+         |  FROM bucketed b JOIN wb USING (label)
+         |),
+         |rem AS (
+         |  SELECT DISTINCT y.label, y.vec_id AS rid
+         |  FROM sub x
+         |  JOIN sub y ON x.label = y.label AND x.sk = y.sk
+         |             AND x.vec_id < y.vec_id
+         |  WHERE ${cosDuck("x.embedding", "y.embedding")} > 0.35
+         |),
+         |rm AS (SELECT label, count(*) AS n_removed FROM rem GROUP BY 1),
+         |tot AS (
+         |  SELECT label, count(*) AS n_vecs,
+         |         count(DISTINCT sk) AS n_buckets
+         |  FROM sub GROUP BY 1
+         |)
+         |SELECT tot.label, n_vecs, n_buckets,
+         |       COALESCE(n_removed, 0) AS n_removed,
+         |       n_vecs - COALESCE(n_removed, 0) AS n_kept
+         |FROM tot LEFT JOIN rm ON tot.label = rm.label
+         |ORDER BY tot.label""".stripMargin) { (s, d) =>
+      val e = emb(s, d).select(col("vec_id"), col("label"), col("embedding"),
+        expr(bucketExpr("embedding")).as("b8"))
+      // integer staircase, not a float log: both engines derive the bit
+      // width from the same exact count
+      val bits = e.groupBy("label").agg(count(lit(1)).as("cnt"))
+        .select(col("label"),
+          when(col("cnt") <= 64, 0).when(col("cnt") <= 128, 1)
+            .when(col("cnt") <= 256, 2).when(col("cnt") <= 512, 3)
+            .when(col("cnt") <= 1024, 4).when(col("cnt") <= 2048, 5)
+            .when(col("cnt") <= 4096, 6).when(col("cnt") <= 8192, 7)
+            .otherwise(8).as("bits"))
+      // O(labels) frame — broadcastable at any corpus size
+      val sub = e.join(broadcast(bits), "label")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr("substring(b8, 1, bits)").as("sk"))
+      val removed = sub.as("a")
+        .join(sub.as("b"),
+          col("a.label") === col("b.label") && col("a.sk") === col("b.sk") &&
+            col("a.vec_id") < col("b.vec_id") &&
+            expr(cosSpark("a.embedding", "b.embedding")) > 0.35)
+        .select(col("b.label").as("label"), col("b.vec_id").as("rid"))
+        .distinct()
+      val rm = removed.groupBy("label").agg(count(lit(1)).as("n_removed"))
+      sub.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("sk")).as("n_buckets"))
+        .join(rm, Seq("label"), "left")
+        .select(col("label"), col("n_vecs"), col("n_buckets"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          (col("n_vecs") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+        .orderBy("label")
+    }
+  }
+
   /** Matryoshka-style dimension-truncation recall: rank the corpus
     * against 5 query vectors by full 64-dim cosine AND by cosine over the
     * first 16 dims only (the MRL prefix-truncation trick — Kusupati et
@@ -1645,5 +1740,6 @@ object EmbQueries {
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
     pqTopK, pqRecall, ivfPqTopK, ivfPqRecall, kmeansRefine, kmeansTrain,
-    ivfStreamed, semanticDedup, matryoshkaRecall, hybridRrf)
+    ivfStreamed, semanticDedup, semanticDedupCapped, matryoshkaRecall,
+    hybridRrf)
 }

@@ -182,6 +182,24 @@ class PlanSpec extends SparkSpec {
       "cluster-local self-join degenerated to all-pairs")
   }
 
+  test("capped semantic dedup: the pair join keys on (cluster, LSH " +
+    "prefix) and the bit-width frame broadcasts") {
+    val df = graft.queries.EmbQueries.semanticDedupCapped.run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "sub-bucketed self-join degenerated to all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(labels) bit-width frame should broadcast onto the scan")
+    // the quadratic term's key includes the sub-bucket, not label alone
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("vec_id")) => j
+    }
+    assert(joins.nonEmpty &&
+      joins.forall(_.condition.get.toString.contains("sk")),
+      "pair join must key on the LSH sub-bucket")
+  }
+
   test("fuzzy contamination prunes candidates before the shingle join, " +
     "never cartesian") {
     val q = graft.queries.DocQueries.fuzzyContamination

@@ -191,6 +191,41 @@ class QualityOpsSpec extends SparkSpec {
     }
   }
 
+  test("capped semantic dedup: removals are a subset of the uncapped " +
+    "query's, and zero-bit clusters reproduce it exactly") {
+    // sf0.001: every cluster is under the 64-row target, the staircase
+    // gives 0 bits, the sub-key is '' — the capped query must equal the
+    // uncapped one row-for-row (modulo its extra n_buckets=1 column)
+    val tiny = "/root/testdata/sf0.001"
+    val cap0 = graft.queries.EmbQueries.semanticDedupCapped.run(spark, tiny)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3),
+        r.getLong(4))).toList
+    val unc0 = graft.queries.EmbQueries.semanticDedup.run(spark, tiny)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(cap0 == unc0, "0-bit clusters must reproduce plain SemDeDup")
+    // sf0.1: 200-row clusters refine to 2 bits; candidate pairs are a
+    // subset of the uncapped all-pairs, so per-cluster removals can
+    // only shrink, populations must still partition, and the bucket
+    // count is bounded by 2^bits
+    val sf = "/root/testdata/sf0.1"
+    val cap = graft.queries.EmbQueries.semanticDedupCapped.run(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val unc = graft.queries.EmbQueries.semanticDedup.run(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(cap.keySet == unc.keySet)
+    cap.foreach { case (label, (nVecs, nBuckets, nRemoved, nKept)) =>
+      assert(nVecs == unc(label)._1)
+      assert(nRemoved <= unc(label)._2,
+        s"label $label: capped removals exceed the uncapped superset")
+      assert(nKept == nVecs - nRemoved)
+      assert(nBuckets >= 1 && nBuckets <= 4,
+        s"label $label: ${nBuckets} buckets from a 2-bit refinement")
+    }
+  }
+
   test("dedup-then-simhash equals the plain pairing on the pre-deduped corpus") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
