@@ -46,7 +46,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * pairs (a semi-join prune before any tokenization — see
   * `docs_minhash_pairs_mv`), never the corpus. Store growth is
   * O(batch-docs · 4) per block until [[compact]] folds committed blocks
-  * into one. */
+  * into one. Retention: [[graft.store.BlockStore.expire]] retires
+  * whole blocks under a persisted watermark (the reference's 90-day
+  * TTL applied MV-side) — appropriate here because a band row's only
+  * referent is its source document; expiring the docs' blocks expires
+  * their index rows with them, and a replayed expired block cannot
+  * resurrect (the watermark gates `writeBlock`). */
 object DedupMV {
 
   /** One batch's index partial: `(doc_id, band, bucket)` for this

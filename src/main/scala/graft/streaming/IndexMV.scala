@@ -31,7 +31,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * carry O(vocab × k) per batch regardless of batch row count; read-time
   * merge is a groupBy over (vocab × blocks) summary rows, never the
   * corpus. Store growth is O(vocab · batches) until [[compact]] folds
-  * the old blocks into one through the same crash-safe swap. */
+  * the old blocks into one through the same crash-safe swap.
+  * Retention: [[graft.store.BlockStore.expire]] retires blocks under a
+  * persisted watermark — for this family that means the index FORGETS
+  * the expired batches' documents (df/cf counters and postings are
+  * per-block partials, so dropping a block exactly removes its docs'
+  * contribution), the retrieval-side analogue of the reference's
+  * 90-day TTL. */
 object IndexMV {
 
   // THE corpus tokenizer — shared with the batch index
