@@ -37,6 +37,13 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *    same as the Scala probe path.
   *  - `'histogram'` → [[graft.streaming.HistogramMV.merged]] `(key, k,
   *    cnt)` — merged equi-width histogram counters.
+  *  - `'candles'` → [[graft.streaming.CandlePipeline.readCandles]] over
+  *    an append-mode partial-candle store `(minute, symbol, open, high,
+  *    low, close, volume, trades)` — the reference's `SELECT * FROM
+  *    trades_1m` readback as a table function. This family predates the
+  *    block store (replay absorption is a per-(minute, symbol, block)
+  *    dedup at merge time, not a directory swap), so the read is a
+  *    plain parquet scan made empty-safe here.
   *
   * All reads are empty-safe ([[BlockStore.read]]: a store probed before
   * its first block commit yields an empty frame, not an inference
@@ -52,7 +59,40 @@ object MvSql {
 
   /** The valid `kind` arguments, in the error message's order. */
   val kinds: Seq[String] = Seq("index", "dedup_bands", "dedup_candidates",
-    "ann_assignments", "ann_inverted", "histogram")
+    "ann_assignments", "ann_inverted", "histogram", "candles")
+
+  /** The candle partials' persisted schema — the empty-store answer for
+    * the `'candles'` kind (this family appends plain parquet, so there
+    * is no block-store schema fallback to lean on). Kept lockstep with
+    * [[graft.streaming.CandlePipeline.partialCandles]]'s output. */
+  private def candlePartialSchema
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("minute", TimestampType), StructField("symbol", StringType),
+      StructField("open_ts", TimestampType),
+      StructField("close_ts", TimestampType),
+      StructField("open", DoubleType), StructField("high", DoubleType),
+      StructField("low", DoubleType), StructField("close", DoubleType),
+      StructField("volume", DecimalType(38, 10)),
+      StructField("trades", LongType), StructField("block", LongType)))
+  }
+
+  private def candleRead(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val root = java.nio.file.Paths.get(path).toAbsolutePath
+    val hasFiles = java.nio.file.Files.isDirectory(root) && {
+      val s = java.nio.file.Files.list(root)
+      try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val partials =
+      if (hasFiles) spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        candlePartialSchema)
+    graft.streaming.CandlePipeline.readCandles(partials)
+  }
 
   val builder: Seq[Expression] => LogicalPlan = { children =>
     require(children.length == 2 || children.length == 3,
@@ -87,6 +127,8 @@ object MvSql {
         graft.streaming.AnnMV.inverted(spark, path)
       case "histogram" =>
         graft.streaming.HistogramMV.merged(spark, path)
+      case "candles" =>
+        candleRead(spark, path)
       case other => throw new IllegalArgumentException(
         s"graft_mv_read: unknown kind '$other' — expected one of " +
           kinds.mkString("'", "', '", "'"))

@@ -116,6 +116,41 @@ class MvSqlSpec extends SparkSpec {
       s"SELECT * FROM graft_mv_read('$empty', 'histogram')").count() == 0)
   }
 
+  test("kind 'candles': SQL equals readCandles over appended partial " +
+    "blocks, absorbing an at-least-once replay") {
+    import spark.implicits._
+    import graft.streaming.CandlePipeline
+    val partials = tmpDir("mvsql-candles")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 10:00:01")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-10 10:00:40")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-10 10:01:05")
+    def tradesDf(rows: Seq[(java.sql.Timestamp, String, Double, Double)]) =
+      rows.toDF("ts", "symbol", "price", "qty")
+    val b0 = tradesDf(Seq((t0, "btc", 100.0, 1.5), (t1, "btc", 101.0, 2.0)))
+    val b1 = tradesDf(Seq((t2, "btc", 99.0, 1.0), (t0, "eth", 10.0, 3.0)))
+    CandlePipeline.partialCandles(b0, 0L)
+      .write.mode("append").parquet(partials)
+    CandlePipeline.partialCandles(b1, 1L)
+      .write.mode("append").parquet(partials)
+    // at-least-once replay: block 1's byte-identical partials land again
+    CandlePipeline.partialCandles(b1, 1L)
+      .write.mode("append").parquet(partials)
+    val viaSql = sql1(
+      s"SELECT * FROM graft_mv_read('$partials', 'candles')" +
+        " ORDER BY minute, symbol")
+    assert(viaSql.columns.toSeq == Seq("minute", "symbol", "open", "high",
+      "low", "close", "volume", "trades"))
+    val got = viaSql.collect().map(_.toString).toSeq
+    assert(got == CandlePipeline.readCandles(spark.read.parquet(partials))
+      .orderBy("minute", "symbol").collect().map(_.toString).toSeq)
+    // the replayed block did not double-count: btc minute 10:00 keeps
+    // volume 3.5 over 2 trades
+    val btc = viaSql.collect().find(r => r.getString(1) == "btc" &&
+      r.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-01-10 10:00:00"))
+      .get
+    assert(btc.getDouble(6) == 3.5 && btc.getLong(7) == 2L)
+  }
+
   test("every kind is empty-safe before the first block commit") {
     val empty = tmpDir("mvsql-empty")
     graft.store.MvSql.kinds.foreach { kind =>
