@@ -53,9 +53,12 @@ object ShuffleBytes {
       bytes.reset(); rows.reset()
       val t0 = System.nanoTime()
       byName(n).run(spark, sfDir).write.mode("overwrite").format("noop").save()
+      // wall stops HERE — the listener-drain sleep below is harness
+      // overhead, not query time (it used to inflate sub-second walls
+      // by >100%)
+      val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000)
       val mb = bytes.sum / 1e6
-      val wall = (System.nanoTime() - t0) / 1e9
       println("SHUFFLE {\"query\":\"" + n + "\"," +
         f"""\"shuffle_mb\":$mb%.2f,\"shuffle_rows\":${rows.sum},""" +
         f"""\"wall_sec\":$wall%.2f}""")

@@ -112,8 +112,35 @@ object BlockStore {
       retained.foreach { src =>
         copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
       }
+      captureLateBlocks(root, tmpPath, wm)
     }
   }
+
+  /** Close (most of) the new-commit window in [[expire]]/[[compact]]:
+    * a sink that commits a NEW block between the initial `blockDirs`
+    * listing and the parent-level swap would otherwise have its
+    * checkpoint advance while the swap discards the block's data. This
+    * re-list runs as the LAST step of the staging function — any live
+    * block at or above `floorId` that the staged store doesn't hold yet
+    * is copied in, shrinking the unprotected window from the whole
+    * staging copy's duration to the swap's two renames. The residual
+    * window is covered by contract, stated here once: maintenance
+    * (compact/expire) runs from the single maintenance runner BETWEEN
+    * the sink's micro-batches (`foreachBatch` serializes batches, so
+    * running maintenance inside or around the batch callback
+    * trivially satisfies this); a sink racing the rename pair itself
+    * would observe a briefly-missing root and fail its batch before
+    * checkpointing — at-least-once then replays it. */
+  private def captureLateBlocks(root: java.nio.file.Path,
+                                tmpPath: java.nio.file.Path,
+                                floorId: Long): Unit =
+    blockDirs(root)
+      .filter(p => blockId(p) >= floorId &&
+        !java.nio.file.Files.exists(
+          tmpPath.resolve(p.getFileName.toString)))
+      .foreach { src =>
+        copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
+      }
 
   /** Fold every block with id ≤ `throughBlockId` into ONE block via
     * `fold` (identity/concatenation for row-fact partials, a re-merge
@@ -181,6 +208,11 @@ object BlockStore {
       retained.foreach { src =>
         copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
       }
+      // floor EXCLUDES the absorbed ids: their live dirs still exist
+      // but their rows are in the folded block — re-copying one would
+      // double-count it. A late sink commit always carries a HIGHER id
+      // than every absorbed (committed) block, so it clears the floor.
+      captureLateBlocks(root, tmpPath, throughBlockId + 1)
     }
   }
 
@@ -190,11 +222,17 @@ object BlockStore {
     * retries the whole copy — after the rename pair completes the dir
     * is stable again, so one retry normally suffices; three failed
     * attempts mean the dir is gone for good (not a swap) and the
-    * exception is real. */
+    * exception is real. Each retry CLEARS the partially-copied
+    * destination first: `Files.copy` cannot replace a non-empty
+    * directory (the root entry would throw DirectoryNotEmptyException
+    * before the retry got anywhere), and a replaced source names its
+    * part-files differently, so merging attempts would double the
+    * block's rows. */
   def copyRecursively(src: java.nio.file.Path,
                       dst: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     def attempt(): Unit = {
+      Store.deleteRecursivelyIfExists(dst.toString)
       val s = Files.walk(src)
       // depth-first pre-order: directories precede their contents, so
       // each copy's parent already exists

@@ -63,19 +63,20 @@ object MvSql {
 
   /** The candle partials' persisted schema — the empty-store answer for
     * the `'candles'` kind (this family appends plain parquet, so there
-    * is no block-store schema fallback to lean on). Kept lockstep with
-    * [[graft.streaming.CandlePipeline.partialCandles]]'s output. */
-  private def candlePartialSchema
-      : org.apache.spark.sql.types.StructType = {
+    * is no block-store schema fallback to lean on). DERIVED from the
+    * authoritative write lineage — `partialCandles` over an empty typed
+    * trades frame, schema-only, no job — so a change to
+    * [[graft.ops.Ops.ohlcvPartialAggs]] or the decimal width can never
+    * silently diverge the probed-before-first-commit read. */
+  private def candlePartialSchema(
+      spark: SparkSession): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("minute", TimestampType), StructField("symbol", StringType),
-      StructField("open_ts", TimestampType),
-      StructField("close_ts", TimestampType),
-      StructField("open", DoubleType), StructField("high", DoubleType),
-      StructField("low", DoubleType), StructField("close", DoubleType),
-      StructField("volume", DecimalType(38, 10)),
-      StructField("trades", LongType), StructField("block", LongType)))
+    val trades = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("ts", TimestampType), StructField("symbol", StringType),
+        StructField("price", DoubleType), StructField("qty", DoubleType))))
+    graft.streaming.CandlePipeline.partialCandles(trades, 0L).schema
   }
 
   private def candleRead(spark: SparkSession, path: String)
@@ -90,7 +91,7 @@ object MvSql {
       if (hasFiles) spark.read.parquet(path)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        candlePartialSchema)
+        candlePartialSchema(spark))
     graft.streaming.CandlePipeline.readCandles(partials)
   }
 

@@ -118,9 +118,16 @@ object Store {
     * back a lazily-read DataFrame a concurrently-running suite holds
     * (sbt runs suites in parallel), so the newest-1 survives one more
     * allocation; anything older has had two full query builds complete
-    * after it and is dead. A long-lived session re-running the
-    * store-building queries therefore plateaus at ~2 stores per family
-    * instead of one per invocation. */
+    * after it and is dead. Keep-2 alone is not airtight under suite
+    * PARALLELISM (three concurrent allocations could sweep a store a
+    * still-unread DataFrame backs), so the sweep additionally spares
+    * any dir younger than [[ScratchMinAgeMs]] — a lazily-held frame is
+    * always acted on well within that; only long-dead dirs ever go. A
+    * long-lived session re-running the store-building queries
+    * therefore plateaus at ~2 stores per family instead of one per
+    * invocation. */
+  private[graft] val ScratchMinAgeMs: Long = 15 * 60 * 1000L
+
   private[graft] def scratchStore(sub: String): String = {
     val root = Paths.get("target", sub)
     Files.createDirectories(root)
@@ -128,8 +135,13 @@ object Store {
     scratchDirs.add(dir)
     scratchBySub.synchronized {
       val kept = scratchBySub.getOrElse(sub, Nil) :+ dir
-      val (dead, live) = kept.splitAt((kept.size - 2).max(0))
-      scratchBySub(sub) = live
+      val cutoff = System.currentTimeMillis() - ScratchMinAgeMs
+      val (old, live) = kept.splitAt((kept.size - 2).max(0))
+      val (dead, spared) = old.partition { d =>
+        try Files.getLastModifiedTime(Paths.get(d)).toMillis < cutoff
+        catch { case _: Exception => true } // already gone: sweep entry
+      }
+      scratchBySub(sub) = spared ++ live
       dead.foreach { d =>
         scratchDirs.remove(d)
         try deleteRecursivelyIfExists(d)

@@ -97,8 +97,7 @@ object AnnMV {
         .write.partitionBy("cell").mode("overwrite").parquet(tmp)
     }
 
-  private def invertedSchema(
-      spark: SparkSession): org.apache.spark.sql.types.StructType = {
+  private val invertedSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("vec_id", LongType), StructField("label", IntegerType),
@@ -111,7 +110,7 @@ object AnnMV {
     * on it prunes `cell=<c>` directories across ALL blocks — callers
     * rank a probed cell by reading only its files. */
   def inverted(spark: SparkSession, invertedPath: String): DataFrame =
-    graft.store.BlockStore.read(spark, invertedPath, invertedSchema(spark))
+    graft.store.BlockStore.read(spark, invertedPath, invertedSchema)
       .select("vec_id", "label", "embedding", "cell")
 
   /** Fold committed inverted-list blocks into one, preserving the

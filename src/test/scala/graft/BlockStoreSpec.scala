@@ -132,6 +132,45 @@ class BlockStoreSpec extends SparkSpec {
     assert(mergedRows(partials) == Seq(4L))
   }
 
+  test("a block committed WHILE compaction stages is captured by the " +
+    "swap, not lost; absorbed blocks are not double-counted") {
+    val partials = tmpDir("bs-late")
+    (0L to 2L).foreach(i => writeBlock(partials, i, Seq(i)))
+    // the fold callback runs INSIDE the staging step, before the rename
+    // pair — committing block 9 from it simulates a sink whose
+    // micro-batch lands in the window between the initial listing and
+    // the swap (the lost-new-commit race)
+    BlockStore.compact(spark, partials, 1L) { df =>
+      writeBlock(partials, 9L, Seq(99L))
+      df.select("v")
+    }
+    assert(mergedRows(partials) == Seq(0L, 1L, 2L, 99L),
+      "a block committed during staging was lost by the swap " +
+        "or an absorbed block was double-counted")
+  }
+
+  test("copyRecursively clears a partially-copied destination on " +
+    "retry-like reuse instead of merging two source versions") {
+    import spark.implicits._
+    val root = Paths.get(tmpDir("bs-copy"))
+    val srcA = root.resolve("a"); val srcB = root.resolve("b")
+    Seq(1L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(srcA.toString)
+    Seq(2L, 3L).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(srcB.toString)
+    val dst = root.resolve("dst")
+    BlockStore.copyRecursively(srcA, dst)
+    // second copy to the SAME dst (what a retry does after a partial
+    // first attempt): must replace wholesale — part-files have distinct
+    // names across versions, so a merge would double the rows, and the
+    // root-dir copy would throw DirectoryNotEmptyException un-cleared
+    BlockStore.copyRecursively(srcB, dst)
+    val got = spark.read.parquet(dst.toString)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(2L, 3L),
+      s"destination holds $got — stale first-copy content survived")
+  }
+
   test("read of a store with no committed block returns an explicit-" +
     "schema empty frame, not an inference error") {
     import org.apache.spark.sql.types._
