@@ -48,6 +48,18 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * All reads are empty-safe ([[BlockStore.read]]: a store probed before
   * its first block commit yields an empty frame, not an inference
   * error) and watermark-filtered (expired blocks stay unreadable).
+  *
+  * Plan lifetime caveat: the block listing resolves at SQL ANALYSIS
+  * time ([[BlockStore.read]] lists the live dirs eagerly inside the
+  * builder), so each `spark.sql` call re-analyzes the store and pins
+  * the concrete `block=` paths it saw. A CACHED plan — a registered
+  * temp view, a reused DataFrame, a plan-cache hit — does NOT survive
+  * maintenance: executing it after [[BlockStore.compact]]/
+  * [[BlockStore.expire]] rewrote the root fails on the vanished paths
+  * (or, mid-swap, reads the pre-swap listing). Identical behavior to
+  * the Scala readbacks, stated here because SQL spellings are the ones
+  * users cache and reuse: re-issue the `graft_mv_read` query after
+  * maintenance rather than holding its frame across it.
   * Registered by [[graft.functions.GraftFunctions.register]] next to
   * `graft_zoned_trades`. */
 object MvSql {

@@ -121,8 +121,13 @@ object Store {
     * after it and is dead. Keep-2 alone is not airtight under suite
     * PARALLELISM (three concurrent allocations could sweep a store a
     * still-unread DataFrame backs), so the sweep additionally spares
-    * any dir younger than [[ScratchMinAgeMs]] — a lazily-held frame is
-    * always acted on well within that; only long-dead dirs ever go. A
+    * any dir younger than [[ScratchMinAgeMs]]. The age check is a
+    * HEURISTIC, not a guarantee: it reads the dir's mtime, which only
+    * direct-child writes refresh — lazy READS never bump it, so a
+    * DataFrame held unread for longer than the window can still have
+    * its backing store swept. Callers holding a frame across that much
+    * wall-clock must localCheckpoint it (every registered query acts
+    * on its stores within seconds of building them). A
     * long-lived session re-running the store-building queries
     * therefore plateaus at ~2 stores per family instead of one per
     * invocation. */
@@ -577,10 +582,11 @@ object Store {
     // a crash AFTER staging began but BEFORE the rename pair leaves a
     // populated .stage_ dir behind; stage() implementations overwrite
     // only what they write themselves (a parquet overwrite clears its
-    // own subdir, copyRecursively replaces but never removes), so
-    // without this pre-clean a later swap would carry the dead
-    // attempt's leftover content live — e.g. a stale block=N folding
-    // into a block store twice
+    // own subdir; copyRecursively clears its own DESTINATION dir at
+    // the start of each attempt but never touches sibling paths a dead
+    // attempt staged), so without this pre-clean a later swap would
+    // carry the dead attempt's leftover content live — e.g. a stale
+    // block=N folding into a block store twice
     if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
     try {
       stage(tmp)

@@ -85,13 +85,19 @@ object HistogramMV {
 
   /** Merged per-key histogram over every stored block — counter
     * addition, the mergeable-sketch operation. Empty-safe and
-    * watermark-filtered through [[graft.store.BlockStore.read]] (the
-    * explicit schema below answers only the no-blocks-yet read; a
-    * non-empty store infers its actual key type from the files). */
-  def merged(spark: SparkSession, partialsPath: String): DataFrame = {
+    * watermark-filtered through [[graft.store.BlockStore.read]].
+    * `keyType` is the KEY column's type for the no-blocks-yet read
+    * (a non-empty store infers its actual key type from the files):
+    * a family written with a non-string key passes it here so the
+    * probed-before-first-commit frame carries the SAME schema as
+    * every post-commit read — a downstream union/comparison must
+    * never see the store change type at its first block. */
+  def merged(spark: SparkSession, partialsPath: String,
+             keyType: org.apache.spark.sql.types.DataType =
+               org.apache.spark.sql.types.StringType): DataFrame = {
     import org.apache.spark.sql.types._
     graft.store.BlockStore.read(spark, partialsPath,
-      StructType(Seq(StructField("key", StringType),
+      StructType(Seq(StructField("key", keyType),
         StructField("k", LongType), StructField("cnt", LongType))))
       .groupBy("key", "k").agg(sum(col("cnt")).as("cnt"))
   }
@@ -103,12 +109,14 @@ object HistogramMV {
     * |est − exact| ≤ (hi−lo)/buckets guaranteed for in-domain data. */
   def quantiles(spark: SparkSession, partialsPath: String,
                 lo: Double, hi: Double, buckets: Int,
-                qs: Seq[Double]): DataFrame = {
+                qs: Seq[Double],
+                keyType: org.apache.spark.sql.types.DataType =
+                  org.apache.spark.sql.types.StringType): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
     val w = (hi - lo) / buckets
     import org.apache.spark.sql.expressions.Window
     val wk = Window.partitionBy("key").orderBy("k")
-    val c = merged(spark, partialsPath)
+    val c = merged(spark, partialsPath, keyType)
       .withColumn("cum", sum(col("cnt")).over(
         wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum(col("cnt")).over(
