@@ -25,6 +25,103 @@ object BlockStore {
     * underscore so Spark's parquet reader ignores it like `_SUCCESS`. */
   val WatermarkFile = "_expire_watermark"
 
+  /** A held maintenance lease on one partials root — the ENFORCED form
+    * of the single-maintenance-runner contract ([[compact]]/[[expire]]
+    * acquire one internally; a second concurrent runner fails fast in
+    * [[acquireMaintenanceLease]] instead of racing the parent-level
+    * swap). `epoch` is the fencing token: it increases on every
+    * acquisition, including a steal of a stale lease, so a runner that
+    * stalled past its TTL and lost the lease fails [[check]] at the
+    * swap point rather than committing its stale staged copy over the
+    * new holder's work. The lease file lives NEXT TO the root
+    * (`.lease_<dir>`, the `.stage_`/`.old_` sibling convention) so the
+    * parent-level swap it guards cannot delete it mid-run. */
+  final case class MaintenanceLease(file: java.nio.file.Path,
+                                    owner: String, epoch: Long) {
+    /** Fencing check — throws unless the lease file still records THIS
+      * owner and epoch. Passed to [[Store.swapDirectoryFenced]] so it
+      * runs after staging, immediately before the rename pair. */
+    def check(): Unit = {
+      val held =
+        try java.nio.file.Files.readString(file).trim
+        catch { case _: java.io.IOException => "" }
+      val ours = held.split(" ", 3) match {
+        case Array(e, o, _) => e == epoch.toString && o == owner
+        case _ => false
+      }
+      if (!ours) throw new IllegalStateException(
+        s"maintenance lease lost (owner $owner, fencing epoch $epoch; " +
+          s"file now: '$held') — aborting before the swap")
+    }
+
+    /** Delete the lease iff it is still ours (a stolen lease belongs to
+      * the new holder — releasing it would un-fence them). */
+    def release(): Unit =
+      try { check(); java.nio.file.Files.deleteIfExists(file); () }
+      catch { case _: IllegalStateException => () }
+  }
+
+  /** Acquire the maintenance lease for a partials root, or fail fast
+    * with [[IllegalStateException]] if another runner holds a live one.
+    * Atomicity comes from CREATE_NEW (one creator wins the filesystem
+    * race); a lease whose deadline passed is STALE and gets stolen —
+    * delete + re-create, where again exactly one stealer's CREATE_NEW
+    * wins and the loser observes the fresh lease and fails fast. The
+    * epoch sidecar (`.epoch_<dir>`) persists across releases so every
+    * acquisition — normal or steal — gets a strictly larger fencing
+    * token than any lease ever granted on this root. `ttlMs` defaults
+    * to 10 minutes: far above any maintenance pass here, short enough
+    * that a crashed runner's lease is stealable the same session. */
+  def acquireMaintenanceLease(partialsPath: String,
+                              ttlMs: Long = 600000L,
+                              owner: String =
+                                java.util.UUID.randomUUID().toString)
+      : MaintenanceLease = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val root = Paths.get(partialsPath).toAbsolutePath
+    val parent = root.getParent
+    Files.createDirectories(parent)
+    val leaseFile = parent.resolve(s".lease_${root.getFileName}")
+    val epochFile = parent.resolve(s".epoch_${root.getFileName}")
+    var stealsLeft = 3
+    while (true) {
+      val lastEpoch =
+        try Files.readString(epochFile).trim.toLong
+        catch { case _: java.io.IOException => 0L }
+      val epoch = lastEpoch + 1
+      val now = System.currentTimeMillis()
+      try {
+        Files.write(leaseFile,
+          s"$epoch $owner ${now + ttlMs}\n".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        // only the unique CREATE_NEW winner advances the sidecar, so
+        // the write needs no lock of its own
+        Files.writeString(epochFile, epoch.toString + "\n")
+        return MaintenanceLease(leaseFile, owner, epoch)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val held =
+            try Files.readString(leaseFile).trim
+            catch { case _: java.io.IOException => "" }
+          val deadline = held.split(" ", 3) match {
+            case Array(_, _, d) => try d.toLong
+              catch { case _: NumberFormatException => Long.MinValue }
+            case _ => Long.MinValue // torn/garbled lease: stale
+          }
+          if (now < deadline) throw new IllegalStateException(
+            s"maintenance lease held on $root ('$held') — a second " +
+              "concurrent compact/expire runner fails fast by contract")
+          stealsLeft -= 1
+          if (stealsLeft == 0) throw new IllegalStateException(
+            s"maintenance lease on $root stale but unstealable after " +
+              "3 attempts (a live runner keeps re-winning the race)")
+          Files.deleteIfExists(leaseFile)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The persisted expiry watermark, or `Long.MinValue` when nothing
     * has ever been expired. */
   def watermark(root: java.nio.file.Path): Long = {
@@ -100,20 +197,24 @@ object BlockStore {
   def expire(partialsPath: String, beforeBlockId: Long): Unit = {
     val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
     if (!java.nio.file.Files.isDirectory(root)) return
-    val wm = math.max(watermark(root), beforeBlockId)
-    val retained = blockDirs(root).filter(blockId(_) >= wm)
-    if (wm == watermark(root)) return // nothing new to retire
-    Store.swapDirectory(
-      root.getParent.toString, root.getFileName.toString) { tmp =>
-      val tmpPath = java.nio.file.Paths.get(tmp)
-      java.nio.file.Files.createDirectories(tmpPath)
-      java.nio.file.Files.writeString(
-        tmpPath.resolve(WatermarkFile), wm.toString + "\n")
-      retained.foreach { src =>
-        copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
+    val lease = acquireMaintenanceLease(partialsPath)
+    try {
+      val wm = math.max(watermark(root), beforeBlockId)
+      val retained = blockDirs(root).filter(blockId(_) >= wm)
+      if (wm == watermark(root)) return // nothing new to retire
+      Store.swapDirectoryFenced(
+        root.getParent.toString, root.getFileName.toString,
+        () => lease.check()) { tmp =>
+        val tmpPath = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.createDirectories(tmpPath)
+        java.nio.file.Files.writeString(
+          tmpPath.resolve(WatermarkFile), wm.toString + "\n")
+        retained.foreach { src =>
+          copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
+        }
+        captureLateBlocks(root, tmpPath, wm)
       }
-      captureLateBlocks(root, tmpPath, wm)
-    }
+    } finally lease.release()
   }
 
   /** Close (most of) the new-commit window in [[expire]]/[[compact]]:
@@ -123,9 +224,13 @@ object BlockStore {
     * re-list runs as the LAST step of the staging function — any live
     * block at or above `floorId` that the staged store doesn't hold yet
     * is copied in, shrinking the unprotected window from the whole
-    * staging copy's duration to the swap's two renames. The residual
-    * window is covered by contract, stated here once: maintenance
-    * (compact/expire) runs from the single maintenance runner BETWEEN
+    * staging copy's duration to the swap's two renames. The
+    * maintenance-vs-maintenance half of the old "single runner"
+    * contract is now ENFORCED, not stated: [[compact]]/[[expire]]
+    * acquire the [[MaintenanceLease]], so two concurrent runners
+    * cannot interleave their swaps (the second fails fast; a stolen
+    * lease fences the stale runner at its swap). The sink-vs-
+    * maintenance half remains contractual: maintenance runs BETWEEN
     * the sink's micro-batches (`foreachBatch` serializes batches, so
     * running maintenance inside or around the batch callback
     * trivially satisfies this); a sink racing the rename pair itself
@@ -177,13 +282,24 @@ object BlockStore {
               throughBlockId: Long, partitionCols: Seq[String] = Nil)(
       fold: DataFrame => DataFrame): Unit = {
     val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
+    val lease = acquireMaintenanceLease(partialsPath)
+    try compactHoldingLease(spark, root, throughBlockId, partitionCols,
+      lease)(fold)
+    finally lease.release()
+  }
+
+  private def compactHoldingLease(
+      spark: SparkSession, root: java.nio.file.Path, throughBlockId: Long,
+      partitionCols: Seq[String], lease: MaintenanceLease)(
+      fold: DataFrame => DataFrame): Unit = {
     val wm = watermark(root)
     val (oldBlocks, retained) =
       blockDirs(root).partition(blockId(_) <= throughBlockId)
     if (oldBlocks.size < 2) return // nothing to fold
     val foldedId = oldBlocks.map(blockId).max
-    Store.swapDirectory(
-      root.getParent.toString, root.getFileName.toString) { tmp =>
+    Store.swapDirectoryFenced(
+      root.getParent.toString, root.getFileName.toString,
+      () => lease.check()) { tmp =>
       val tmpPath = java.nio.file.Paths.get(tmp)
       java.nio.file.Files.createDirectories(tmpPath)
       // the expiry watermark survives compaction — dropping it would

@@ -36,7 +36,12 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *    `WHERE cell = …` on the result partition-prunes the files read,
   *    same as the Scala probe path.
   *  - `'histogram'` → [[graft.streaming.HistogramMV.merged]] `(key, k,
-  *    cnt)` — merged equi-width histogram counters.
+  *    cnt)` — merged equi-width histogram counters. The optional third
+  *    argument is the key column's DDL type (default `'string'`): a
+  *    non-string-keyed family passes it — `graft_mv_read(path,
+  *    'histogram', 'bigint')` — so a probe BEFORE the family's first
+  *    block commit carries the same key type as every later read
+  *    (the Scala readback's `keyType` contract, SQL spelling).
   *  - `'candles'` → [[graft.streaming.CandlePipeline.readCandles]] over
   *    an append-mode partial-candle store `(minute, symbol, open, high,
   *    low, close, volume, trades)` — the reference's `SELECT * FROM
@@ -109,8 +114,8 @@ object MvSql {
 
   val builder: Seq[Expression] => LogicalPlan = { children =>
     require(children.length == 2 || children.length == 3,
-      "graft_mv_read expects (path, kind) or (path, 'index', k), got " +
-        s"${children.length} arguments")
+      "graft_mv_read expects (path, kind), (path, 'index', k) or " +
+        s"(path, 'histogram', keyType), got ${children.length} arguments")
     def str(i: Int, name: String): String = children(i) match {
       case Literal(s, StringType) if s != null => s.toString
       case other => throw new IllegalArgumentException(
@@ -118,14 +123,23 @@ object MvSql {
     }
     val path = str(0, "path")
     val kind = str(1, "kind")
-    val k: Option[Int] = children.lift(2).map {
-      case Literal(v: Int, IntegerType) => v
+    // the optional third argument is kind-typed: 'index' takes the
+    // integer posting-heap bound k; 'histogram' takes the key column's
+    // DDL type name so a non-string-keyed family probed via SQL before
+    // its first commit gets the SAME schema as every post-commit read
+    // (the HistogramMV.merged keyType contract, SQL spelling)
+    val k: Option[Int] = children.lift(2).flatMap {
+      case Literal(v: Int, IntegerType) if kind == "index" => Some(v)
+      case Literal(_, StringType) if kind == "histogram" => None
       case other => throw new IllegalArgumentException(
-        s"graft_mv_read: k must be an integer literal, got $other")
+        "graft_mv_read: the third argument is k (integer) for kind " +
+          "'index' or keyType (string DDL) for kind 'histogram', got " +
+          s"$other for kind '$kind'")
     }
-    if (k.nonEmpty && kind != "index")
-      throw new IllegalArgumentException(
-        s"graft_mv_read: only kind 'index' takes a k argument, got '$kind'")
+    val keyType: Option[org.apache.spark.sql.types.DataType] =
+      if (kind == "histogram" && children.length == 3)
+        Some(org.apache.spark.sql.types.DataType.fromDDL(str(2, "keyType")))
+      else None
     val spark = SparkSession.active
     val df = kind match {
       case "index" =>
@@ -139,7 +153,8 @@ object MvSql {
       case "ann_inverted" =>
         graft.streaming.AnnMV.inverted(spark, path)
       case "histogram" =>
-        graft.streaming.HistogramMV.merged(spark, path)
+        graft.streaming.HistogramMV.merged(spark, path,
+          keyType.getOrElse(StringType))
       case "candles" =>
         candleRead(spark, path)
       case other => throw new IllegalArgumentException(

@@ -574,6 +574,19 @@ object Store {
     * write. ONE audited implementation — compaction and the streaming
     * block stores all swap through here. */
   def swapDirectory(path: String, dirName: String)(
+      stage: String => Unit): Unit =
+    swapDirectoryFenced(path, dirName, () => ())(stage)
+
+  /** [[swapDirectory]] with a fencing hook: `fence` runs AFTER staging
+    * completes and immediately BEFORE the rename pair — the last point
+    * where aborting leaves the live dir untouched. A maintenance runner
+    * passes its lease check ([[BlockStore.MaintenanceLease.check]]) so
+    * a runner whose lease was stolen mid-staging (it stalled past the
+    * TTL and a second runner took over) can never commit its stale
+    * staged copy over the new holder's work — the fencing-token
+    * discipline, token = the lease epoch. */
+  def swapDirectoryFenced(path: String, dirName: String,
+                          fence: () => Unit)(
       stage: String => Unit): Unit = {
     recoverSwap(path, dirName)
     val target = Paths.get(s"$path/$dirName")
@@ -590,6 +603,7 @@ object Store {
     if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
     try {
       stage(tmp)
+      fence()
       if (Files.exists(target)) {
         // the live dir is only removed AFTER the new copy is staged;
         // deleting first would make it vanish if the final move failed

@@ -193,4 +193,91 @@ class BlockStoreSpec extends SparkSpec {
       StructType(Seq(StructField("v", LongType))))
       .select("v").collect().map(_.getLong(0)).toSeq.sorted
   }
+
+  test("two concurrent compact runners: exactly one wins the " +
+    "maintenance lease, the other fails fast, no data loss") {
+    val partials = tmpDir("bs-lease-race") + "/store"
+    (0L to 3L).foreach(i => writeBlock(partials, i, Seq(i * 10, i * 10 + 1)))
+    val expect = mergedRows(partials)
+
+    // both runners release from one latch so their acquire attempts
+    // overlap; the winner's fold then WAITS for the loser's fail-fast,
+    // pinning that the loser was rejected while the lease was held —
+    // not merely serialized after a completed run
+    val start = new java.util.concurrent.CountDownLatch(2)
+    val loserFailed = new java.util.concurrent.CountDownLatch(1)
+    val outcomes =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        start.countDown(); start.await()
+        try {
+          BlockStore.compact(spark, partials, throughBlockId = 3L) { df =>
+            loserFailed.await(30, java.util.concurrent.TimeUnit.SECONDS)
+            df.select("v")
+          }
+          outcomes.add("won")
+        } catch {
+          case e: IllegalStateException =>
+            outcomes.add(s"failed-fast: ${e.getMessage}")
+            loserFailed.countDown()
+        }
+      }, s"compact-runner-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val (wins, fails) =
+      (outcomes.toArray(Array.empty[String])).partition(_ == "won")
+    assert(wins.length == 1 && fails.length == 1,
+      s"expected exactly one winner + one fail-fast, got: $outcomes")
+    assert(fails.head.contains("maintenance lease held"),
+      s"loser failed for the wrong reason: ${fails.head}")
+    // no data loss: the winner's fold committed, every row survives
+    assert(mergedRows(partials) == expect,
+      "concurrent compact lost rows")
+    // the lease was released: a fresh maintenance pass acquires cleanly
+    BlockStore.acquireMaintenanceLease(partials).release()
+  }
+
+  test("a stale lease is stolen with a larger fencing epoch, and the " +
+    "stale runner aborts at the swap leaving the live dir untouched") {
+    val partials = tmpDir("bs-lease-fence") + "/store"
+    writeBlock(partials, 0L, Seq(1L, 2L))
+    val before = mergedRows(partials)
+
+    // runner A stalls past its TTL (simulated with an already-expired
+    // deadline); runner B steals and must carry a LARGER fencing epoch
+    val a = BlockStore.acquireMaintenanceLease(partials, ttlMs = -1000L)
+    val b = BlockStore.acquireMaintenanceLease(partials)
+    assert(b.epoch > a.epoch,
+      s"steal did not advance the fencing epoch: ${a.epoch} -> ${b.epoch}")
+    intercept[IllegalStateException](a.check())
+    assert(b.owner != a.owner)
+    b.check() // the new holder is live
+
+    // A wakes up and tries to commit its (stale) staged copy: the
+    // fencing check at the swap point must abort BEFORE the rename
+    // pair, so the live dir keeps B's view of the world
+    val root = Paths.get(partials).toAbsolutePath
+    intercept[IllegalStateException] {
+      Store.swapDirectoryFenced(
+        root.getParent.toString, root.getFileName.toString,
+        () => a.check()) { tmp =>
+        import spark.implicits._
+        Seq(999L).toDF("v").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/block=0")
+      }
+    }
+    assert(mergedRows(partials) == before,
+      "a fenced-out runner's staged copy went live")
+
+    // A's release is a no-op on a stolen lease; B still holds it
+    a.release()
+    b.check()
+    b.release()
+    // after B releases, the next acquisition gets a yet larger epoch
+    val c = BlockStore.acquireMaintenanceLease(partials)
+    assert(c.epoch > b.epoch)
+    c.release()
+  }
 }

@@ -90,4 +90,45 @@ class HistogramMVSpec extends SparkSpec {
     assert(replayed == mergedHist,
       s"replay double-counted:\n$replayed\nvs\n$mergedHist")
   }
+
+  test("non-string keyType: a family probed before its first commit " +
+    "carries the post-commit key type, and a union across the boundary " +
+    "succeeds") {
+    import org.apache.spark.sql.types.LongType
+    val partials = tmpDir("hmv-long-partials")
+
+    // probe BEFORE any block commit: the explicit keyType is the only
+    // schema source, and it must already be the family's real key type
+    val pre = HistogramMV.merged(spark, partials, keyType = LongType)
+    assert(pre.schema("key").dataType == LongType,
+      s"empty-store key type: ${pre.schema("key").dataType}")
+    assert(pre.count() == 0L)
+    val preQ = HistogramMV.quantiles(spark, partials, Lo, Hi, Buckets,
+      Seq(0.5), keyType = LongType)
+    assert(preQ.schema("key").dataType == LongType,
+      s"empty-store quantile key type: ${preQ.schema("key").dataType}")
+    assert(preQ.count() == 0L)
+
+    // first block commit with a LONG key column
+    val rows = spark.range(10).select(
+      (col("id") % 2).as("uid"), (col("id") * 10.0 + 5.0).as("price"))
+    HistogramMV.writeBlock(rows, "uid", "price", Lo, Hi, Buckets,
+      partials, blockId = 0L)
+
+    // the type must NOT flip at the first block (inference now comes
+    // from the files; it has to agree with what keyType promised)
+    val post = HistogramMV.merged(spark, partials, keyType = LongType)
+    assert(post.schema("key").dataType == LongType,
+      s"key type flipped at first block: ${post.schema("key").dataType}")
+    // the downstream contract the parameter exists for: a frame built
+    // before the commit unions cleanly with one built after
+    assert(pre.unionByName(post).count() == post.count(),
+      "pre/post-commit union changed cardinality")
+
+    // quantiles ride the same keyType; both keys answer
+    val q = HistogramMV.quantiles(spark, partials, Lo, Hi, Buckets,
+      Seq(0.5), keyType = LongType).collect()
+    assert(q.map(_.getLong(0)).toSet == Set(0L, 1L),
+      s"long keys missing from quantiles: ${q.mkString(",")}")
+  }
 }

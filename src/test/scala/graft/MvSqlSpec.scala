@@ -116,6 +116,31 @@ class MvSqlSpec extends SparkSpec {
       s"SELECT * FROM graft_mv_read('$empty', 'histogram')").count() == 0)
   }
 
+  test("kind 'histogram' keyType argument: a non-string-keyed family " +
+    "probed via SQL before its first commit keeps its key type across " +
+    "the first block boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val partials = tmpDir("mvsql-hist-long")
+    // probe BEFORE any commit: the SQL spelling must carry the declared
+    // key type, exactly like the Scala readback's keyType parameter
+    val pre = sql1(
+      s"SELECT * FROM graft_mv_read('$partials', 'histogram', 'bigint')")
+    assert(pre.schema("key").dataType == LongType,
+      s"empty-store SQL key type: ${pre.schema("key").dataType}")
+    assert(pre.count() == 0L)
+    HistogramMV.writeBlock(
+      Seq((7L, 1.0), (7L, 2.0), (9L, 9.0)).toDF("uid", "v"),
+      "uid", "v", lo = 0.0, hi = 10.0, buckets = 5,
+      partialsPath = partials, blockId = 0L)
+    val post = sql1(
+      s"SELECT * FROM graft_mv_read('$partials', 'histogram', 'bigint')")
+    assert(post.schema("key").dataType == LongType,
+      s"SQL key type flipped at first block: ${post.schema("key").dataType}")
+    assert(post.count() == 3L)
+    assert(post.collect().map(_.getLong(0)).toSet == Set(7L, 9L))
+  }
+
   test("kind 'candles': SQL equals readCandles over appended partial " +
     "blocks, absorbing an at-least-once replay") {
     import spark.implicits._
@@ -172,7 +197,9 @@ class MvSqlSpec extends SparkSpec {
     }
     fails("SELECT * FROM graft_mv_read('/tmp/x', 'nope')", "unknown kind")
     fails("SELECT * FROM graft_mv_read('/tmp/x', 'dedup_bands', 5)",
-      "only kind 'index' takes a k")
+      "third argument is k (integer) for kind 'index'")
+    fails("SELECT * FROM graft_mv_read('/tmp/x', 'index', 'bigint')",
+      "third argument is k (integer) for kind 'index'")
     fails("SELECT * FROM graft_mv_read('/tmp/x')", "expects (path, kind)")
   }
 }
