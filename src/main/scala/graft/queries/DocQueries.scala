@@ -304,9 +304,12 @@ object DocQueries {
     * top-20 pairs. Never all-pairs: candidates are generated strictly
     * inside (band, bucket) groups, so the work is bucket-local at any
     * scale. */
-  /** Shared by [[minhashPairs]] and its streaming-MV readback twin
-    * [[minhashPairsMv]] — the `docs_posting_lists` / `_mv` discipline:
-    * one oracle spelling, two lineages that must hash-match it. */
+  /** The batch minhash-pair oracle ([[minhashPairs]]). Until round 10
+    * the MV readback shared this spelling over an UNGATED index; the
+    * registered readback now pairs over the gate-maintained index
+    * ([[minhashPairsMv]]) with its own oracle, and the
+    * ungated-equals-batch property lives on as DedupMVSpec's unit
+    * assertion rather than a registered corpus-sized query. */
   private val minhashPairsSql: String =
     s"""WITH ${minhashChainDuck("SELECT doc_id, text FROM documents")}
        |SELECT doc_a, doc_b,
@@ -328,40 +331,6 @@ object DocQueries {
     // is the registered dedup-first twin (docs_dedup_then_minhash),
     // which removes the inflation at the lineage level instead.
     minhashVerifiedPairs(shingleFrame(docs(s, d).select("doc_id", "text")))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
-  }
-
-  /** [[minhashPairs]] through the streaming-MV lineage
-    * ([[graft.streaming.DedupMV]]): the corpus is delivered in four
-    * blocks (the ingest shape), each block persisting only its docs'
-    * `(doc_id, band, bucket)` rows; committed history is compacted;
-    * candidates come from the merge-on-read fold — then the SAME
-    * oracle SQL must hash-match, so the incremental index provably
-    * equals the batch one (the `docs_posting_lists_mv` readback
-    * discipline applied to dedup). The verification step shingles ONLY
-    * docs that appear in a candidate pair — a left-semi prune runs
-    * before any tokenization, so read-time text work is
-    * candidates-sized, never corpus-sized (at 100 TB the difference
-    * between touching KBs and re-reading the lake). */
-  val minhashPairsMv: NamedQuery = NamedQuery(
-    "docs_minhash_pairs_mv", minhashPairsSql) { (s, d) =>
-    import graft.streaming.DedupMV
-    val partials = graft.store.Store.scratchStore("dedupmv")
-    val corpus = docs(s, d).select("doc_id", "text")
-    (0 until 4).foreach { b =>
-      DedupMV.writeBlock(
-        corpus.where(pmod(col("doc_id"), lit(4)) === b), partials,
-        blockId = b.toLong)
-    }
-    DedupMV.compact(s, partials, throughBlockId = 2L)
-    val cand = DedupMV.candidates(s, partials)
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val sh = shingleFrame(
-      corpus.join(candIds, Seq("doc_id"), "left_semi"))
-    verifyJaccard(sh, cand)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -428,7 +397,13 @@ object DocQueries {
     * with id arithmetic, or a strided corpus (the 10× scale build
     * shifts ids by a multiple of 4) aliases every copy of a doc into
     * one block and the gate never sees a cross-block dup. */
-  private val ingestGateSql: String = {
+  /** The gate recursion's CTE chain (`src → reps → inb → kept0 →
+    * dec1..3/kept1..3 → alldec`), shared by [[ingestDedupGate]]'s
+    * counting readout and [[minhashPairsMv]]'s gated-index pair
+    * readout — one oracle spelling of the gate, two consumers, zero
+    * drift. Embeds after [[minhashChainDuck]] (needs its `bands` and
+    * `sh`); margins intact, outer literal strips. */
+  private val ingestGateCtesDuck: String = {
     val j =
       """CAST(len(list_distinct(list_intersect(x.shingles, y.shingles)))
         |               AS DOUBLE)
@@ -456,8 +431,7 @@ object DocQueries {
          |           WHERE s.block = $b AND d.dup_of IS NULL)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH ${minhashChainDuck("SELECT doc_id, text FROM documents")},
-       |src AS (
+    s"""src AS (
        |  SELECT doc_id,
        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
        |              AS BIGINT) % 4 AS block,
@@ -479,7 +453,12 @@ object DocQueries {
        |alldec AS (SELECT doc_id, dup_of FROM dec1
        |           UNION ALL SELECT doc_id, dup_of FROM dec2
        |           UNION ALL SELECT doc_id, dup_of FROM dec3
-       |           UNION ALL SELECT doc_id, dup_of FROM inb)
+       |           UNION ALL SELECT doc_id, dup_of FROM inb)"""
+  }
+
+  private val ingestGateSql: String =
+    s"""WITH ${minhashChainDuck("SELECT doc_id, text FROM documents")},
+       |$ingestGateCtesDuck
        |SELECT s.block,
        |       CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(count(d.doc_id) AS BIGINT) AS n_flagged,
@@ -489,29 +468,21 @@ object DocQueries {
        |FROM src s LEFT JOIN alldec d ON d.doc_id = s.doc_id
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
-  }
 
-  /** The O(new) ingest-time dedup gate — the production answer to the
-    * dup-heavy corpus, registered end-to-end: the corpus arrives in
-    * four blocks; each block is probed against the index of the blocks
-    * BEFORE it ([[graft.streaming.DedupMV.probeCandidates]] — bucket-
-    * keyed fetch, candidate-sized work), every candidate is verified by
-    * exact shingle-Jaccard, and a doc drops iff some verified (≥ 0.5)
-    * duplicate exists among the docs already KEPT — `dup_of` is the
-    * smallest such, first-seen-wins. Crucially only SURVIVORS' bands
-    * enter the index (`DedupMV.writeBlock` on the gated batch), which
-    * is what keeps a size-m exact-dup clique O(m) end-to-end: the
-    * clique's first copy is the only one ever indexed, so each later
-    * copy generates ONE candidate pair instead of pairing with every
-    * earlier copy — the readback query's lost semi-join prune
-    * (`docs_minhash_pairs_mv`, the round-8 4.6×@10× watch item) never
-    * happens because the quadratic input never exists. Intra-block
-    * dups are deliberately NOT flagged (a batch commits atomically;
-    * in-batch dedup is the batch `docs_exact_dedup` family's job).
-    * Output: per-block kept/dropped/flagged counts plus the dup_of
-    * checksum, so the oracle pins the MAPPING, not just the counts. */
-  val ingestDedupGate: NamedQuery = NamedQuery(
-    "docs_ingest_dedup_gate", ingestGateSql) { (s, d) =>
+  /** What one gated four-block ingest pass leaves behind: the partials
+    * path now holding the GATED index (survivor bands only), plus the
+    * frames its two consumers read — [[ingestDedupGate]] aggregates the
+    * decisions (`src` ⟕ `alldec`), [[minhashPairsMv]] pairs over the
+    * index and verifies from the rep texts (`reps`). */
+  private final case class GatedIngest(
+      partials: String, src: DataFrame, reps: DataFrame, alldec: DataFrame)
+
+  /** The Spark side of [[ingestGateCtesDuck]] — ONE gate
+    * implementation for both registered consumers, so the counting
+    * readout and the gated-index readback can never drift. See
+    * [[ingestDedupGate]]'s scaladoc for the gate's semantics and scale
+    * argument. */
+  private def runIngestGate(s: SparkSession, d: String): GatedIngest = {
     import graft.streaming.DedupMV
     val partials = graft.store.Store.scratchStore("gatemv")
     val corpus = docs(s, d).select("doc_id", "text")
@@ -580,9 +551,35 @@ object DocQueries {
       DedupMV.writeBandsBlock(survivorBands, partials, blockId = b.toLong)
       dec
     }
-    val alldec = (crossDecs :+ inb).reduce(_ unionByName _)
-    src.select(col("doc_id"), col("block"))
-      .join(alldec.select(col("doc_id").as("fid"), col("dup_of")),
+    GatedIngest(partials, src, reps,
+      (crossDecs :+ inb).reduce(_ unionByName _))
+  }
+
+  /** The O(new) ingest-time dedup gate — the production answer to the
+    * dup-heavy corpus, registered end-to-end: the corpus arrives in
+    * four blocks; each block is probed against the index of the blocks
+    * BEFORE it ([[graft.streaming.DedupMV.probeCandidates]] — bucket-
+    * keyed fetch, candidate-sized work), every candidate is verified by
+    * exact shingle-Jaccard, and a doc drops iff some verified (≥ 0.5)
+    * duplicate exists among the docs already KEPT — `dup_of` is the
+    * smallest such, first-seen-wins. Crucially only SURVIVORS' bands
+    * enter the index (`DedupMV.writeBlock` on the gated batch), which
+    * is what keeps a size-m exact-dup clique O(m) end-to-end: the
+    * clique's first copy is the only one ever indexed, so each later
+    * copy generates ONE candidate pair instead of pairing with every
+    * earlier copy. Intra-block dups are deliberately NOT flagged (a
+    * batch commits atomically; in-batch dedup is the batch
+    * `docs_exact_dedup` family's job). Output: per-block
+    * kept/dropped/flagged counts plus the dup_of checksum, so the
+    * oracle pins the MAPPING, not just the counts. Since round 11 the
+    * index this gate maintains is ALSO what the registered MV readback
+    * consumes ([[minhashPairsMv]]) — the gate is the write path, the
+    * readback the read path, of one production index. */
+  val ingestDedupGate: NamedQuery = NamedQuery(
+    "docs_ingest_dedup_gate", ingestGateSql) { (s, d) =>
+    val g = runIngestGate(s, d)
+    g.src.select(col("doc_id"), col("block"))
+      .join(g.alldec.select(col("doc_id").as("fid"), col("dup_of")),
         col("fid") === col("doc_id"), "left")
       .groupBy("block")
       .agg(count(lit(1)).as("n_docs"),
@@ -591,6 +588,63 @@ object DocQueries {
         (count(lit(1)) - count(col("dup_of"))).as("n_kept"),
         coalesce(sum(col("dup_of")), lit(0L)).as("dup_of_sum"))
       .orderBy("block")
+  }
+
+  /** Near-dup pairs read back from the GATED streaming index — the MV
+    * readback discipline applied to the index a production pipeline
+    * actually holds. The write path is [[runIngestGate]]: four ingest
+    * blocks, each probed against the prefix index, exact-Jaccard
+    * verified, and only SURVIVORS' bands committed — so an exact-dup
+    * clique of size m contributes ONE indexed doc, and the read-time
+    * candidate set tracks DISTINCT content, not corpus size. Committed
+    * history is compacted; candidates come from the merge-on-read fold
+    * over the folded + retained blocks; verification shingles ONLY the
+    * (rep) docs appearing in a candidate pair — a left-semi prune
+    * before any tokenization. The oracle recomputes the whole gate
+    * recursion and then pairs over the kept set ([[ingestGateCtesDuck]]
+    * + in-bucket pairing restricted to `kept3`), so a drift anywhere in
+    * the incremental path is a hash mismatch. Until round 10 this
+    * query paired over an UNGATED index of all four raw blocks — the
+    * r9/r10 verdicts' named scale-killer (candidates ≈ corpus on
+    * dup-heavy input, 11.9× wall at 30×); pairing over the gated
+    * index removes the quadratic input instead of re-pruning it at
+    * read time. The ungated-index-equals-batch-candidates property
+    * remains pinned in DedupMVSpec at unit scale. */
+  val minhashPairsMv: NamedQuery = NamedQuery(
+    "docs_minhash_pairs_mv",
+    s"""WITH ${minhashChainDuck("SELECT doc_id, text FROM documents")},
+       |$ingestGateCtesDuck,
+       |gb AS (
+       |  SELECT b.doc_id, b.band, b.bucket
+       |  FROM bands b JOIN kept3 k ON k.doc_id = b.doc_id
+       |),
+       |candg AS (
+       |  SELECT DISTINCT ga.doc_id AS doc_a, gz.doc_id AS doc_b
+       |  FROM gb ga
+       |  JOIN gb gz ON ga.band = gz.band AND ga.bucket = gz.bucket
+       |             AND ga.doc_id < gz.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       $jaccardSelectDuck
+       |FROM candg
+       |JOIN sh x ON x.doc_id = doc_a
+       |JOIN sh y ON y.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    import graft.streaming.DedupMV
+    val g = runIngestGate(s, d)
+    DedupMV.compact(s, g.partials, throughBlockId = 2L)
+    val cand = DedupMV.candidates(s, g.partials)
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // candidates (both sides) are gate survivors, i.e. reps — verify
+    // from the materialized rep texts, tokenizing only candidate docs
+    val sh = shingleFrame(
+      g.reps.select("doc_id", "text").join(candIds, Seq("doc_id"), "left_semi"))
+    verifyJaccard(sh, cand)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
   }
 
   /** 32-bit SimHash per document: each token votes ±1 per bit position of

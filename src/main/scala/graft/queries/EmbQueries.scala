@@ -1462,7 +1462,17 @@ object EmbQueries {
     * codegen'd [[graft.functions.CosineSimilarity]] kernel, and the
     * output collapses to an O(cells) rollup. Giant clusters are the
     * known caveat (the paper caps cluster size); the k-means step is
-    * the mitigation. */
+    * the mitigation.
+    *
+    * DEMOTED from the registry (round 11): with the demo's FIXED
+    * 10-cell quantizer, |cell| grows linearly with the corpus and the
+    * in-cell pair term grows ~n² — 29× wall at the 30× scale point.
+    * The registered spelling is [[semanticDedupCapped]], which holds
+    * |subcell| ≈ 64 by adaptive LSH sub-bucketing (the paper's own
+    * cap-the-cluster discipline) and whose removal set the uncapped
+    * query provably contains (QualityOpsSpec pins the subset). This
+    * val survives as the bench/test CONTRAST — the measured bad
+    * example the COVERAGE trend table quotes. */
   val semanticDedup: NamedQuery = NamedQuery(
     "emb_semantic_dedup",
     s"""WITH rem AS (
@@ -1736,10 +1746,16 @@ object EmbQueries {
       .limit(10)
   }
 
+  // semanticDedup (the fixed-cell SemDeDup demo) is deliberately NOT
+  // registered: its in-cell pair term grows ~n² with a fixed quantizer
+  // (29× wall at the 30× scale point), so the registry carries only the
+  // scale-safe capped spelling; the uncapped val survives as the
+  // bench/test contrast (QualityOpsSpec's subset pin, the COVERAGE
+  // trend table's honest bad example).
   val all: Seq[NamedQuery] = Seq(
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
     pqTopK, pqRecall, ivfPqTopK, ivfPqRecall, kmeansRefine, kmeansTrain,
-    ivfStreamed, semanticDedup, semanticDedupCapped, matryoshkaRecall,
+    ivfStreamed, semanticDedupCapped, matryoshkaRecall,
     hybridRrf)
 }
