@@ -1133,8 +1133,56 @@ object EmbQueries {
     * on any corpus change, while here new vectors cost O(batch) to
     * become searchable and the searched structure provably equals the
     * from-scratch build. */
-  val ivfStreamed: NamedQuery = NamedQuery(
-    "emb_ivf_streamed",
+  /** Shared build for [[ivfStreamed]] and its pure-SQL readback twin
+    * [[ivfStreamedSql]]: deliver the base corpus in four blocks against
+    * the frozen label-mean quantizer, compact committed history with
+    * the cell layout preserved, and resolve the nprobe=1 coarse cell.
+    * Returns the store path, the probed cell id, and the broadcastable
+    * 1-row query-vector frame. */
+  private def buildStreamedIvf(s: SparkSession, d: String)
+      : (String, Int, DataFrame) = {
+    import graft.streaming.AnnMV
+    val inv = graft.store.Store.scratchStore("annmv")
+    // the frozen quantizer is consumed by ~6 separate actions below (4
+    // block writes, the compaction fold, the coarse probe); pin its 10
+    // rows once instead of re-running the explode-64-dims + exact-
+    // decimal-mean lineage per action (the emb_kmeans_train discipline)
+    val cents = centroidFrame(s, d)
+      .select(col("label").as("clabel"), col("centroid"))
+      .localCheckpoint()
+    val base = emb(s, d).where(col("vec_id") =!= 0)
+    (0 until 4).foreach { b =>
+      AnnMV.writeInvertedBlock(
+        base.where(pmod(col("vec_id"), lit(4)) === b), cents, inv,
+        blockId = b.toLong)
+    }
+    AnnMV.compactInverted(s, inv, throughBlockId = 2L)
+    val q = emb(s, d).where(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
+    // The coarse probe: nprobe=1 winning cell id, resolved on the
+    // driver — O(nprobe) integers, the faiss probe step (planning-time
+    // work of the same order as reading the query vector itself). It
+    // becomes a LITERAL partition filter in both readbacks, so the
+    // ranking scan prunes to the probed cell's files across all blocks
+    // — replacing round 8's forced `broadcast(members)` semi-join,
+    // whose build side was n/cells × nprobe rows and an executor OOM
+    // at 100 TB.
+    val probeCell: Int = cents.crossJoin(broadcast(q))
+      .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("clabel"))
+      .limit(1)
+      .select(col("clabel"))
+      .head().getInt(0)
+    val q2 = emb(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("qv2"))
+    (inv, probeCell, q2)
+  }
+
+  /** The from-scratch oracle both streamed-IVF readbacks must hash-
+    * match — quantizer, per-vector argmin assignment, probe, ranking,
+    * all recomputed in DuckDB, so a drift anywhere in the incremental
+    * path (a block lost, double-counted, or assigned off-spelling) is
+    * a hash mismatch. */
+  private val ivfStreamedSqlOracle: String =
     s"""WITH comp AS (
        |  SELECT label, i AS dim,
        |         ${Sql.avgFloat(embDimValDuck)} AS m
@@ -1177,41 +1225,38 @@ object EmbQueries {
        |CROSS JOIN (SELECT embedding AS qv2 FROM embeddings
        |            WHERE vec_id = 0) q2
        |ORDER BY sim DESC, a.vec_id
-       |LIMIT 10""".stripMargin) { (s, d) =>
+       |LIMIT 10""".stripMargin
+
+  val ivfStreamed: NamedQuery = NamedQuery(
+    "emb_ivf_streamed", ivfStreamedSqlOracle) { (s, d) =>
     import graft.streaming.AnnMV
-    val inv = graft.store.Store.scratchStore("annmv")
-    // the frozen quantizer is consumed by ~6 separate actions below (4
-    // block writes, the compaction fold, the coarse probe); pin its 10
-    // rows once instead of re-running the explode-64-dims + exact-
-    // decimal-mean lineage per action (the emb_kmeans_train discipline)
-    val cents = centroidFrame(s, d)
-      .select(col("label").as("clabel"), col("centroid"))
-      .localCheckpoint()
-    val base = emb(s, d).where(col("vec_id") =!= 0)
-    (0 until 4).foreach { b =>
-      AnnMV.writeInvertedBlock(
-        base.where(pmod(col("vec_id"), lit(4)) === b), cents, inv,
-        blockId = b.toLong)
-    }
-    AnnMV.compactInverted(s, inv, throughBlockId = 2L)
-    val q = emb(s, d).where(col("vec_id") === 0)
-      .select(expr("transform(embedding, x -> cast(x AS double))").as("qv"))
-    // The coarse probe: nprobe=1 winning cell id, resolved on the
-    // driver — O(nprobe) integers, the faiss probe step (planning-time
-    // work of the same order as reading the query vector itself). It
-    // becomes a LITERAL partition filter below, so the ranking scan
-    // prunes to the probed cell's files across all blocks — replacing
-    // round 8's forced `broadcast(members)` semi-join, whose build side
-    // was n/cells × nprobe rows and an executor OOM at 100 TB.
-    val probeCell: Int = cents.crossJoin(broadcast(q))
-      .orderBy(expr(cosSparkD("centroid", "qv")).desc, col("clabel"))
-      .limit(1)
-      .select(col("clabel"))
-      .head().getInt(0)
-    val q2 = emb(s, d).where(col("vec_id") === 0)
-      .select(col("embedding").as("qv2"))
+    val (inv, probeCell, q2) = buildStreamedIvf(s, d)
     AnnMV.inverted(s, inv)
       .where(col("cell") === lit(probeCell))
+      .crossJoin(broadcast(q2))
+      .select(col("vec_id"), col("label"),
+        expr(cosSpark("qv2", "embedding")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** [[ivfStreamed]] with the ranking scan spelled in PURE SQL over the
+    * `graft_mv_read('…', 'ann_inverted')` table function — the
+    * `docs_posting_lists_mv` registration discipline applied to the ANN
+    * store: the SQL spelling users actually cache and reuse is
+    * oracle-checked against the same from-scratch DuckDB recomputation,
+    * and PlanSpec pins that the `WHERE cell = <probe>` on the SQL path
+    * partition-prunes the store files exactly like the Scala probe
+    * (MvSqlSpec certifies the file count at unit scale; this makes the
+    * prune a registered, hash-gated property). */
+  val ivfStreamedSql: NamedQuery = NamedQuery(
+    "emb_ivf_streamed_sql", ivfStreamedSqlOracle) { (s, d) =>
+    val (inv, probeCell, q2) = buildStreamedIvf(s, d)
+    graft.functions.GraftFunctions.register(s)
+    s.sql(
+      s"""SELECT vec_id, label, embedding
+         |FROM graft_mv_read('$inv', 'ann_inverted')
+         |WHERE cell = $probeCell""".stripMargin)
       .crossJoin(broadcast(q2))
       .select(col("vec_id"), col("label"),
         expr(cosSpark("qv2", "embedding")).as("sim"))
@@ -1756,6 +1801,6 @@ object EmbQueries {
     cosineTopK, lshPairs, nearDup, labelCentroids, knnAccuracy, ivfTopK,
     ivfMultiprobe, topKPerLabel, quantizedTopK, ivfRecall, ivfPersisted,
     pqTopK, pqRecall, ivfPqTopK, ivfPqRecall, kmeansRefine, kmeansTrain,
-    ivfStreamed, semanticDedupCapped, matryoshkaRecall,
+    ivfStreamed, ivfStreamedSql, semanticDedupCapped, matryoshkaRecall,
     hybridRrf)
 }

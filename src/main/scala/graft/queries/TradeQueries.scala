@@ -1134,10 +1134,67 @@ object TradeQueries {
       .orderBy("symbol")
   }
 
+  /** TTL retention exercised END-TO-END through the block store and
+    * hash-gated by the oracle — the reference's 90-day TTL semantics
+    * (`sql/V1__create_trades_table.sql:19-20`: rows age out of the
+    * table engine; replayed old data must stay gone). The 30-day trade
+    * window is delivered as four TIME-ORDERED blocks (8-day buckets of
+    * day-of-month, so block 0 is the oldest week); the oldest block is
+    * then retired via [[graft.store.BlockStore.expire]] (watermark
+    * persisted inside the crash-safe swap), and — the part that makes
+    * TTL final — an at-least-once REPLAY of the expired batch is
+    * attempted and must be refused by the watermark gate
+    * (`writeBlock` returns false). The readback aggregates per-symbol
+    * count + decimal-exact volume over the retained blocks; the DuckDB
+    * twin computes the same over `WHERE (day(ts)-1)//8 >= 1`, so a
+    * resurrected or lost block is a hash mismatch, not a silent
+    * drift. At 100 TB this is the MV-side retention shape: expiry
+    * retires whole time-ordered blocks (one directory swap, no
+    * row-level delete), and the replay guard is what lets an
+    * at-least-once pipeline run retention without fencing its sinks. */
+  val ttlReadback: NamedQuery = NamedQuery(
+    "trades_ttl_readback",
+    s"""WITH ${Sql.tradesCte}
+       |SELECT symbol,
+       |       count(*) AS trades,
+       |       ${Sql.dsum("qty")} AS volume
+       |FROM trades
+       |WHERE (day(ts) - 1) // 8 >= 1
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.store.BlockStore
+    val store = graft.store.Store.scratchStore("ttlmv")
+    val t = trades(s, d)
+      .select(col("symbol"), col("qty"),
+        expr("(day(ts) - 1) div 8").as("block"))
+    def stageBlock(b: Long): Boolean =
+      BlockStore.writeBlock(store, b) { tmp =>
+        t.where(col("block") === b).select("symbol", "qty")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
+    (0L to 3L).foreach(stageBlock)
+    // retention pass: retire the oldest block, as the reference's TTL
+    BlockStore.expire(store, beforeBlockId = 1L)
+    // an at-least-once replay of the retired batch MUST be refused —
+    // if it were accepted, block 0's rows would re-enter the readback
+    // and the oracle hash below would catch it
+    require(!stageBlock(0L),
+      "expired block resurrected through the sink path")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "symbol", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        "qty", org.apache.spark.sql.types.DoubleType)))
+    BlockStore.read(s, store, schema)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("trades"), Ops.dsum(col("qty")).as("volume"))
+      .orderBy("symbol")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell, zonedScan,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
     histQuantiles, priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,
-    drawdown, ohlcv1h, weightedMedian, twap, deltaSum)
+    drawdown, ohlcv1h, weightedMedian, twap, deltaSum, ttlReadback)
 }

@@ -360,6 +360,27 @@ class PlanSpec extends SparkSpec {
       s"expected ≤3 files across the plan after cell pruning, read $files")
   }
 
+  test("the SQL-spelled streamed-IVF readback partition-prunes through " +
+    "graft_mv_read exactly like the Scala probe") {
+    // the registered SQL spelling (emb_ivf_streamed_sql) must keep the
+    // probe's 100 TB property: `WHERE cell = <probe>` over the table
+    // function resolves to a PartitionFilters entry on the store scan,
+    // and the plan-wide file count stays ≤3 (pruned inverted scan ×2
+    // live blocks + the 1-file query-vector scan)
+    val df = graft.queries.EmbQueries.ivfStreamedSql.run(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), "head is not TakeOrdered")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "SQL-path probe planned a shuffle join or cartesian")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      "SQL-path inverted-list scan lost its cell partition filter:\n" + p)
+    df.collect()
+    val (files, _) = graft.store.ScanStats.totals(df)
+    assert(files > 0 && files <= 3,
+      s"expected ≤3 files across the SQL-path plan, read $files")
+  }
+
   test("BPE trainer's final plan scans the corpus ZERO times (state " +
     "lineage truncated per round)") {
     // without localCheckpoint the merge/argmax branches both re-derive
