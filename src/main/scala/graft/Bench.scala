@@ -26,7 +26,19 @@ object Bench {
     def exec(q: NamedQuery): Unit =
       q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
 
-    val registry = SparkEntry.registry
+    // SPARK_GRAFT_BENCH_ONLY=name,name,… restricts the capture to a
+    // subset (the scale-trend captures at 100×, where the full registry
+    // would burn an hour per rep); unknown names fail loudly rather
+    // than silently shrinking the set. Unset = the full registry, the
+    // driver's per-round contract.
+    val registry = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case None => SparkEntry.registry
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+        want.map(n => byName.getOrElse(n,
+          sys.error(s"SPARK_GRAFT_BENCH_ONLY: unknown query '$n'"))).toSeq
+    }
     try exec(registry.head)
     catch { case scala.util.control.NonFatal(_) => () } // warmup
 

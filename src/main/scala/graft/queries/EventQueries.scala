@@ -712,13 +712,29 @@ object EventQueries {
   /** ClickHouse `sequenceMatch('(?1)(?t<=600)(?2)')` — did a `view` get
     * followed by a `click` within 10 minutes? Formulated as ONE window
     * pass, not a pair join: each event learns its user's earliest
-    * FOLLOWING click via `min(CASE …) OVER (… ROWS 1 FOLLOWING →
-    * UNBOUNDED)`, and a view matches iff that click lands inside the
-    * bound (the earliest following click is in-window iff any is). One
-    * shuffle on user_id, zero pair explosion — the view×click interval
-    * join formulation would square on hot users; this never does. Total
-    * order (ts, event_id) makes same-timestamp sequences deterministic
-    * in both engines. */
+    * FOLLOWING click, and a view matches iff that click lands inside
+    * the bound (the earliest following click is in-window iff any is).
+    * One shuffle on user_id, zero pair explosion — the view×click
+    * interval join formulation would square on hot users; this never
+    * does. Total order (ts, event_id) makes same-timestamp sequences
+    * deterministic in both engines.
+    *
+    * The Spark spelling computes the suffix-min as a RUNNING min under
+    * the REVERSED order (`ORDER BY ts DESC, event_id DESC ROWS
+    * UNBOUNDED PRECEDING → 1 PRECEDING`) — identical values to the
+    * forward `1 FOLLOWING → UNBOUNDED FOLLOWING` frame, radically
+    * different execution: Spark's unbounded-FOLLOWING frame
+    * re-evaluates the aggregate from the current row to the partition
+    * end for EVERY row (O(rows²) per partition —
+    * `UnboundedFollowingWindowFunctionFrame` has no inverse-update
+    * path), while the unbounded-PRECEDING frame accumulates one state
+    * in a single pass (O(rows)). The r9/r10 captures measured the
+    * difference: per-user streams grow F× by `ScaleCorpus`
+    * construction, and the forward-frame spelling's window compute
+    * grew ~F² (the 11.4× wall at 30× that flagged this query); the
+    * reversed spelling is linear per partition at any stream length.
+    * The oracle keeps the forward spelling — an independent derivation
+    * of the same values. */
   val seqMatch: NamedQuery = NamedQuery(
     "events_seq_match",
     """WITH w AS (
@@ -740,8 +756,8 @@ object EventQueries {
       |                 THEN 1 END) AS n_matched_views
       |FROM w""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(1, Window.unboundedFollowing)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val matched = col("event_type") === "view" &&
       unix_micros(col("next_click")) <=
         unix_micros(col("ts")) + 600L * 1000000L
