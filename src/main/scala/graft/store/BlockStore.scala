@@ -101,22 +101,49 @@ object BlockStore {
         return MaintenanceLease(leaseFile, owner, epoch)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val held =
-            try Files.readString(leaseFile).trim
-            catch { case _: java.io.IOException => "" }
-          val deadline = held.split(" ", 3) match {
-            case Array(_, _, d) => try d.toLong
-              catch { case _: NumberFormatException => Long.MinValue }
-            case _ => Long.MinValue // torn/garbled lease: stale
+          // CREATE_NEW and the content write are TWO syscalls, so a
+          // racing acquirer can observe the winner's lease file while
+          // it is still empty. A torn read therefore means the writer
+          // is IN FLIGHT, not crashed — grace-wait for content before
+          // ruling the lease stale, else two racing acquirers each
+          // read the other's empty file and both "steal" (two live
+          // leaseholders, the exact contract violation this lease
+          // exists to prevent). Only a lease still torn after the
+          // grace window (writer died between the two syscalls) is
+          // stale.
+          def readHeld(): (String, Long) = {
+            val held =
+              try Files.readString(leaseFile).trim
+              catch { case _: java.io.IOException => "" }
+            val deadline = held.split(" ", 3) match {
+              case Array(_, _, d) => try d.toLong
+                catch { case _: NumberFormatException => Long.MinValue }
+              case _ => Long.MinValue // torn/garbled
+            }
+            (held, deadline)
           }
-          if (now < deadline) throw new IllegalStateException(
-            s"maintenance lease held on $root ('$held') — a second " +
-              "concurrent compact/expire runner fails fast by contract")
-          stealsLeft -= 1
-          if (stealsLeft == 0) throw new IllegalStateException(
-            s"maintenance lease on $root stale but unstealable after " +
-              "3 attempts (a live runner keeps re-winning the race)")
-          Files.deleteIfExists(leaseFile)
+          var (held, deadline) = readHeld()
+          val graceEnd = System.currentTimeMillis() + 1000L
+          while (deadline == Long.MinValue && Files.exists(leaseFile) &&
+            System.currentTimeMillis() < graceEnd) {
+            Thread.sleep(10L)
+            val h = readHeld(); held = h._1; deadline = h._2
+          }
+          if (!Files.exists(leaseFile)) {
+            // released (or fully stolen) underneath the read: retry the
+            // CREATE_NEW race from the top — no steal charge, the file
+            // is simply free again
+          } else if (System.currentTimeMillis() < deadline)
+            throw new IllegalStateException(
+              s"maintenance lease held on $root ('$held') — a second " +
+                "concurrent compact/expire runner fails fast by contract")
+          else {
+            stealsLeft -= 1
+            if (stealsLeft == 0) throw new IllegalStateException(
+              s"maintenance lease on $root stale but unstealable after " +
+                "3 attempts (a live runner keeps re-winning the race)")
+            Files.deleteIfExists(leaseFile)
+          }
       }
     }
     throw new IllegalStateException("unreachable")
