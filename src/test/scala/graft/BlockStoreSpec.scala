@@ -280,4 +280,44 @@ class BlockStoreSpec extends SparkSpec {
     assert(c.epoch > b.epoch)
     c.release()
   }
+
+  test("a torn lease read (file created, content not yet written) is " +
+    "an in-flight writer, not a stale lease: the second acquirer " +
+    "grace-waits and fails fast instead of stealing") {
+    // regression for the two-leaseholder race: CREATE_NEW and the
+    // content write are two syscalls, and the old code ruled an empty
+    // lease file "torn ⇒ stale" and stole it immediately
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val partials = tmpDir("bs-lease-torn") + "/store"
+    Files.createDirectories(Paths.get(partials))
+    val root = Paths.get(partials).toAbsolutePath
+    val leaseFile = root.getParent.resolve(s".lease_${root.getFileName}")
+
+    // simulate the winner mid-acquisition: file exists, zero bytes yet
+    Files.write(leaseFile, Array.emptyByteArray, StandardOpenOption.CREATE_NEW)
+    val writer = new Thread(() => {
+      Thread.sleep(200L) // the gap between the two syscalls
+      Files.writeString(leaseFile,
+        s"7 in-flight-owner ${System.currentTimeMillis() + 600000L}\n")
+    })
+    writer.start()
+    // the second acquirer must observe the content that lands during
+    // its grace window and fail fast on the LIVE deadline — pre-fix it
+    // stole the empty file and returned a second live lease
+    val e = intercept[IllegalStateException](
+      BlockStore.acquireMaintenanceLease(partials))
+    writer.join()
+    assert(e.getMessage.contains("maintenance lease held"),
+      s"torn read was not resolved to the in-flight lease: ${e.getMessage}")
+    assert(Files.readString(leaseFile).contains("in-flight-owner"),
+      "the in-flight writer's lease was deleted by the grace path")
+
+    // and the true-crash shape — writer died between the syscalls, the
+    // file stays empty past the grace window — IS stolen, with an epoch
+    Files.delete(leaseFile)
+    Files.write(leaseFile, Array.emptyByteArray, StandardOpenOption.CREATE_NEW)
+    val stolen = BlockStore.acquireMaintenanceLease(partials)
+    stolen.check()
+    stolen.release()
+  }
 }
