@@ -427,6 +427,59 @@ object TradeQueries {
       .orderBy(col("volume").desc, col("symbol"))
   }
 
+  /** Two-pass bucketed exact rank selection — the shared execution of
+    * [[priceQuantiles]] and [[histQuantiles]]'s accuracy readout: for
+    * each (label, rank-over-n) pair, the value at that row_number under
+    * the fully-specified per-symbol order (price, trade_id), WITHOUT a
+    * per-symbol full sort (see [[priceQuantiles]]'s scaladoc for why
+    * the straightforward window spelling caps parallelism at |symbols|
+    * tasks). Input needs columns (symbol, price, trade_id); output is
+    * one row per (symbol, label): (symbol, q, price, n). */
+  private[graft] def bucketedRankSelect(
+      p: DataFrame, B: Int,
+      ranks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // pass 0: per-symbol price bounds — map-side partial min/max
+    val bounds = p.groupBy("symbol")
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+    // monotone equi-width bucket id: price1 <= price2 ⇒ bkt1 <= bkt2
+    // (same lo/w per symbol, IEEE subtraction/division/floor preserve
+    // order), and equal prices share a bucket — so bucket order REFINES
+    // the (price, trade_id) selection order. Degenerate one-price
+    // symbols collapse to bucket 0; values at hi clamp into B−1.
+    val withB = p.join(broadcast(bounds), "symbol")
+      .withColumn("bkt",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit((B - 1).toLong), greatest(lit(0L),
+            floor((col("price") - col("lo")) /
+              ((col("hi") - col("lo")) / lit(B.toDouble))).cast("long")))))
+      .select(col("symbol"), col("price"), col("trade_id"), col("bkt"))
+    // pass 1: per-(symbol, bucket) counts + running offsets — the only
+    // corpus-wide shuffle, map-side combined down to ≤ B·|symbols| rows
+    val wk = Window.partitionBy("symbol").orderBy("bkt")
+    val cum = withB.groupBy("symbol", "bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(
+        wk.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    // locate each target rank's bucket: the unique row whose cumulative
+    // count straddles the rank, carrying the rank offset below it
+    def target(q: String, r: org.apache.spark.sql.Column): DataFrame =
+      cum.where(col("cum") >= r && col("cum") - col("cnt") < r)
+        .select(col("symbol"), col("bkt"), lit(q).as("q"),
+          (col("cum") - col("cnt")).as("off"), r.as("r"), col("n"))
+    val targets = ranks.map { case (q, r) => target(q, r) }
+      .reduce(_ unionByName _)
+    // pass 2: sort ONLY the target buckets — the corpus is reduced by a
+    // broadcast join on (symbol, bkt) BEFORE any ordering work
+    val wSel = Window.partitionBy("symbol", "q").orderBy("price", "trade_id")
+    withB.join(broadcast(targets), Seq("symbol", "bkt"))
+      .withColumn("rn", row_number().over(wSel))
+      .where(col("off") + col("rn") === col("r"))
+      .select(col("symbol"), col("q"), col("price"), col("n"))
+  }
+
   /** Exact rank-based quantiles per symbol (discrete median + p90):
     * interpolating percentile aggregates differ across engines in the
     * last ulp, so quantiles come from rank selection instead — value at
@@ -470,47 +523,10 @@ object TradeQueries {
        |FROM r
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val B = 256
     val p = trades(s, d).select(col("symbol"), col("price"), col("trade_id"))
-    // pass 0: per-symbol price bounds — map-side partial min/max
-    val bounds = p.groupBy("symbol")
-      .agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
-    // monotone equi-width bucket id: price1 <= price2 ⇒ bkt1 <= bkt2
-    // (same lo/w per symbol, IEEE subtraction/division/floor preserve
-    // order), and equal prices share a bucket — so bucket order REFINES
-    // the (price, trade_id) selection order. Degenerate one-price
-    // symbols collapse to bucket 0; values at hi clamp into B−1.
-    val withB = p.join(broadcast(bounds), "symbol")
-      .withColumn("bkt",
-        when(col("hi") === col("lo"), lit(0L))
-          .otherwise(least(lit((B - 1).toLong), greatest(lit(0L),
-            floor((col("price") - col("lo")) /
-              ((col("hi") - col("lo")) / lit(B.toDouble))).cast("long")))))
-      .select(col("symbol"), col("price"), col("trade_id"), col("bkt"))
-    // pass 1: per-(symbol, bucket) counts + running offsets — the only
-    // corpus-wide shuffle, map-side combined down to ≤ B·|symbols| rows
-    val wk = Window.partitionBy("symbol").orderBy("bkt")
-    val cum = withB.groupBy("symbol", "bkt").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum(col("cnt")).over(
-        wk.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-    // locate each target rank's bucket: the unique row whose cumulative
-    // count straddles the rank, carrying the rank offset below it
-    def target(q: String, r: org.apache.spark.sql.Column): DataFrame =
-      cum.where(col("cum") >= r && col("cum") - col("cnt") < r)
-        .select(col("symbol"), col("bkt"), lit(q).as("q"),
-          (col("cum") - col("cnt")).as("off"), r.as("r"), col("n"))
-    val targets = target("med", expr("(n + 1) div 2"))
-      .unionByName(target("p90", expr("(9 * n + 9) div 10")))
-    // pass 2: sort ONLY the target buckets — the corpus is reduced by a
-    // broadcast join on (symbol, bkt) BEFORE any ordering work
-    val wSel = Window.partitionBy("symbol", "q").orderBy("price", "trade_id")
-    withB.join(broadcast(targets), Seq("symbol", "bkt"))
-      .withColumn("rn", row_number().over(wSel))
-      .where(col("off") + col("rn") === col("r"))
+    bucketedRankSelect(p, 256, Seq(
+      "med" -> expr("(n + 1) div 2"),
+      "p90" -> expr("(9 * n + 9) div 10")))
       .groupBy("symbol")
       .agg(
         min(col("n")).as("n"),
@@ -634,16 +650,17 @@ object TradeQueries {
     val sk = c.groupBy("symbol").agg(
       min(col("n")).as("n"), min(col("w")).as("w"),
       est("r50").as("est_p50"), est("r90").as("est_p90"))
-    val w2 = Window.partitionBy("symbol").orderBy("price", "trade_id")
-    val ex = t
-      .withColumn("rn", row_number().over(w2))
-      .withColumn("nn", count(lit(1)).over(
-        w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // the exact accuracy readout goes through the SAME two-pass
+    // bucketed selection as trades_price_quantiles — the naive window
+    // spelling here would re-introduce the |symbols|-task full sort
+    // the r10 verdict flagged (it was the worst 30× line, 8.2×, while
+    // this readout still carried it)
+    val ex = bucketedRankSelect(t, 256, Seq(
+      "p50" -> expr("(n + 1) div 2"),
+      "p90" -> expr("(9 * n + 9) div 10")))
       .groupBy("symbol").agg(
-        min(when(col("rn") === expr("(nn + 1) div 2"), col("price")))
-          .as("exact_p50"),
-        min(when(col("rn") === expr("(9 * nn + 9) div 10"), col("price")))
-          .as("exact_p90"))
+        min(when(col("q") === "p50", col("price"))).as("exact_p50"),
+        min(when(col("q") === "p90", col("price"))).as("exact_p90"))
     sk.join(ex, "symbol")
       .select(col("symbol"), col("n"),
         col("est_p50"), col("exact_p50"),

@@ -51,19 +51,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("price quantiles sort only broadcast-pruned target buckets — " +
+  test("quantile queries sort only broadcast-pruned target buckets — " +
     "no window over an unreduced corpus scan") {
     // the r9/r10 parallelism cap: a window partitioned by the 5-value
     // symbol key sorted the WHOLE corpus in 5 tasks. The two-pass
     // selection must keep every window's input reduced — an aggregate
     // (the per-bucket counts) or a join (the target-bucket prune) has
-    // to sit between any window and any scan leaf
+    // to sit between any window and any scan leaf. Pinned for BOTH
+    // consumers of bucketedRankSelect: the exact quantiles query and
+    // the histogram sketch's exact accuracy readout
     import org.apache.spark.sql.execution.SparkPlan
-    val df = TradeQueries.priceQuantiles.run(spark, sf)
-    val sp = df.queryExecution.sparkPlan
-    val windows = sp.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    assert(windows.nonEmpty, "bucketed selection lost its windows")
     def reducedBeforeScan(node: SparkPlan): Boolean = node match {
       case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
       case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
@@ -71,14 +68,20 @@ class PlanSpec extends SparkSpec {
       case leaf if leaf.children.isEmpty => !leaf.nodeName.contains("Scan")
       case other => other.children.forall(reducedBeforeScan)
     }
-    windows.foreach { w =>
-      assert(w.children.forall(reducedBeforeScan),
-        s"a window sorts the raw corpus scan:\n${w.treeString}")
+    Seq(TradeQueries.priceQuantiles, TradeQueries.histQuantiles).foreach {
+      q =>
+        val sp = q.run(spark, sf).queryExecution.sparkPlan
+        val windows = sp.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        assert(windows.nonEmpty, s"${q.name}: bucketed selection lost its windows")
+        windows.foreach { w =>
+          assert(w.children.forall(reducedBeforeScan),
+            s"${q.name}: a window sorts the raw corpus scan:\n${w.treeString}")
+        }
+        // and the prune is a broadcast, not a shuffled join of the corpus
+        assert(plan(q).contains("BroadcastHashJoin"),
+          s"${q.name}: target-bucket prune is not a broadcast join")
     }
-    // and the prune is a broadcast, not a shuffled join of the corpus
-    val p = plan(TradeQueries.priceQuantiles)
-    assert(p.contains("BroadcastHashJoin"),
-      "target-bucket prune is not a broadcast join")
   }
 
   test("range join plans a broadcast nested-loop over the tiny band dim") {
