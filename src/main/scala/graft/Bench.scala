@@ -29,12 +29,14 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=name,name,… restricts the capture to a
     // subset (the scale-trend captures at 100×, where the full registry
     // would burn an hour per rep); unknown names fail loudly rather
-    // than silently shrinking the set. Unset = the full registry, the
-    // driver's per-round contract.
-    val registry = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+    // than silently shrinking the set. Unset OR blank = the full
+    // registry, the driver's per-round contract (a wrapper script that
+    // always exports the var must be able to say "no filter" with "").
+    val registry = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .filter(_.nonEmpty) match {
       case None => SparkEntry.registry
-      case Some(csv) =>
-        val want = csv.split(",").map(_.trim).filter(_.nonEmpty)
+      case Some(want) =>
         val byName = SparkEntry.registry.map(q => q.name -> q).toMap
         want.map(n => byName.getOrElse(n,
           sys.error(s"SPARK_GRAFT_BENCH_ONLY: unknown query '$n'"))).toSeq
