@@ -20,17 +20,26 @@ run() {
     > "$4" 2>&1
 }
 
-{
-  run /root/testdata/sf0.1 target/bench_metrics.json "" target/bench_sf01_r11.log
-  run target/scale10 target/bench_scale10.json "" target/bench10.log
-  run target/scale30 target/bench_scale30.json "" target/bench30.log
-  # 100× runs only the trend subset — the full registry at 100× would
-  # burn an hour per rep. Skippable (SKIP_100X=1) when a good capture
-  # already exists: the first recapture attempt produced a valid
-  # bench_scale100.json but blank-filter-bugged full captures, and the
-  # retry must not overwrite the good file with a contended re-run.
-  if [ -z "${SKIP_100X:-}" ]; then
-    run target/scale100 target/bench_scale100.json "$TREND" target/bench100.log
-  fi
-  touch target/RECAPTURE_DONE
-} || touch target/RECAPTURE_FAILED
+# Explicit per-step failure handling: `set -e` is IGNORED inside any
+# compound command on the left of `||`, so the previous
+# `{ ...; touch DONE; } || touch FAILED` form never fired the FAILED
+# sentinel — a failed capture fell through, later steps ran against
+# the broken build, and DONE was touched anyway.
+fail() { touch target/RECAPTURE_FAILED; exit 1; }
+
+run /root/testdata/sf0.1 target/bench_metrics.json "" target/bench_sf01_r11.log || fail
+run target/scale10 target/bench_scale10.json "" target/bench10.log || fail
+run target/scale30 target/bench_scale30.json "" target/bench30.log || fail
+# 100× runs only the trend subset — the full registry at 100× would
+# burn an hour per rep. Skippable (SKIP_100X=1) when a good capture
+# already exists and must not be overwritten by a contended re-run.
+if [ -z "${SKIP_100X:-}" ]; then
+  run target/scale100 target/bench_scale100.json "$TREND" target/bench100.log || fail
+fi
+# a capture that "succeeded" but timed zero queries is a failure too
+# (the blank-filter bug wrote exactly that while exiting 0)
+for f in target/bench_metrics.json target/bench_scale10.json \
+         target/bench_scale30.json target/bench_scale100.json; do
+  python3 -c "import json,sys; sys.exit(0 if json.load(open('$f'))['n_queries'] > 0 else 1)" || fail
+done
+touch target/RECAPTURE_DONE

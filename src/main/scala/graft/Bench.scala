@@ -37,6 +37,14 @@ object Bench {
         .filter(_.nonEmpty) match {
       case None => SparkEntry.registry
       case Some(want) =>
+        // duplicates fail as loudly as unknown names: a repeated name
+        // would be timed twice and emit duplicate JSON keys (which most
+        // parsers silently collapse, misrepresenting what ran)
+        val dups = want.groupBy(identity).collect {
+          case (n, g) if g.length > 1 => n }
+        if (dups.nonEmpty) sys.error(
+          s"SPARK_GRAFT_BENCH_ONLY: duplicate quer${
+            if (dups.size == 1) "y" else "ies"} '${dups.mkString("','")}'")
         val byName = SparkEntry.registry.map(q => q.name -> q).toMap
         want.map(n => byName.getOrElse(n,
           sys.error(s"SPARK_GRAFT_BENCH_ONLY: unknown query '$n'"))).toSeq

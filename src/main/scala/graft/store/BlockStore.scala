@@ -65,8 +65,10 @@ object BlockStore {
     * with [[IllegalStateException]] if another runner holds a live one.
     * Atomicity comes from CREATE_NEW (one creator wins the filesystem
     * race); a lease whose deadline passed is STALE and gets stolen —
-    * delete + re-create, where again exactly one stealer's CREATE_NEW
-    * wins and the loser observes the fresh lease and fails fast. The
+    * via [[stealStaleLease]], which serializes stealers behind a
+    * steal-lock and re-verifies staleness under it (an unserialized
+    * delete would let a second stealer remove the first's freshly
+    * created live lease), then re-enters the same CREATE_NEW race. The
     * epoch sidecar (`.epoch_<dir>`) persists across releases so every
     * acquisition — normal or steal — gets a strictly larger fencing
     * token than any lease ever granted on this root. `ttlMs` defaults
@@ -87,7 +89,18 @@ object BlockStore {
     while (true) {
       val lastEpoch =
         try Files.readString(epochFile).trim.toLong
-        catch { case _: java.io.IOException => 0L }
+        catch {
+          case _: java.nio.file.NoSuchFileException => 0L
+          // present-but-unparseable is NOT silently 0: minting a token
+          // that may regress below a lease already granted would void
+          // the fencing discipline. The atomic sidecar write below
+          // makes this state unreachable for this code's own crashes —
+          // reaching it means external interference, so fail loudly.
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"corrupt fencing-epoch sidecar $epochFile — refusing to " +
+              "mint a token that may regress; delete the sidecar to " +
+              "re-arm from 0 only if no lease on this root can be live")
+        }
       val epoch = lastEpoch + 1
       val now = System.currentTimeMillis()
       try {
@@ -96,8 +109,17 @@ object BlockStore {
             java.nio.charset.StandardCharsets.UTF_8),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
         // only the unique CREATE_NEW winner advances the sidecar, so
-        // the write needs no lock of its own
-        Files.writeString(epochFile, epoch.toString + "\n")
+        // the write needs no lock of its own — but it must be ATOMIC
+        // (stage + rename): an in-place truncate-then-write leaves a
+        // permanently empty sidecar if this process dies between the
+        // two, wedging every later acquisition on the corrupt-sidecar
+        // check above
+        val epochTmp = parent.resolve(
+          s".epoch_${root.getFileName}.tmp_$owner")
+        Files.writeString(epochTmp, epoch.toString + "\n")
+        Files.move(epochTmp, epochFile,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         return MaintenanceLease(leaseFile, owner, epoch)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -142,11 +164,123 @@ object BlockStore {
             if (stealsLeft == 0) throw new IllegalStateException(
               s"maintenance lease on $root stale but unstealable after " +
                 "3 attempts (a live runner keeps re-winning the race)")
-            Files.deleteIfExists(leaseFile)
+            stealStaleLease(parent, root, leaseFile, held, owner)
+            // stale record gone (or this throws): loop back to the
+            // CREATE_NEW race — another acquirer may still win it first
           }
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Remove one STALE lease record so the caller can re-enter the
+    * CREATE_NEW race. Stealers are SERIALIZED by a short-deadline
+    * steal-lock (itself a CREATE_NEW file): the lone stealer re-reads
+    * the lease UNDER the lock, so the record it deletes is always one
+    * it just re-verified stale — a live lease is never displaced.
+    * Without serialization, the naive delete-based steal let a second
+    * stealer's deleteIfExists remove the first's freshly created LIVE
+    * lease (two live holders staging concurrently); and even an
+    * atomic-rename claim left verify-and-restore an absence window in
+    * which a third acquirer's CREATE_NEW won while the displaced
+    * holder had already returned — two surviving acquisitions. Under
+    * the lock, re-read → verify → delete admits exactly one survivor
+    * of the whole acquire race.
+    *
+    * The lock guards only this removal, never a commit, so lock
+    * crash-recovery can use the simple delete-and-re-race (a dead
+    * stealer's lock past its 30 s deadline is deleted; the residual
+    * two-lock-holder window behind a crashed lock needs a second
+    * crash inside 30 s to matter, and even then the lease fence —
+    * not this lock — is what guards commits).
+    *
+    * Throws the contractual fail-fast [[IllegalStateException]] when
+    * another stealer holds the lock or the lease re-reads as LIVE;
+    * returns normally once the stale record is gone (including
+    * "already released underneath us"). */
+  private def stealStaleLease(parent: java.nio.file.Path,
+                              root: java.nio.file.Path,
+                              leaseFile: java.nio.file.Path,
+                              observed: String,
+                              owner: String): Unit = {
+    import java.nio.file.{Files, StandardOpenOption}
+    val lock = parent.resolve(s".steallock_${root.getFileName}")
+    var lockAttempts = 3
+    var locked = false
+    while (!locked) {
+      try {
+        Files.write(lock,
+          s"$owner ${System.currentTimeMillis() + 30000L}\n".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        locked = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          lockAttempts -= 1
+          // a TORN lock read (created, content not yet written — the
+          // same two-syscall window as the lease file itself) is an
+          // IN-FLIGHT writer, not a corpse: age it by file mtime, so a
+          // fresh torn lock reads as live (fail fast below) and only
+          // one whose writer died >30 s ago is deleted. Treating torn
+          // as dead re-opened the dual-stealer race this lock exists
+          // to close: the reader deleted the in-flight winner's lock,
+          // took its own, and both proceeded to delete/create.
+          def mtimeDeadline: Long =
+            try Files.getLastModifiedTime(lock).toMillis + 30000L
+            catch { case _: Exception => 0L } // vanished: re-race
+          val deadline =
+            try Files.readString(lock).trim.split(" ", 2) match {
+              case Array(_, d) =>
+                try d.toLong catch {
+                  case _: NumberFormatException => mtimeDeadline }
+              case _ => mtimeDeadline // torn
+            } catch { case _: Exception => 0L } // vanished: re-race
+          if (System.currentTimeMillis() < deadline || lockAttempts == 0)
+            throw new IllegalStateException(
+              s"maintenance lease on $root is being stolen by a " +
+                "concurrent runner — second runner fails fast by contract")
+          Files.deleteIfExists(lock) // dead stealer's lock: re-race
+      }
+    }
+    try {
+      def readCur(): Option[(String, Long)] =
+        try {
+          val c = Files.readString(leaseFile).trim
+          val d = c.split(" ", 3) match {
+            case Array(_, _, dl) => try dl.toLong
+              catch { case _: NumberFormatException => Long.MinValue }
+            case _ => Long.MinValue
+          }
+          Some((c, d))
+        } catch { case _: java.io.IOException => None }
+      // re-read UNDER the lock with the same torn-read grace as the
+      // acquire loop: an unparseable record that DIFFERS from the one
+      // we observed may be a CREATE_NEW winner's content write still
+      // in flight (create and write are two syscalls) — deleting it
+      // here would displace a live acquirer that has already returned,
+      // re-opening the two-survivor window. Only a record still torn
+      // after the grace (its writer died between the syscalls) or
+      // still the observed stale one is removed.
+      var cur = readCur().getOrElse(return) // released underneath us
+      val graceEnd = System.currentTimeMillis() + 1000L
+      while (cur._2 == Long.MinValue && cur._1 != observed &&
+             System.currentTimeMillis() < graceEnd) {
+        Thread.sleep(10L)
+        cur = readCur().getOrElse(return)
+      }
+      if (cur._1 != observed && System.currentTimeMillis() < cur._2)
+        throw new IllegalStateException(
+          s"maintenance lease on $root changed hands mid-steal — a " +
+            "live runner holds it; second runner fails fast by contract")
+      try Files.delete(leaseFile)
+      catch { case _: java.nio.file.NoSuchFileException => () }
+    } finally {
+      // release only OUR lock — past its deadline it may have been
+      // legitimately stolen by the next stealer
+      val mine = try Files.readString(lock).trim.startsWith(s"$owner ")
+      catch { case _: Exception => false }
+      if (mine) Files.deleteIfExists(lock)
+    }
   }
 
   /** The persisted expiry watermark, or `Long.MinValue` when nothing
@@ -231,7 +365,7 @@ object BlockStore {
       if (wm == watermark(root)) return // nothing new to retire
       Store.swapDirectoryFenced(
         root.getParent.toString, root.getFileName.toString,
-        () => lease.check()) { tmp =>
+        () => lease.check(), stageSuffix = s"_${lease.owner}") { tmp =>
         val tmpPath = java.nio.file.Paths.get(tmp)
         java.nio.file.Files.createDirectories(tmpPath)
         java.nio.file.Files.writeString(
@@ -326,7 +460,7 @@ object BlockStore {
     val foldedId = oldBlocks.map(blockId).max
     Store.swapDirectoryFenced(
       root.getParent.toString, root.getFileName.toString,
-      () => lease.check()) { tmp =>
+      () => lease.check(), stageSuffix = s"_${lease.owner}") { tmp =>
       val tmpPath = java.nio.file.Paths.get(tmp)
       java.nio.file.Files.createDirectories(tmpPath)
       // the expiry watermark survives compaction — dropping it would

@@ -149,16 +149,38 @@ object Store {
       scratchBySub(sub) = spared ++ live
       dead.foreach { d =>
         scratchDirs.remove(d)
-        try deleteRecursivelyIfExists(d)
+        try deleteScratchWithSidecars(d)
         catch { case _: Exception => () }
       }
     }
     if (scratchHookInstalled.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         scratchDirs.forEach(d =>
-          try deleteRecursivelyIfExists(d)
+          try deleteScratchWithSidecars(d)
           catch { case _: Exception => () })))
     dir
+  }
+
+  /** Sweep a dead scratch store AND the maintenance-lease droppings a
+    * compact/expire on it left NEXT TO it (`.lease_`/`.epoch_`
+    * sidecars, plus any `.old_`/`.stage_`/`.stolen_` crash leftovers):
+    * the store dir alone is what the sweeper used to delete, which
+    * leaked one epoch sidecar per store-building query run — dozens of
+    * small files per bench capture, unbounded across rounds. */
+  private def deleteScratchWithSidecars(d: String): Unit = {
+    deleteRecursivelyIfExists(d)
+    val p = Paths.get(d)
+    val name = p.getFileName.toString
+    val parent = p.getParent
+    if (parent != null && Files.isDirectory(parent))
+      listDir(parent).foreach { s =>
+        val n = s.getFileName.toString
+        val sidecar = n == s".lease_$name" || n == s".epoch_$name" ||
+          n == s".old_$name" || n == s".steallock_$name" ||
+          n.startsWith(s".epoch_$name.tmp_") || n.startsWith(s".stage_$name")
+        if (sidecar)
+          try deleteRecursively(s) catch { case _: Exception => () }
+      }
   }
 
   private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
@@ -584,14 +606,27 @@ object Store {
     * a runner whose lease was stolen mid-staging (it stalled past the
     * TTL and a second runner took over) can never commit its stale
     * staged copy over the new holder's work — the fencing-token
-    * discipline, token = the lease epoch. */
+    * discipline, token = the lease epoch.
+    *
+    * `stageSuffix` isolates CONCURRENT fenced swaps of the same dir:
+    * the fence only arbitrates the rename pair, so two runners staging
+    * into the SAME `.stage_` path would corrupt each other BEFORE
+    * either fence fires (the second's pre-clean deletes the first's
+    * in-flight copy; the first's late writes land inside the second's
+    * staged tree, and the second's fence then commits the mix). A
+    * lease-holding caller passes its owner id so each runner stages
+    * into its own directory and the fence alone decides who commits.
+    * A crashed runner's suffixed stage dir is reaped here once it is
+    * older than [[StageGraceMs]] (same corpse-vs-live heuristic as
+    * [[retention]]). */
   def swapDirectoryFenced(path: String, dirName: String,
-                          fence: () => Unit)(
+                          fence: () => Unit,
+                          stageSuffix: String = "")(
       stage: String => Unit): Unit = {
     recoverSwap(path, dirName)
     val target = Paths.get(s"$path/$dirName")
     val old = Paths.get(s"$path/.old_$dirName")
-    val tmp = s"$path/.stage_$dirName"
+    val tmp = s"$path/.stage_$dirName$stageSuffix"
     // a crash AFTER staging began but BEFORE the rename pair leaves a
     // populated .stage_ dir behind; stage() implementations overwrite
     // only what they write themselves (a parquet overwrite clears its
@@ -601,6 +636,23 @@ object Store {
     // carry the dead attempt's leftover content live — e.g. a stale
     // block=N folding into a block store twice
     if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))
+    // OTHER suffixes' stage dirs are someone else's — possibly live —
+    // work: reap only corpses (crashed runners' leftovers past the
+    // grace age), never a fresh dir a concurrent runner is staging.
+    // Exact-name-or-`_`-separated match: a bare startsWith would let
+    // dirName `store-a` reap a sibling `store-ab`'s stage dir.
+    if (Files.isDirectory(Paths.get(path)))
+      listDir(Paths.get(path)).foreach { p =>
+        val n = p.getFileName.toString
+        val ours = n == s".stage_$dirName" ||
+          n.startsWith(s".stage_${dirName}_")
+        if (ours && p.toString != tmp) {
+          val age = try System.currentTimeMillis() -
+            Files.getLastModifiedTime(p).toMillis
+          catch { case _: Exception => 0L } // vanished: nothing to reap
+          if (age > StageGraceMs) deleteRecursively(p)
+        }
+      }
     try {
       stage(tmp)
       fence()

@@ -320,4 +320,158 @@ class BlockStoreSpec extends SparkSpec {
     stolen.check()
     stolen.release()
   }
+
+  test("N concurrent stealers of one stale lease: exactly one " +
+    "acquisition survives (serialized steal, not bare delete)") {
+    // regression for the double-steal: with an unserialized delete, two
+    // runners that both observed the stale record could interleave so
+    // the second's deleteIfExists removed the FIRST's freshly created
+    // LIVE lease — two live leaseholders compacting concurrently (and
+    // even an atomic-rename claim left its verify-and-restore an
+    // absence window admitting a second CREATE_NEW winner). The
+    // steal-lock serializes removal and re-verifies staleness under
+    // it, so across ANY interleaving exactly one acquirer returns and
+    // the rest fail fast.
+    import java.nio.file.{Files, Paths}
+    (0 until 8).foreach { round =>
+      val partials = tmpDir(s"bs-steal-race-$round") + "/store"
+      Files.createDirectories(Paths.get(partials))
+      // a stale-but-well-formed lease: valid record, deadline long past
+      BlockStore.acquireMaintenanceLease(partials, ttlMs = -60000L)
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[
+          Either[String, BlockStore.MaintenanceLease]]()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until 6).map { _ =>
+        new Thread(() => {
+          start.await()
+          try results.add(
+            Right(BlockStore.acquireMaintenanceLease(partials)))
+          catch {
+            case e: IllegalStateException =>
+              results.add(Left(e.getMessage)); ()
+          }
+        })
+      }
+      threads.foreach(_.start())
+      start.countDown()
+      threads.foreach(_.join(30000L))
+      val (fails, wins) = {
+        import scala.jdk.CollectionConverters._
+        results.asScala.toList.partitionMap(identity)
+      }
+      assert(wins.size == 1,
+        s"round $round: ${wins.size} concurrent acquisitions survived " +
+          s"a single stale lease (failures: ${fails.mkString(" | ")})")
+      wins.head.check() // the survivor is fenced-in by the file content
+      assert(fails.size == 5)
+      // no steal-lock droppings survive a settled race
+      val leftovers = {
+        val s = Files.list(Paths.get(partials).getParent)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith(".steallock_")).toList
+        } finally s.close()
+      }
+      assert(leftovers.isEmpty, s"round $round: $leftovers")
+      wins.head.release()
+    }
+  }
+
+  test("a corrupt fencing-epoch sidecar fails acquisition loudly " +
+    "instead of minting a token that may regress") {
+    import java.nio.file.{Files, Paths}
+    val partials = tmpDir("bs-epoch-corrupt") + "/store"
+    Files.createDirectories(Paths.get(partials))
+    val root = Paths.get(partials).toAbsolutePath
+    val epochFile = root.getParent.resolve(s".epoch_${root.getFileName}")
+    Files.writeString(epochFile, "not-a-number\n")
+    val e = intercept[IllegalStateException](
+      BlockStore.acquireMaintenanceLease(partials))
+    assert(e.getMessage.contains("corrupt fencing-epoch sidecar"),
+      e.getMessage)
+    // the documented re-arm: delete the sidecar, epochs restart from 1
+    Files.delete(epochFile)
+    val a = BlockStore.acquireMaintenanceLease(partials)
+    assert(a.epoch == 1L)
+    a.release()
+    // and the normal path persists monotonically via the atomic write
+    val b = BlockStore.acquireMaintenanceLease(partials)
+    assert(b.epoch == 2L)
+    b.release()
+  }
+
+  test("two concurrent fenced swaps stage into DISJOINT dirs: the " +
+    "fenced-out runner's in-flight writes cannot reach the winner's " +
+    "committed tree") {
+    // regression for the shared-stage-path corruption: with one
+    // .stage_<dir> path, runner B's pre-clean deleted runner A's
+    // in-flight staged copy and A's late writes landed inside B's
+    // staged tree — B's fence then committed the interleaved mix. With
+    // per-owner suffixes each runner stages alone and the fence alone
+    // arbitrates the rename.
+    import java.nio.file.{Files, Paths}
+    val parent = tmpDir("bs-stage-isolated")
+    val dirName = "store"
+    Files.createDirectories(Paths.get(parent, dirName))
+    Files.writeString(Paths.get(parent, dirName, "seed.txt"), "v0\n")
+
+    val aStagedFirst = new java.util.concurrent.CountDownLatch(1)
+    val bStaged = new java.util.concurrent.CountDownLatch(1)
+    val aDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aFenceError: Throwable = null
+
+    val a = new Thread(() => {
+      try Store.swapDirectoryFenced(parent, dirName,
+        () => throw new IllegalStateException("lease lost (simulated)"),
+        stageSuffix = "_ownerA") { tmp =>
+        Files.createDirectories(Paths.get(tmp))
+        Files.writeString(Paths.get(tmp, "a-early.txt"), "A\n")
+        aStagedFirst.countDown()
+        // keep staging while B pre-cleans, stages, and waits to commit:
+        // pre-fix this write landed inside B's staged tree (same path)
+        assert(bStaged.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        Files.writeString(Paths.get(tmp, "a-late.txt"), "A-late\n")
+      } catch { case t: Throwable => aFenceError = t }
+      finally aDone.countDown()
+    })
+    a.start()
+    assert(aStagedFirst.await(30, java.util.concurrent.TimeUnit.SECONDS))
+
+    Store.swapDirectoryFenced(parent, dirName,
+      () => assert(aDone.await(30, java.util.concurrent.TimeUnit.SECONDS)),
+      stageSuffix = "_ownerB") { tmp =>
+      Files.createDirectories(Paths.get(tmp))
+      Files.writeString(Paths.get(tmp, "b.txt"), "B\n")
+      bStaged.countDown()
+      // B's stage ends here; its fence waits for A to finish writing
+      // and get fenced out, maximizing the old corruption window
+    }
+    a.join(30000L)
+
+    assert(aFenceError != null &&
+      aFenceError.getMessage.contains("lease lost"),
+      s"the stale runner was not fenced out: $aFenceError")
+    val committed = {
+      val s = Files.list(Paths.get(parent, dirName))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toList.sorted
+      } finally s.close()
+    }
+    assert(committed == List("b.txt"),
+      s"winner's committed tree was polluted: $committed")
+    // both stage dirs are gone: B's consumed by the rename, A's
+    // removed by its own finally-clean
+    val stages = {
+      val s = Files.list(Paths.get(parent))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(".stage_")).toList
+      } finally s.close()
+    }
+    assert(stages.isEmpty, s"leftover stage dirs: $stages")
+  }
 }

@@ -369,4 +369,38 @@ class StoreSpec extends SparkSpec {
     assert(Store.tableExists(spark, "probe_trades"))
     assert(!Store.tableExists(spark, "no_such_table"))
   }
+
+  test("the scratch-store sweep removes a dead store's maintenance " +
+    "sidecars with it, not just the store dir") {
+    // regression: compact/expire on a scratch store writes `.lease_`/
+    // `.epoch_` sidecars NEXT TO it; sweeping only the store dir leaked
+    // one sidecar set per store-building query run — dozens of files
+    // per bench capture, unbounded across rounds.
+    import java.nio.file.{Files, Paths}
+    val sub = s"sweeptest-${java.util.UUID.randomUUID()}"
+    val d1 = Store.scratchStore(sub)
+    val p1 = Paths.get(d1)
+    val name = p1.getFileName.toString
+    val parent = p1.getParent
+    Files.writeString(parent.resolve(s".epoch_$name"), "3\n")
+    Files.writeString(parent.resolve(s".lease_$name"), "3 x 0\n")
+    Files.createDirectories(parent.resolve(s".stage_${name}_crashed"))
+    // age the store past ScratchMinAgeMs so the next sweeps may reap it
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - Store.ScratchMinAgeMs - 60000L)
+    Files.setLastModifiedTime(p1, old)
+    // keep-2: d1 leaves the kept window at the third allocation
+    Store.scratchStore(sub)
+    Store.scratchStore(sub)
+    assert(!Files.exists(p1), "aged store dir was not swept")
+    val leftovers = {
+      val s = Files.list(parent)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.contains(name)).toList
+      } finally s.close()
+    }
+    assert(leftovers.isEmpty, s"sidecars survived the sweep: $leftovers")
+  }
 }
