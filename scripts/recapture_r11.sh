@@ -36,10 +36,21 @@ run target/scale30 target/bench_scale30.json "" target/bench30.log || fail
 if [ -z "${SKIP_100X:-}" ]; then
   run target/scale100 target/bench_scale100.json "$TREND" target/bench100.log || fail
 fi
-# a capture that "succeeded" but timed zero queries is a failure too
-# (the blank-filter bug wrote exactly that while exiting 0)
-for f in target/bench_metrics.json target/bench_scale10.json \
-         target/bench_scale30.json target/bench_scale100.json; do
-  python3 -c "import json,sys; sys.exit(0 if json.load(open('$f'))['n_queries'] > 0 else 1)" || fail
+# a capture that "succeeded" but timed zero queries — or timed them
+# all as throws — is a failure too: the blank-filter bug wrote a
+# zero-query file while exiting 0, and Bench deliberately catches
+# per-query NonFatal errors (recording them in n_failed) so a broken
+# build exits 0 with garbage near-zero timings. Only the files this
+# invocation actually (re)captured are gated: under SKIP_100X the
+# scale100 file may legitimately predate this run or not exist.
+CAPTURED="target/bench_metrics.json target/bench_scale10.json target/bench_scale30.json"
+if [ -z "${SKIP_100X:-}" ]; then
+  CAPTURED="$CAPTURED target/bench_scale100.json"
+fi
+for f in $CAPTURED; do
+  python3 -c "
+import json, sys
+d = json.load(open('$f'))
+sys.exit(0 if d['n_queries'] > 0 and d['n_failed'] == 0 else 1)" || fail
 done
 touch target/RECAPTURE_DONE

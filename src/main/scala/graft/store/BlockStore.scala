@@ -61,6 +61,25 @@ object BlockStore {
       catch { case _: IllegalStateException => () }
   }
 
+  /** The ONE source of the maintenance-sidecar naming scheme — every
+    * path this file builds next to a store dir goes through these, and
+    * [[isMaintenanceSidecar]] is the matching predicate the scratch
+    * sweeper uses ([[Store.scratchStore]]'s cleanup). A sidecar added
+    * here without extending the predicate would silently leak, which
+    * is exactly how the original `.epoch_` leak arose (the sweeper
+    * re-spelled the names in a second file and drifted). */
+  private def leaseFileName(dir: String): String = s".lease_$dir"
+  private def epochFileName(dir: String): String = s".epoch_$dir"
+  private def epochTmpPrefix(dir: String): String = s".epoch_$dir.tmp_"
+  private def stealLockFileName(dir: String): String = s".steallock_$dir"
+
+  /** Does file name `n` belong to the lease machinery of store dir
+    * `dir`? (Exact names only — no bare prefix matching, so a sibling
+    * store whose name extends `dir` can never be matched.) */
+  private[store] def isMaintenanceSidecar(dir: String, n: String): Boolean =
+    n == leaseFileName(dir) || n == epochFileName(dir) ||
+      n == stealLockFileName(dir) || n.startsWith(epochTmpPrefix(dir))
+
   /** Acquire the maintenance lease for a partials root, or fail fast
     * with [[IllegalStateException]] if another runner holds a live one.
     * Atomicity comes from CREATE_NEW (one creator wins the filesystem
@@ -83,8 +102,8 @@ object BlockStore {
     val root = Paths.get(partialsPath).toAbsolutePath
     val parent = root.getParent
     Files.createDirectories(parent)
-    val leaseFile = parent.resolve(s".lease_${root.getFileName}")
-    val epochFile = parent.resolve(s".epoch_${root.getFileName}")
+    val leaseFile = parent.resolve(leaseFileName(s"${root.getFileName}"))
+    val epochFile = parent.resolve(epochFileName(s"${root.getFileName}"))
     var stealsLeft = 3
     while (true) {
       val lastEpoch =
@@ -115,7 +134,7 @@ object BlockStore {
         // two, wedging every later acquisition on the corrupt-sidecar
         // check above
         val epochTmp = parent.resolve(
-          s".epoch_${root.getFileName}.tmp_$owner")
+          epochTmpPrefix(s"${root.getFileName}") + owner)
         Files.writeString(epochTmp, epoch.toString + "\n")
         Files.move(epochTmp, epochFile,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -204,7 +223,7 @@ object BlockStore {
                               observed: String,
                               owner: String): Unit = {
     import java.nio.file.{Files, StandardOpenOption}
-    val lock = parent.resolve(s".steallock_${root.getFileName}")
+    val lock = parent.resolve(stealLockFileName(s"${root.getFileName}"))
     var lockAttempts = 3
     var locked = false
     while (!locked) {

@@ -161,12 +161,18 @@ object Store {
     dir
   }
 
-  /** Sweep a dead scratch store AND the maintenance-lease droppings a
-    * compact/expire on it left NEXT TO it (`.lease_`/`.epoch_`
-    * sidecars, plus any `.old_`/`.stage_`/`.stolen_` crash leftovers):
-    * the store dir alone is what the sweeper used to delete, which
-    * leaked one epoch sidecar per store-building query run — dozens of
-    * small files per bench capture, unbounded across rounds. */
+  /** Sweep a dead scratch store AND the maintenance droppings a
+    * compact/expire on it left NEXT TO it (the lease machinery's
+    * sidecars via [[BlockStore.isMaintenanceSidecar]] — the single
+    * source of that naming scheme — plus this file's own
+    * `.old_`/`.stage_` swap leftovers): the store dir alone is what
+    * the sweeper used to delete, which leaked one epoch sidecar per
+    * store-building query run — dozens of small files per bench
+    * capture, unbounded across rounds. Swap-leftover matching is
+    * exact-or-`_`-separated, NOT a bare prefix: `createTempDirectory`
+    * mints variable-length names, so sweeping dead `store-123` with a
+    * bare prefix could delete live sibling `store-1234`'s in-flight
+    * `.stage_store-1234…` dir mid-compact. */
   private def deleteScratchWithSidecars(d: String): Unit = {
     deleteRecursivelyIfExists(d)
     val p = Paths.get(d)
@@ -175,9 +181,9 @@ object Store {
     if (parent != null && Files.isDirectory(parent))
       listDir(parent).foreach { s =>
         val n = s.getFileName.toString
-        val sidecar = n == s".lease_$name" || n == s".epoch_$name" ||
-          n == s".old_$name" || n == s".steallock_$name" ||
-          n.startsWith(s".epoch_$name.tmp_") || n.startsWith(s".stage_$name")
+        val sidecar = BlockStore.isMaintenanceSidecar(name, n) ||
+          n == s".old_$name" || n == s".stage_$name" ||
+          n.startsWith(s".stage_${name}_")
         if (sidecar)
           try deleteRecursively(s) catch { case _: Exception => () }
       }
@@ -650,7 +656,11 @@ object Store {
           val age = try System.currentTimeMillis() -
             Files.getLastModifiedTime(p).toMillis
           catch { case _: Exception => 0L } // vanished: nothing to reap
-          if (age > StageGraceMs) deleteRecursively(p)
+          // two legitimately-concurrent fenced runners can race this
+          // reap on the same corpse (or one's finally-clean): a corpse
+          // vanishing mid-walk must not abort this runner's swap
+          if (age > StageGraceMs)
+            try deleteRecursively(p) catch { case _: Exception => () }
         }
       }
     try {
