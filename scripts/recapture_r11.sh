@@ -27,6 +27,22 @@ run() {
 # the broken build, and DONE was touched anyway.
 fail() { touch target/RECAPTURE_FAILED; exit 1; }
 
+# The scale corpora live under target/ and die with `sbt clean`;
+# ScaleCorpus is deterministic (zero randomness), so regenerating a
+# missing corpus reproduces the exact same rows — self-heal instead of
+# capturing 120 PATH_NOT_FOUND errors per scale.
+ensure() {
+  if [ ! -f "$1/documents.parquet" ]; then
+    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ScaleCorpus /root/testdata/sf0.1 $1 $2" \
+      > "target/scalegen_$2.log" 2>&1 || fail
+  fi
+}
+ensure target/scale10 10
+ensure target/scale30 30
+if [ -z "${SKIP_100X:-}" ]; then
+  ensure target/scale100 100
+fi
+
 run /root/testdata/sf0.1 target/bench_metrics.json "" target/bench_sf01_r11.log || fail
 run target/scale10 target/bench_scale10.json "" target/bench10.log || fail
 run target/scale30 target/bench_scale30.json "" target/bench30.log || fail
