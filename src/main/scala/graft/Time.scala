@@ -19,9 +19,11 @@ object Time {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // registry + the deliberately-unregistered bench contrasts (the
-    // fixed-cell SemDeDup demo keeps its trend-table row this way)
+    // fixed-cell SemDeDup demo and the all-pairs LSH enumeration keep
+    // their measured-bad-example rows this way)
     val byName =
-      (SparkEntry.registry :+ graft.queries.EmbQueries.semanticDedup)
+      (SparkEntry.registry :+ graft.queries.EmbQueries.semanticDedup
+        :+ graft.queries.DocQueries.minhashPairs)
         .map(q => q.name -> q).toMap
     // session warmup
     byName("trades_count").run(spark, sfDir).write
