@@ -78,7 +78,39 @@ object BlockStore {
     * store whose name extends `dir` can never be matched.) */
   private[store] def isMaintenanceSidecar(dir: String, n: String): Boolean =
     n == leaseFileName(dir) || n == epochFileName(dir) ||
-      n == stealLockFileName(dir) || n.startsWith(epochTmpPrefix(dir))
+      n == stealLockFileName(dir) || n.startsWith(epochTmpPrefix(dir)) ||
+      n.startsWith(leaseFileName(dir) + ".pub_") ||
+      n.startsWith(stealLockFileName(dir) + ".pub_")
+
+  /** Atomically publish `content` at `file`, throwing
+    * [[java.nio.file.FileAlreadyExistsException]] when the file already
+    * exists: the content lands in a sibling temp file first and enters
+    * the namespace via a hard LINK, so no reader can ever observe the
+    * published file without its content — the torn-read state of the
+    * old two-syscall spelling (CREATE_NEW, then write) is unreachable
+    * (r11 ADVICE). The callers' torn-read grace paths remain as
+    * defense: a filesystem without hard links falls back to the
+    * two-syscall spelling, and external interference can still
+    * truncate a file. A temp orphan from a crash between write and
+    * link matches [[isMaintenanceSidecar]] and is swept with the other
+    * sidecar corpses. */
+  private def publishExclusive(file: java.nio.file.Path,
+                               content: String): Unit = {
+    import java.nio.file.{Files, StandardOpenOption}
+    val tmp = file.resolveSibling(
+      file.getFileName.toString + ".pub_" + java.util.UUID.randomUUID())
+    Files.writeString(tmp, content)
+    try Files.createLink(file, tmp)
+    catch {
+      case _: UnsupportedOperationException =>
+        Files.write(file,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    } finally {
+      Files.deleteIfExists(tmp)
+      ()
+    }
+  }
 
   /** Acquire the maintenance lease for a partials root, or fail fast
     * with [[IllegalStateException]] if another runner holds a live one.
@@ -123,10 +155,11 @@ object BlockStore {
       val epoch = lastEpoch + 1
       val now = System.currentTimeMillis()
       try {
-        Files.write(leaseFile,
-          s"$epoch $owner ${now + ttlMs}\n".getBytes(
-            java.nio.charset.StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        // link-published: the lease appears in the namespace WITH its
+        // content, so a racing acquirer can never read it torn (the
+        // grace path below survives only for the no-hard-link fallback
+        // and external truncation)
+        publishExclusive(leaseFile, s"$epoch $owner ${now + ttlMs}\n")
         // only the unique CREATE_NEW winner advances the sidecar, so
         // the write needs no lock of its own — but it must be ATOMIC
         // (stage + rename): an in-place truncate-then-write leaves a
@@ -211,7 +244,11 @@ object BlockStore {
     * stealer's lock past its 30 s deadline is deleted; the residual
     * two-lock-holder window behind a crashed lock needs a second
     * crash inside 30 s to matter, and even then the lease fence —
-    * not this lock — is what guards commits).
+    * not this lock — is what guards commits). TESTED residual, not
+    * just documented: BlockStoreSpec's crash-injection case drives a
+    * dead runner's stage dir + stale lease + past-deadline lock corpse
+    * through a full steal-and-commit and pins that the fence alone
+    * keeps the corpse content out of the winner's tree.
     *
     * Throws the contractual fail-fast [[IllegalStateException]] when
     * another stealer holds the lock or the lease re-reads as LIVE;
@@ -228,10 +265,10 @@ object BlockStore {
     var locked = false
     while (!locked) {
       try {
-        Files.write(lock,
-          s"$owner ${System.currentTimeMillis() + 30000L}\n".getBytes(
-            java.nio.charset.StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        // same link-publish as the lease: the lock is never observable
+        // without its deadline
+        publishExclusive(lock,
+          s"$owner ${System.currentTimeMillis() + 30000L}\n")
         locked = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

@@ -607,12 +607,19 @@ object Store {
 
   /** [[swapDirectory]] with a fencing hook: `fence` runs AFTER staging
     * completes and immediately BEFORE the rename pair — the last point
-    * where aborting leaves the live dir untouched. A maintenance runner
+    * where aborting leaves the live dir untouched — and AGAIN between
+    * the backup move and the commit move (a steal landing between the
+    * first check and the renames must abort into the rollback, not
+    * commit a stale copy). A maintenance runner
     * passes its lease check ([[BlockStore.MaintenanceLease.check]]) so
     * a runner whose lease was stolen mid-staging (it stalled past the
     * TTL and a second runner took over) can never commit its stale
     * staged copy over the new holder's work — the fencing-token
-    * discipline, token = the lease epoch.
+    * discipline, token = the lease epoch. The irreducible residue is
+    * one syscall: a steal landing INSIDE the final rename itself wins
+    * the lease but can still see the stale commit; closing that needs
+    * token verification inside the filesystem's rename, which POSIX
+    * does not offer.
     *
     * `stageSuffix` isolates CONCURRENT fenced swaps of the same dir:
     * the fence only arbitrates the rename pair, so two runners staging
@@ -670,7 +677,16 @@ object Store {
         // the live dir is only removed AFTER the new copy is staged;
         // deleting first would make it vanish if the final move failed
         Files.move(target, old)
-        try Files.move(Paths.get(tmp), target)
+        // re-check the fence BETWEEN the two renames: a lease steal
+        // landing after the first fence() but before the commit move
+        // would otherwise let this (now stale) runner's staged copy
+        // land over the new holder's work. With the re-check, the
+        // unguarded window shrinks to the single commit rename below —
+        // a steal inside that one syscall can still be overwritten,
+        // which is the irreducible gap of fencing-by-check (closing it
+        // needs the filesystem to verify the token inside rename
+        // itself); the window is one rename, not a staging pass.
+        try { fence(); Files.move(Paths.get(tmp), target) }
         catch {
           case e: Exception =>
             Files.move(old, target) // roll back to the previous copy
@@ -678,6 +694,8 @@ object Store {
         }
         deleteRecursively(old)
       } else Files.move(Paths.get(tmp), target)
+      // (no re-check on the no-previous-copy path: the first fence()
+      // runs immediately before this single rename already)
     } finally {
       // never leave a stale staging dir behind on failure
       if (Files.exists(Paths.get(tmp))) deleteRecursively(Paths.get(tmp))

@@ -474,4 +474,124 @@ class BlockStoreSpec extends SparkSpec {
     }
     assert(stages.isEmpty, s"leftover stage dirs: $stages")
   }
+
+  test("crash injection: a runner dead mid-stage (live-looking stage " +
+    "dir, stale lease, dead steal-lock past its 30 s deadline) never " +
+    "pollutes the next runner's pass, and its zombie commit is fenced") {
+    // the two residual windows the r11 scaladoc documented as prose:
+    // (1) a crashed runner leaves a populated per-owner stage dir plus
+    // a stale lease; (2) a crashed STEALER leaves a steal-lock whose
+    // deadline has passed (the >30 s coincidence). Drive both at once
+    // and pin that the commit-time fence — not cleanup luck — is what
+    // keeps the corpse content out of the winner's tree.
+    import java.nio.file.{Files, Paths}
+    val partials = tmpDir("bs-crash-inject") + "/store"
+    writeBlock(partials, 0L, Seq(1L, 2L))
+    val root = Paths.get(partials).toAbsolutePath
+    val parent = root.getParent
+    val dirName = s"${root.getFileName}"
+
+    // corpse 1: the dead runner's lease (epoch 5, deadline long past)
+    // and the matching epoch sidecar — exactly what a kill -9 after
+    // acquisition leaves behind
+    val leaseFile = parent.resolve(s".lease_$dirName")
+    Files.writeString(leaseFile,
+      s"5 dead-owner ${System.currentTimeMillis() - 60000L}\n")
+    Files.writeString(parent.resolve(s".epoch_$dirName"), "5\n")
+    // corpse 2: its per-owner stage dir, fresh mtime (live-LOOKING —
+    // younger than StageGraceMs, so no reap may remove it; only the
+    // fence discipline keeps it from committing)
+    val corpseStage = parent.resolve(s".stage_${dirName}_dead-owner")
+    Files.createDirectories(corpseStage.resolve("block=99"))
+    Files.writeString(
+      corpseStage.resolve("block=99").resolve("corpse.txt"), "999\n")
+    // corpse 3: a dead stealer's lock, deadline >30 s in the past
+    val lockFile = parent.resolve(s".steallock_$dirName")
+    Files.writeString(lockFile,
+      s"dead-stealer ${System.currentTimeMillis() - 31000L}\n")
+
+    // the next runner must reap the dead lock, steal the stale lease
+    // with a LARGER epoch, and run its pass untouched by the corpses
+    val b = BlockStore.acquireMaintenanceLease(partials)
+    assert(b.epoch > 5L,
+      s"steal over the corpse lease did not advance the epoch: ${b.epoch}")
+    assert(!Files.exists(lockFile), "dead stealer's lock was not reaped")
+    Store.swapDirectoryFenced(parent.toString, dirName,
+      () => b.check(), stageSuffix = s"_${b.owner}") { tmp =>
+      import spark.implicits._
+      Seq(10L, 11L).toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/block=0")
+    }
+    assert(mergedRows(partials) == Seq(10L, 11L),
+      "winner's committed tree diverged")
+
+    // the zombie wakes up with its old lease identity and replays its
+    // commit path over its corpse stage dir: the fence must reject it
+    // and the winner's tree must keep exactly the winner's rows
+    val zombie = BlockStore.MaintenanceLease(leaseFile, "dead-owner", 5L)
+    val e = intercept[IllegalStateException] {
+      Store.swapDirectoryFenced(parent.toString, dirName,
+        () => zombie.check(), stageSuffix = "_dead-owner") { tmp =>
+        import spark.implicits._
+        Seq(999L).toDF("v").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/block=99")
+      }
+    }
+    assert(e.getMessage.contains("maintenance lease lost"),
+      s"zombie was not fenced: ${e.getMessage}")
+    assert(mergedRows(partials) == Seq(10L, 11L),
+      "zombie corpse content reached the winner's tree")
+    // the zombie's replayed stage attempt cleaned itself up (the
+    // pre-clean + finally-clean of its own suffixed path)
+    assert(!Files.exists(corpseStage),
+      "zombie stage corpse survived its fenced-out replay")
+    b.release()
+    // the machinery is healthy afterwards: a fresh acquisition works
+    val c = BlockStore.acquireMaintenanceLease(partials)
+    assert(c.epoch > b.epoch)
+    c.release()
+  }
+
+  test("a lease steal landing BETWEEN the backup move and the commit " +
+    "move aborts into rollback (fence re-check inside the rename pair)") {
+    // regression for the r11 ADVICE window: fence() passed, the live
+    // dir was moved aside, and a steal landing before the commit move
+    // still committed the stale staged copy. The re-check between the
+    // two renames must turn that into a rollback.
+    import java.nio.file.{Files, Paths}
+    val parent = tmpDir("bs-fence-midswap")
+    val dirName = "store"
+    Files.createDirectories(Paths.get(parent, dirName))
+    Files.writeString(Paths.get(parent, dirName, "live.txt"), "v0\n")
+
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[IllegalStateException] {
+      Store.swapDirectoryFenced(parent, dirName, () => {
+        // first check (before the rename pair) passes; the steal lands
+        // "inside" the pair, so the second check throws
+        if (calls.incrementAndGet() >= 2)
+          throw new IllegalStateException("lease lost mid-swap (simulated)")
+      }) { tmp =>
+        Files.createDirectories(Paths.get(tmp))
+        Files.writeString(Paths.get(tmp, "stale.txt"), "STALE\n")
+      }
+    }
+    assert(e.getMessage.contains("mid-swap"))
+    assert(calls.get() == 2, s"fence ran ${calls.get()} times, expected 2")
+    // rolled back: the live dir holds the previous copy, no .old_ or
+    // .stage_ residue
+    assert(Files.readString(Paths.get(parent, dirName, "live.txt")) == "v0\n")
+    assert(!Files.exists(Paths.get(parent, dirName, "stale.txt")),
+      "the stale staged copy went live despite the mid-swap steal")
+    val residue = {
+      val s = Files.list(Paths.get(parent))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith(".old_") || n.startsWith(".stage_"))
+          .toList
+      } finally s.close()
+    }
+    assert(residue.isEmpty, s"rename-pair residue left behind: $residue")
+  }
 }
