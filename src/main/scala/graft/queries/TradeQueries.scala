@@ -1208,9 +1208,70 @@ object TradeQueries {
       .orderBy("symbol")
   }
 
+  /** ST4 option (a) — the WATERMARKED streaming candle path — run to
+    * completion and hash-gated (previously test-only; the merge path,
+    * option (b), is gated via [[candleMerge]]): the 2-day trade window
+    * is staged as parquet, re-delivered through a real
+    * `readStream` → [[graft.streaming.CandlePipeline.candleSink]]
+    * micro-batch pipeline (watermark 2 min, append mode,
+    * `Trigger.AvailableNow`), and the finalized-candle sink is read
+    * back. Append mode only emits a window once the watermark passes
+    * its end, so the readback is the batch OHLCV restricted to windows
+    * whose end lies strictly below the final watermark — the oracle
+    * reproduces Spark's exact arithmetic: watermark = floor-to-ms of
+    * max event time minus the 2-minute delay, emission iff
+    * `window.end < watermark` (`WatermarkSupport`'s `<= wm - 1 ms`,
+    * minute-aligned ends make the two spellings equal). A window
+    * stuck in state (flush batch not run), double-emitted (replayed
+    * sink epoch), or cut at the wrong boundary is a hash mismatch.
+    * At 100 TB this is the continuous-ingest candle MV of the
+    * reference (`sql/V2__create_trades_1m_view.sql:16-29`) with
+    * bounded state: watermark eviction keeps state ∝ (symbols ×
+    * lateness window), never ∝ history. */
+  val candlesStreamed: NamedQuery = NamedQuery(
+    "trades_candles_streamed",
+    s"""$tradesWith,
+       |win AS (
+       |  SELECT t.* FROM trades t, anchor
+       |  WHERE t.ts >= t_anchor - INTERVAL 2880 MINUTE
+       |)
+       |SELECT minute, symbol, open, high, low, close, volume, trades
+       |FROM (
+       |  SELECT date_trunc('minute', ts) AS minute, symbol,
+       |         ${ohlcvSelect()}
+       |  FROM win
+       |  GROUP BY 1, 2
+       |)
+       |WHERE minute + INTERVAL 1 MINUTE <
+       |      (SELECT date_trunc('millisecond', t_anchor)
+       |              - INTERVAL 2 MINUTE FROM anchor)
+       |ORDER BY minute, symbol""".stripMargin) { (s, d) =>
+    val scratch = graft.store.Store.scratchStore("candlestream")
+    val src = s"$scratch/src"
+    val sink = s"$scratch/sink"
+    val chk = s"$scratch/chk"
+    // stage the window as the stream's delivery dir — the file source
+    // re-delivers it as micro-batches, which is the ingest shape
+    // (S1/S3) without a live socket
+    windowed(s, d, 2880)
+      .select("ts", "symbol", "price", "qty")
+      .write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+    val q = graft.streaming.CandlePipeline.candleSink(
+      stream, sink, chk,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    require(q.awaitTermination(600000L),
+      "watermarked candle stream did not drain within 10 minutes")
+    s.read.parquet(sink)
+      .select("minute", "symbol", "open", "high", "low", "close",
+        "volume", "trades")
+      .orderBy("minute", "symbol")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell, zonedScan,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
+    candlesStreamed,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
     histQuantiles, priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,
     drawdown, ohlcv1h, weightedMedian, twap, deltaSum, ttlReadback)
