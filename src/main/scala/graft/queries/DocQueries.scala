@@ -2724,8 +2724,14 @@ object DocQueries {
     * (every pair involving a just-merged symbol XY inherits at most
     * count(X,Y) occurrences; all pre-existing pairs already lost the
     * argmax), so any increase is an engine bug, not a corpus quirk. */
-  val bpeTrain: NamedQuery = {
-    val k = BpeMerges
+  /** The DuckDB CTE prelude shared by [[bpeTrain]] and [[bpeEncode]]:
+    * word-type histogram (`wc0`, char-joined symbol strings), then
+    * [[BpeMerges]] unrolled rounds of pair-count → argmax → greedy fold
+    * (`pc_i` / `top_i` / `wc_{i+1}`) — one oracle spelling of the
+    * training recursion, two consumers, zero drift (the
+    * `ingestGateCtesDuck` discipline). `wc$BpeMerges` is the fully
+    * merged type table, i.e. each word type's BPE ENCODING. */
+  private val bpeCtesDuck: String = {
     def pairsDuck(s: String): String =
       s"list_transform(range(1, len(string_split($s, ' '))), " +
         s"j -> string_split($s, ' ')[j] || ' ' || string_split($s, ' ')[j+1])"
@@ -2739,7 +2745,7 @@ object DocQueries {
          |       ELSE array_to_string(string_split(acc, ' ')[1:-2], ' ')
          |            || ' ' || replace($p, ' ', '') END
          |  ELSE acc || ' ' || x END) END""".stripMargin.replace("\n", " ")
-    val cteChain = (0 until k).map { i =>
+    val cteChain = (0 until BpeMerges).map { i =>
       s"""pc$i AS (SELECT p, CAST(sum(c) AS BIGINT) AS pair_count FROM (
          |  SELECT c, unnest(${pairsDuck("s")}) AS p FROM wc$i) GROUP BY 1),
          |top$i AS (SELECT p, pair_count FROM pc$i
@@ -2747,66 +2753,121 @@ object DocQueries {
          |wc${i + 1} AS (SELECT ${mergeDuck("s", "p")} AS s, c
          |               FROM wc$i, top$i)""".stripMargin
     }.mkString(",\n")
-    val unions = (0 until k).map { i =>
+    s"""tok AS (SELECT unnest($tokDuck) AS w FROM documents),
+       |wc0 AS (
+       |  SELECT array_to_string(list_transform(range(1, len(w) + 1),
+       |           i -> substr(w, i, 1)), ' ') AS s,
+       |         count(*) AS c
+       |  FROM tok GROUP BY 1),
+       |$cteChain""".stripMargin
+  }
+
+  /** The Spark side of [[bpeCtesDuck]] — the training fold shared by
+    * [[bpeTrain]] (consumes the per-round argmaxes) and [[bpeEncode]]
+    * (consumes the final merged type table). Returns
+    * `(encoded word types (s, c), per-round merge rows)`. See
+    * [[bpeTrain]]'s scaladoc for the scale argument; the sequence
+    * guards mirror bpeStep's (Spark's `sequence(1, 0)` is the
+    * DESCENDING `[1, 0]` where DuckDB's `range(1, 1)` is empty). */
+  private def bpeFold(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val charJoin =
+      "CASE WHEN char_length(w) < 1 THEN '' ELSE " +
+        "array_join(transform(sequence(1, char_length(w)), " +
+        "i -> substring(w, i, 1)), ' ') END"
+    val pairsSpark =
+      "CASE WHEN size(split(s, ' ')) < 2 THEN array() " +
+        "ELSE transform(sequence(1, size(split(s, ' ')) - 1), " +
+        "j -> concat(element_at(split(s, ' '), j), ' ', " +
+        "element_at(split(s, ' '), j + 1))) END"
+    val mergeSpark =
+      """CASE WHEN size(split(s, ' ')) < 2 THEN s ELSE
+        |aggregate(slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+        |  element_at(split(s, ' '), 1),
+        |  (acc, x) -> CASE
+        |    WHEN x = element_at(split(p, ' '), 2)
+        |         AND element_at(split(acc, ' '), -1)
+        |             = element_at(split(p, ' '), 1)
+        |    THEN CASE WHEN size(split(acc, ' ')) = 1
+        |              THEN replace(p, ' ', '')
+        |         ELSE concat(array_join(slice(split(acc, ' '), 1,
+        |              size(split(acc, ' ')) - 1), ' '), ' ',
+        |              replace(p, ' ', '')) END
+        |    ELSE concat(acc, ' ', x) END) END"""
+        .stripMargin.replace("\n", " ")
+    var state = docs(s, d)
+      .select(explode(expr(tokSpark)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(expr(charJoin).as("s"), col("c"))
+      .localCheckpoint()
+    val tops = (1 to BpeMerges).map { step =>
+      val pc = state.select(col("c"), explode(expr(pairsSpark)).as("p"))
+        .groupBy("p").agg(sum(col("c")).as("pair_count"))
+      val top = pc.orderBy(col("pair_count").desc, col("p")).limit(1)
+        .localCheckpoint()
+      state = state.crossJoin(broadcast(top))
+        .select(expr(mergeSpark).as("s"), col("c"))
+        .localCheckpoint()
+      top.select(lit(step).as("step"), col("p").as("pair"),
+        expr("replace(p, ' ', '')").as("merged"), col("pair_count"))
+    }
+    (state, tops)
+  }
+
+  val bpeTrain: NamedQuery = {
+    val unions = (0 until BpeMerges).map { i =>
       s"SELECT ${i + 1} AS step, p AS pair, replace(p, ' ', '') AS merged, " +
         s"pair_count FROM top$i"
     }.mkString("\nUNION ALL\n")
     NamedQuery(
       "docs_bpe_train",
-      s"""WITH tok AS (SELECT unnest($tokDuck) AS w FROM documents),
-         |wc0 AS (
-         |  SELECT array_to_string(list_transform(range(1, len(w) + 1),
-         |           i -> substr(w, i, 1)), ' ') AS s,
-         |         count(*) AS c
-         |  FROM tok GROUP BY 1),
-         |$cteChain
+      s"""WITH $bpeCtesDuck
          |SELECT step, pair, merged, pair_count FROM (
          |$unions
          |) ORDER BY step""".stripMargin) { (s, d) =>
-      // the sequence guards mirror bpeStep's: sequence(1, 0) is the
-      // DESCENDING [1, 0] in Spark where DuckDB's range(1, 1) is empty
-      val charJoin =
-        "CASE WHEN char_length(w) < 1 THEN '' ELSE " +
-          "array_join(transform(sequence(1, char_length(w)), " +
-          "i -> substring(w, i, 1)), ' ') END"
-      val pairsSpark =
-        "CASE WHEN size(split(s, ' ')) < 2 THEN array() " +
-          "ELSE transform(sequence(1, size(split(s, ' ')) - 1), " +
-          "j -> concat(element_at(split(s, ' '), j), ' ', " +
-          "element_at(split(s, ' '), j + 1))) END"
-      val mergeSpark =
-        """CASE WHEN size(split(s, ' ')) < 2 THEN s ELSE
-          |aggregate(slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
-          |  element_at(split(s, ' '), 1),
-          |  (acc, x) -> CASE
-          |    WHEN x = element_at(split(p, ' '), 2)
-          |         AND element_at(split(acc, ' '), -1)
-          |             = element_at(split(p, ' '), 1)
-          |    THEN CASE WHEN size(split(acc, ' ')) = 1
-          |              THEN replace(p, ' ', '')
-          |         ELSE concat(array_join(slice(split(acc, ' '), 1,
-          |              size(split(acc, ' ')) - 1), ' '), ' ',
-          |              replace(p, ' ', '')) END
-          |    ELSE concat(acc, ' ', x) END) END"""
-          .stripMargin.replace("\n", " ")
-      var state = docs(s, d)
-        .select(explode(expr(tokSpark)).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .select(expr(charJoin).as("s"), col("c"))
-        .localCheckpoint()
-      val tops = (1 to k).map { step =>
-        val pc = state.select(col("c"), explode(expr(pairsSpark)).as("p"))
-          .groupBy("p").agg(sum(col("c")).as("pair_count"))
-        val top = pc.orderBy(col("pair_count").desc, col("p")).limit(1)
-          .localCheckpoint()
-        state = state.crossJoin(broadcast(top))
-          .select(expr(mergeSpark).as("s"), col("c"))
-          .localCheckpoint()
-        top.select(lit(step).as("step"), col("p").as("pair"),
-          expr("replace(p, ' ', '')").as("merged"), col("pair_count"))
-      }
+      val (_, tops) = bpeFold(s, d)
       tops.reduce(_ unionAll _).orderBy("step")
     }
+  }
+
+  /** APPLY-BPE — the missing third of the tokenizer story ([[bpeTrain]]
+    * ships the merge table, [[bpeStep]] is one round; this ENCODES the
+    * corpus with the trained merges — the operator a training-data
+    * pipeline actually runs over 100 TB). Encoding a training-corpus
+    * word = the same greedy left-to-right fold as training, applied
+    * per merge in training order, so the encoded corpus is exactly the
+    * final type table of the fold. The readout is the top-20 token
+    * histogram (occurrences = corpus occurrences through the word-type
+    * counts; n_word_types = distinct words containing the token) —
+    * bounded output that pins every symbol boundary: a single
+    * misplaced merge shifts token identities and the hash.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-type
+    * histogram's map-side-combined aggregation); encoding then runs on
+    * the vocabulary-sized type table — O(types) per merge, independent
+    * of corpus size — and re-weighting by `c` recovers corpus-level
+    * counts without ever re-scanning or joining back to documents.
+    * That is how production tokenizers encode at scale: encode each
+    * DISTINCT word once, multiply by frequency. */
+  val bpeEncode: NamedQuery = NamedQuery(
+    "docs_bpe_encode",
+    s"""WITH $bpeCtesDuck
+       |SELECT token,
+       |       CAST(sum(c) AS BIGINT) AS occurrences,
+       |       count(*) AS n_word_types
+       |FROM (SELECT unnest(string_split(s, ' ')) AS token, c
+       |      FROM wc$BpeMerges)
+       |GROUP BY 1
+       |ORDER BY occurrences DESC, token
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val (encoded, _) = bpeFold(s, d)
+    encoded
+      .select(explode(split(col("s"), " ")).as("token"), col("c"))
+      .groupBy("token")
+      .agg(sum(col("c")).as("occurrences"),
+        count(lit(1)).as("n_word_types"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(20)
   }
 
   /** Temperature-scaled language rebalancing (the multilingual-corpus
@@ -3272,6 +3333,7 @@ object DocQueries {
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, contaminationBloom, dedupThenSimhash,
     lmSurprise,
-    bpeStep, bpeTrain, temperatureMix, epochShuffle, classifierScore,
+    bpeStep, bpeTrain, bpeEncode, temperatureMix, epochShuffle,
+    classifierScore,
     postingLists, postingListsMv, bm25TopK, phraseSearch)
 }
