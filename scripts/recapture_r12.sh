@@ -39,7 +39,11 @@ fail() { touch target/RECAPTURE_FAILED; exit 1; }
 # missing corpus reproduces the exact same rows — self-heal instead of
 # capturing 120 PATH_NOT_FOUND errors per scale.
 ensure() {
-  if [ ! -f "$1/documents.parquet" ]; then
+  # documents.parquet is a DIRECTORY (Spark output); test its _SUCCESS
+  # marker — the old `-f` on the dir was always false, silently
+  # regenerating every corpus on every invocation (~5 min/run wasted;
+  # harmless only because ScaleCorpus is deterministic)
+  if [ ! -f "$1/documents.parquet/_SUCCESS" ]; then
     SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ScaleCorpus /root/testdata/sf0.1 $1 $2" \
       > "target/scalegen_$2.log" 2>&1 || fail
   fi

@@ -397,6 +397,18 @@ class PlanSpec extends SparkSpec {
       "expected checkpointed inputs in the trainer plan")
   }
 
+  test("apply-BPE encoder inherits the trainer's zero-corpus-scan " +
+    "plan: encoding runs on the checkpointed type table") {
+    // the encoder re-weights the fold's final word-type table by its
+    // counts — if its plan touched the corpus, encoding cost would
+    // scale with corpus size instead of vocabulary size
+    val p = plan(graft.queries.DocQueries.bpeEncode)
+    assert(!p.contains("Location: InMemoryFileIndex"),
+      s"BPE encoder re-scans the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "expected checkpointed inputs in the encoder plan")
+  }
+
   test("PQ recall joins two fixed-k heads, never the corpus") {
     val p = plan(graft.queries.EmbQueries.pqRecall)
     assert(p.contains("TakeOrderedAndProject"),
