@@ -491,12 +491,43 @@ object DocQueries {
   private final case class GatedIngest(
       partials: String, src: DataFrame, reps: DataFrame, alldec: DataFrame)
 
+  /** One gated four-block ingest per (session, corpus dir): both
+    * registered consumers ([[ingestDedupGate]]'s counting readout and
+    * [[minhashPairsMv]]'s index readback) read the SAME ingest pass —
+    * the production shape (a store is ingested once, read by every
+    * query), and the `streamedIvfCache` discipline applied to the
+    * dedup MV: without it every bench pass paid the 4-block
+    * probe→verify→commit twice. Reuse returns the identical store and
+    * identical checkpointed decision frames, so oracle hashes are
+    * unchanged. Existence is re-checked per hit (a swept scratch dir
+    * or `sbt clean` re-runs the ingest instead of failing the read);
+    * a concurrent duplicate ingest is harmless (equivalent stores,
+    * last put wins, the loser is swept as scratch). */
+  private val gatedIngestCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      GatedIngest]()
+
   /** The Spark side of [[ingestGateCtesDuck]] — ONE gate
     * implementation for both registered consumers, so the counting
     * readout and the gated-index readback can never drift. See
     * [[ingestDedupGate]]'s scaladoc for the gate's semantics and scale
-    * argument. */
+    * argument. Cached per (session, corpus dir) — see
+    * [[gatedIngestCache]]. */
   private def runIngestGate(s: SparkSession, d: String): GatedIngest = {
+    val key = (s, d)
+    val hit = Option(gatedIngestCache.get(key)).filter { g =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(g.partials))
+    }
+    hit.getOrElse {
+      val g = doRunIngestGate(s, d)
+      gatedIngestCache.put(key, g)
+      g
+    }
+  }
+
+  /** The uncached ingest — the actual 4-block probe→verify→commit
+    * pass; only [[runIngestGate]] calls this. */
+  private def doRunIngestGate(s: SparkSession, d: String): GatedIngest = {
     import graft.streaming.DedupMV
     val partials = graft.store.Store.scratchStore("gatemv")
     val corpus = docs(s, d).select("doc_id", "text")
