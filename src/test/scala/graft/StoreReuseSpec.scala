@@ -1,0 +1,59 @@
+package graft
+
+/** The per-(session, corpus dir) store caches behind the paired
+  * registrations ([[graft.queries.EmbQueries]]'s streamed-IVF pair,
+  * [[graft.queries.DocQueries]]'s gate/readback pair): reuse must be
+  * invisible (same rows on every call) and SELF-HEALING — the cache
+  * holds a path into scratch space, and the scratch sweeper or an
+  * `sbt clean` can delete the store under a live session, so a hit
+  * whose directory is gone must rebuild instead of failing the probe.
+  */
+class StoreReuseSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Find the store dir a fresh run just (re)built: the newest
+    * `store-*` under `target/<sub>`. */
+  private def newestStore(sub: String): java.nio.file.Path = {
+    val root = java.nio.file.Paths.get("target", sub)
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("store-"))
+        .maxBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    } finally s.close()
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("streamed-IVF reuse is invisible, and a deleted store rebuilds " +
+    "instead of failing the probe") {
+    val q = graft.queries.EmbQueries.ivfStreamed
+    val first = rows(q.run(spark, sf))
+    assert(first.nonEmpty)
+    // cached second run: identical rows
+    assert(rows(q.run(spark, sf)) == first, "cached probe diverged")
+    // kill the store under the cache: the existence re-check must
+    // rebuild, not throw PATH_NOT_FOUND from a stale cached path
+    graft.store.Store.deleteRecursively(newestStore("annmv"))
+    assert(rows(q.run(spark, sf)) == first, "rebuild after sweep diverged")
+  }
+
+  test("gated-ingest reuse is invisible across BOTH consumers, and a " +
+    "deleted store re-ingests") {
+    val gate = graft.queries.DocQueries.ingestDedupGate
+    val mv = graft.queries.DocQueries.minhashPairsMv
+    val g1 = rows(gate.run(spark, sf))
+    assert(g1.nonEmpty)
+    // the readback consumer reads the SAME ingest pass; then the gate
+    // again from cache — both stable
+    val m1 = rows(mv.run(spark, sf))
+    assert(rows(gate.run(spark, sf)) == g1, "cached gate readout diverged")
+    graft.store.Store.deleteRecursively(newestStore("gatemv"))
+    assert(rows(gate.run(spark, sf)) == g1, "re-ingest after sweep diverged")
+    assert(rows(mv.run(spark, sf)) == m1,
+      "readback over the re-ingested store diverged")
+  }
+}
