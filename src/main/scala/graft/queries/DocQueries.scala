@@ -2885,18 +2885,22 @@ object DocQueries {
     s"""WITH $bpeCtesDuck
        |SELECT token,
        |       CAST(sum(c) AS BIGINT) AS occurrences,
-       |       count(*) AS n_word_types
-       |FROM (SELECT unnest(string_split(s, ' ')) AS token, c
+       |       count(DISTINCT s) AS n_word_types
+       |FROM (SELECT s, unnest(string_split(s, ' ')) AS token, c
        |      FROM wc$BpeMerges)
        |GROUP BY 1
        |ORDER BY occurrences DESC, token
        |LIMIT 20""".stripMargin) { (s, d) =>
     val (encoded, _) = bpeFold(s, d)
+    // n_word_types counts DISTINCT types (the independent-reference
+    // property in BpeTrainSpec caught the plain count(*) spelling
+    // counting token POSITIONS — a word containing the token twice
+    // counted twice)
     encoded
-      .select(explode(split(col("s"), " ")).as("token"), col("c"))
+      .select(col("s"), explode(split(col("s"), " ")).as("token"), col("c"))
       .groupBy("token")
       .agg(sum(col("c")).as("occurrences"),
-        count(lit(1)).as("n_word_types"))
+        countDistinct(col("s")).as("n_word_types"))
       .orderBy(col("occurrences").desc, col("token"))
       .limit(20)
   }

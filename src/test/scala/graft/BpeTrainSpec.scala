@@ -80,4 +80,54 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges.exists(_.split(' ').exists(_.length > 1)),
       s"no merge consumed a merged symbol: ${merges.toSeq}")
   }
+
+  test("encoded token histogram equals an independent in-memory encode " +
+    "(the DuckDB oracle shares the fold spelling; this one shares " +
+    "nothing)") {
+    // apply the reference merges greedily left-to-right in training
+    // order — the textbook apply-BPE — then build the token histogram
+    // the registered query reports (corpus occurrences via type
+    // counts + distinct word types per token, top-20 by count desc,
+    // token asc)
+    val hist = Tables.documents(spark, sf)
+      .select(explode(expr(DocQueries.tokSpark)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = referenceBpe(hist, DocQueries.BpeMerges)
+      .map(_._1.split(' ') match { case Array(a, b) => (a, b) })
+    var types: Seq[(Vector[String], Long)] =
+      hist.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    merges.foreach { case (a, b) =>
+      types = types.map { case (syms, c) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), c)
+      }
+    }
+    val occ = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    types.foreach { case (syms, c) =>
+      // blank docs tokenize to [''] → an empty symbol vector joins/
+      // splits back to a single '' token in the engine spelling
+      val tokens = if (syms.isEmpty) Vector("") else syms
+      tokens.distinct.foreach { t =>
+        val n = tokens.count(_ == t).toLong
+        val (o, w) = occ.getOrElse(t, (0L, 0L))
+        occ(t) = (o + n * c, w + 1)
+      }
+    }
+    val expected = occ.toSeq
+      .map { case (t, (o, w)) => (t, o, w) }
+      .sortBy { case (t, o, _) => (-o, t) }
+      .take(20)
+
+    val got = DocQueries.bpeEncode.run(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"engine token histogram $got != reference $expected")
+  }
 }
