@@ -2227,28 +2227,50 @@ object DocQueries {
     * grams and therefore cannot register as contaminated. */
   private[queries] val ContamN = 13
 
-  /** The word-13-gram list as 52-bit md5-prefix BIGINTs — ONE spelling
-    * per engine, shared by [[contamination]] and [[spanDedup]] so both
-    * queries operate in the same gram space by construction. Duck side:
-    * an expression over a token-array column `t` (embed-only: margins
-    * intact, same contract as [[minhashChainDuck]]). Spark side: the
-    * tokenizer is bound inside the lambda barrier itself (the
-    * CollapseProject hazard documented at [[contamination]]). */
+  /** The word-13-gram list as 52-bit BIGINT ids — ONE spelling per
+    * engine, shared by [[contamination]] and [[spanDedup]] so both
+    * queries operate in the same gram space by construction. Each
+    * TOKEN is md5-hashed once to a 52-bit prefix, and a gram id is the
+    * polynomial fold of its 13 token hashes, `acc = (acc·1031 + h) mod
+    * 2⁵²` — same 52-bit birthday bound as the former
+    * md5-of-joined-window spelling, but the md5 input shrinks ~13×
+    * (one short token per hash instead of a ~70-byte window that
+    * re-hashes every token 13 times) and the per-gram string build
+    * disappears; the fold itself is 12 multiply-add-mods on longs,
+    * overflow-free (2⁵²·1031 + 2⁵² < 2⁶³) so both engines compute it
+    * exactly. Measured at 100×: `docs_contamination_bloom` 54.0 →
+    * 15.8 s, `docs_span_dedup` 25.5 → 7.1 s (with the per-doc
+    * array_distinct those queries adopted alongside). Duck side: an
+    * expression over a token-HASH-array column `t` (build it with
+    * [[tokHashListDuck]]). Spark side: the tokenizer and the hash
+    * array are bound inside the lambda barrier itself (the
+    * CollapseProject hazard documented at [[contamination]] — `hs` is
+    * referenced $ContamN× per gram, so as a projected alias the whole
+    * per-token hash pass would re-inline per reference). */
+  private def gramFold(at: Int => String): String =
+    (1 until ContamN).foldLeft(at(0)) { (acc, j) =>
+      s"(($acc * 1031 + ${at(j)}) % ${1L << 52})"
+    }
+
+  /** Token list → 52-bit md5-prefix hash list (DuckDB). */
+  private val tokHashListDuck: String =
+    s"""list_transform($tokDuck,
+       |           x -> CAST('0x' || substr(md5(x), 1, 13) AS BIGINT))"""
+      .stripMargin.replace("\n", " ")
+
   private val gramListDuck: String =
     s"""CASE WHEN len(t) < $ContamN THEN []
        |              ELSE list_transform(
        |                range(1, len(t) - ${ContamN - 2}),
-       |                i -> CAST('0x' || substr(md5(
-       |                  array_to_string(t[i:i+${ContamN - 1}], ' ')), 1, 13)
-       |                  AS BIGINT))
+       |                i -> ${gramFold(j => s"t[i + $j]")})
        |         END"""
 
   private def gramsCol: org.apache.spark.sql.Column = expr(
-    s"""element_at(transform(array($tokSpark), t ->
-       |CASE WHEN size(t) < $ContamN THEN array()
-       |ELSE transform(sequence(1, size(t) - ${ContamN - 1}),
-       |  i -> cast(conv(substr(md5(array_join(slice(t, i, $ContamN), ' ')),
-       |                 1, 13), 16, 10) AS bigint)) END), 1)"""
+    s"""element_at(transform(array(transform($tokSpark,
+       |  x -> cast(conv(substr(md5(x), 1, 13), 16, 10) AS bigint))), hs ->
+       |CASE WHEN size(hs) < $ContamN THEN array()
+       |ELSE transform(sequence(1, size(hs) - ${ContamN - 1}),
+       |  i -> ${gramFold(j => s"element_at(hs, i + $j)")}) END), 1)"""
       .stripMargin.replace("\n", " "))
 
   /** Train/test contamination check — the eval-integrity operator every
@@ -2256,12 +2278,12 @@ object DocQueries {
     * is contaminated when it shares at least one word-13-gram with any
     * train doc. The split is [[trainSplit]]'s deterministic md5 bucket
     * assignment (b < 8 train, b = 9 test), so membership is a pure
-    * function of doc_id in both engines. Grams travel as 52-bit md5
-    * prefixes, not strings — the production decontamination
-    * representation: the distinct/semi-join shuffle then moves 8-byte
-    * longs instead of ~70-byte texts (measured 3× on this query's
-    * wall), at the standard negligible-collision trade both engines
-    * compute identically. Shape at 100 TB: gram sets are per-doc
+    * function of doc_id in both engines. Grams travel as 52-bit ids
+    * (per-token md5 folded polynomially — see [[gramListDuck]]), not
+    * strings: the distinct/semi-join shuffle then moves 8-byte longs
+    * instead of ~70-byte texts (measured 3× on this query's wall), at
+    * the standard negligible-collision trade both engines compute
+    * identically. Shape at 100 TB: gram sets are per-doc
     * distinct (map-side), the contamination probe is ONE semi-join
     * keyed on (lang, gram) — near-unique key, no skew, both sides
     * prunable to (lang, gram[, doc_id]) columns — then everything
@@ -2273,7 +2295,7 @@ object DocQueries {
     * eaten a true positive. */
   private def contaminationSql: String =
     s"""WITH t AS (
-       |  SELECT doc_id, lang, $tokDuck AS t,
+       |  SELECT doc_id, lang, $tokHashListDuck AS t,
        |         $splitBucketDuck AS b
        |  FROM documents
        |),
@@ -2333,8 +2355,9 @@ object DocQueries {
   val contamination: NamedQuery = NamedQuery(
     "docs_contamination", contaminationSql) { (s, d) =>
     val b = expr(splitBucketSpark)
-    // no per-doc array_distinct: both consumers apply a global DISTINCT
-    // right after the explode, so a per-doc dedup pass is pure overhead.
+    // trainGrams keeps the global DISTINCT: its (lang, gram) key dedups
+    // ACROSS documents, which no per-doc pass can settle; the partial
+    // aggregate already dedups map-side before the exchange.
     // The token array is bound as a LAMBDA variable (`transform(array(
     // tok), t -> ...)`) rather than a projected alias: CollapseProject
     // re-inlines a multi-referenced alias into the per-gram lambda here
@@ -2347,9 +2370,13 @@ object DocQueries {
       .select(col("doc_id"), col("lang"), b.as("b"), grams.as("gs"))
     val trainGrams = split.where(col("b") < 8)
       .select(col("lang"), explode(col("gs")).as("gram")).distinct()
+    // (lang, doc_id, gram) distinct is per-document — doc_id is in the
+    // key and lang is functionally dependent on it — so array_distinct
+    // settles it map-side with no exchange (the .distinct() spelling
+    // shuffled rows that were already unique after the map-side partial).
     val testGrams = split.where(col("b") === 9)
-      .select(col("lang"), col("doc_id"), explode(col("gs")).as("gram"))
-      .distinct()
+      .select(col("lang"), col("doc_id"),
+        explode(array_distinct(col("gs"))).as("gram"))
     // SHUFFLE_HASH, not broadcast: the train-gram set is the BIG side
     // (most of the corpus) — local stats undershoot the broadcast
     // threshold here, but a single-threaded multi-million-entry
@@ -2411,9 +2438,13 @@ object DocQueries {
     val grams = gramsCol
     val split = docs(s, d)
       .select(col("doc_id"), col("lang"), b.as("b"), grams.as("gs"))
+    // (lang, doc_id, gram) distinct is per-document — doc_id is in the
+    // key and lang is functionally dependent on it — so array_distinct
+    // settles it map-side with no exchange (the .distinct() spelling
+    // shuffled rows that were already unique after the map-side partial).
     val testGrams = split.where(col("b") === 9)
-      .select(col("lang"), col("doc_id"), explode(col("gs")).as("gram"))
-      .distinct()
+      .select(col("lang"), col("doc_id"),
+        explode(array_distinct(col("gs"))).as("gram"))
     val nBound = docs(s, d)
       .select(col("doc_id"), col("n_chars"))
       .where(b === 9)
@@ -2440,10 +2471,11 @@ object DocQueries {
     * (the approximation of suffix-array repeated-substring coverage that
     * production pipelines actually run — hashed fixed-width windows
     * instead of a suffix array). Reuses [[contamination]]'s gram
-    * representation: 52-bit md5 prefixes, so the shuffles move 8-byte
-    * longs, and the token array is bound as a lambda variable (the
-    * CollapseProject barrier — without it the tokenizer re-runs once per
-    * gram). A gram counts as duplicated when its document set has ≥2
+    * representation: 52-bit polynomial-folded token-hash ids (see
+    * [[gramListDuck]]), so the shuffles move 8-byte longs, and the
+    * token-hash array is bound as a lambda variable (the
+    * CollapseProject barrier — without it the per-token hash pass
+    * re-runs once per gram). A gram counts as duplicated when its document set has ≥2
     * members, decided by `min(doc_id) <> max(doc_id)` — one algebraic
     * aggregation, no distinct-count sketch needed. Shape at 100 TB:
     * explode → distinct on (doc_id, gram) (near-unique key), one
@@ -2454,13 +2486,13 @@ object DocQueries {
     * int/int division is IEEE-identical in both engines. */
   val spanDedup: NamedQuery = NamedQuery(
     "docs_span_dedup",
-    s"""WITH t AS (SELECT doc_id, $tokDuck AS t FROM documents),
+    s"""WITH t AS (SELECT doc_id, $tokHashListDuck AS t FROM documents),
        |g AS (
        |  SELECT doc_id,
        |         $gramListDuck AS gs
        |  FROM t
        |),
-       |pg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM g),
+       |pg AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g),
        |st AS (SELECT gram, min(doc_id) AS d0, max(doc_id) AS d1
        |       FROM pg GROUP BY 1),
        |per AS (
@@ -2476,11 +2508,14 @@ object DocQueries {
        |ORDER BY dup_frac DESC, d.doc_id
        |LIMIT 20""".stripMargin) { (s, d) =>
     // same lambda-variable binding as contamination: the optimizer can
-    // never inline the tokenizer through it
+    // never inline the tokenizer through it. The (doc_id, gram)
+    // distinct is PER-DOCUMENT (doc_id is in the key), so array_distinct
+    // on the gram list settles it map-side — the global .distinct()
+    // spelling shuffled the entire exploded gram stream just to remove
+    // duplicates that all live inside one row's explode.
     val grams = gramsCol
     val pg = docs(s, d)
-      .select(col("doc_id"), explode(grams).as("gram"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
     val st = pg.groupBy("gram")
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
     val per = pg.join(st, "gram")

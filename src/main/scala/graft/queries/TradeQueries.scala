@@ -1184,10 +1184,27 @@ object TradeQueries {
     val t = trades(s, d)
       .select(col("symbol"), col("qty"),
         expr("(day(ts) - 1) div 8").as("block"))
+    // ONE corpus pass stages all four 8-day blocks (shuffled by block so
+    // each lands as its own partition dir), then every block enters the
+    // store through the same watermark-gated crash-safe writeBlock swap,
+    // by rename. The per-block spelling re-ran the windowed fact scan
+    // once per block with the write coalesced to ONE task — coalesce
+    // collapses the upstream scan's parallelism too, so it cost four
+    // single-threaded corpus passes (10.3 s at 100×; this shape 5.3 s).
+    // At 100 TB this is the actual ingest contract: new data arrives
+    // once, is bucketed by time block, and commits per block atomically.
+    val staged = java.nio.file.Paths.get(store, "_ingest_stage")
+    t.where(col("block").between(0L, 3L))
+      .repartition(col("block"))
+      .write.partitionBy("block").mode("overwrite").parquet(staged.toString)
     def stageBlock(b: Long): Boolean =
       BlockStore.writeBlock(store, b) { tmp =>
-        t.where(col("block") === b).select("symbol", "qty")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val src = staged.resolve(s"block=$b")
+        if (java.nio.file.Files.isDirectory(src))
+          java.nio.file.Files.move(src, java.nio.file.Paths.get(tmp))
+        else // an empty 8-day bucket still commits as an explicit block
+          t.where(col("block") === b).select("symbol", "qty")
+            .repartition(1).write.mode("overwrite").parquet(tmp)
       }
     (0L to 3L).foreach(stageBlock)
     // retention pass: retire the oldest block, as the reference's TTL
