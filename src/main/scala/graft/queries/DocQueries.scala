@@ -731,15 +731,23 @@ object DocQueries {
   /** Spark side of [[simhashCteDuck]]. Hash DISTINCT (doc, token) pairs
     * weighted by occurrence count — identical vote sums, but the md5
     * runs once per distinct term instead of once per token instance
-    * (the dedup-before-expensive-op rule). `h32` is bound to a column
-    * BEFORE the transform lambda so the md5 evaluates once per row, not
-    * once per lambda element; bit pos i of the big-endian
-    * first-8-hex-digit word is bit (31 - i) of the parsed 32-bit value. */
+    * (the dedup-before-expensive-op rule). This shape was re-measured
+    * against two alternatives at the dup-heavy 100× corpus and WINS:
+    * a fully map-side per-doc signature (32 interpreted `aggregate`
+    * passes over the token-hash array: flat at 100×, +20% at sf0.1)
+    * and a per-instance-hash single-exchange variant (32.2 s vs this
+    * shape's 9.5 s at 100× — without the dedup every duplicate clique
+    * member re-pays the hash and the 32-wide vote array). The
+    * (doc_id, tok) exchange this keeps is dedup work the dup-heavy
+    * corpus repays. `h32` is bound to a column BEFORE the transform
+    * lambda so the md5 evaluates once per row, not once per lambda
+    * element; bit pos i of the big-endian first-8-hex-digit word is
+    * bit (31 - i) of the parsed 32-bit value. */
   private[graft] def simhashFrames(s: SparkSession, d: String): DataFrame =
     simhashFramesOf(s, docs(s, d))
 
   private def simhashFramesOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val tf = docsDf
       .select(col("doc_id"), explode(expr(tokSpark)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
@@ -842,6 +850,7 @@ object DocQueries {
     * twin (`docs_dedup_then_simhash`, 2.9 s at the same 10× corpus)
     * removes by collapsing the cliques before pairing. */
   private def hammingTopPairs(sig: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(sig.sparkSession)
     // SIGNATURE-GROUP COLLAPSE: docs with byte-identical signatures
     // (the dup cliques) are indistinguishable to this operator —
     // within a group every pair has hamming 0, and against any other
@@ -1742,9 +1751,10 @@ object DocQueries {
     * integers until a single identical IEEE division in both engines,
     * and the ranking they induce is the perplexity ranking's intent
     * (low mean frequency == high surprise). Bigrams travel as 52-bit
-    * md5-prefix BIGINTs (the [[contamination]] representation): the
-    * count join shuffles 8-byte longs, not concatenated token strings;
-    * collisions fold counts identically in both engines. Shape at
+    * ids — per-token md5 prefixes folded pairwise, the
+    * [[contamination]] gram representation at n=2 — so the count join
+    * shuffles 8-byte longs, no per-bigram string concat or md5 exists
+    * anywhere, and collisions fold counts identically in both engines. Shape at
     * 100 TB: bigram explode is map-side; corpus counts are ONE hash agg
     * on a near-unique skew-free long key; the score join re-uses that
     * same key partitioning (in production the count table is the
@@ -1754,12 +1764,11 @@ object DocQueries {
     * scope of an LM score, exactly as in [[bigramLm]]. */
   val lmSurprise: NamedQuery = NamedQuery(
     "docs_lm_surprise",
-    s"""WITH t AS (SELECT doc_id, lang, $tokDuck AS t FROM documents),
+    s"""WITH t AS (SELECT doc_id, lang, $tokHashListDuck AS t FROM documents),
        |bg AS (
        |  SELECT doc_id, lang,
        |         unnest(list_transform(range(1, len(t)),
-       |           i -> CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 13)
-       |                     AS BIGINT))) AS g
+       |           i -> ${gramFold(j => s"t[i + $j]", 2)})) AS g
        |  FROM t WHERE len(t) >= 2
        |),
        |counts AS (SELECT g, count(*) AS c FROM bg GROUP BY 1),
@@ -1777,10 +1786,18 @@ object DocQueries {
        |FROM scored
        |ORDER BY mean_c, doc_id
        |LIMIT 20""".stripMargin) { (s, d) =>
+    // hashed-bigram list behind the same lambda barrier as gramsCol:
+    // per-token 52-bit md5 prefixes folded pairwise, so the Generate
+    // emits 8-byte longs directly — no per-bigram string concat + md5
+    val hashedBigrams = expr(
+      s"""element_at(transform(array(transform($tokSpark,
+         |  x -> cast(conv(substr(md5(x), 1, 13), 16, 10) AS bigint))), hs ->
+         |CASE WHEN size(hs) < 2 THEN array()
+         |ELSE transform(sequence(1, size(hs) - 1),
+         |  i -> ${gramFold(j => s"element_at(hs, i + $j)", 2)}) END), 1)"""
+        .stripMargin.replace("\n", " "))
     val g = docs(s, d)
-      .select(col("doc_id"), col("lang"), explode(bigramsExpr).as("bg"))
-      .select(col("doc_id"), col("lang"),
-        expr("cast(conv(substr(md5(bg), 1, 13), 16, 10) AS bigint)").as("g"))
+      .select(col("doc_id"), col("lang"), explode(hashedBigrams).as("g"))
     val counts = g.groupBy("g").agg(count(lit(1)).as("c"))
     g.join(counts, "g")
       .groupBy("doc_id", "lang")
@@ -2105,20 +2122,10 @@ object DocQueries {
       .orderBy("lang", "bin")
   }
 
-  // per-doc word-bigram list behind the CollapseProject lambda barrier
-  // (see contamination): without it the tokenizer re-runs once per
-  // bigram. Sole remaining consumer: bigramLm (repetition and
-  // filterFunnel moved to the from-tokens [[foldBigramStats]] lineage).
-  private def bigramsExpr: org.apache.spark.sql.Column = expr(
-    s"""element_at(transform(array($tokSpark), t ->
-      |CASE WHEN size(t) < 2 THEN array()
-      |ELSE transform(sequence(1, size(t) - 1),
-      |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END), 1)"""
-      .stripMargin.replace("\n", " "))
-
-  /** Word-bigram list from an in-scope token-array column `t` — the
-    * from-tokens sibling of [[bigramsExpr]] for lineages that already
-    * tokenized. */
+  /** Word-bigram list from an in-scope token-array column `t`, for
+    * lineages that already tokenized ([[repetition]]/[[filterFunnel]]
+    * via [[foldBigramStats]], [[bigramLm]]); [[lmSurprise]] uses the
+    * hashed-bigram fold instead. */
   private def bigramsFromTokens: org.apache.spark.sql.Column = expr(
     """CASE WHEN size(t) < 2 THEN array()
       |ELSE transform(sequence(1, size(t) - 1),
@@ -2247,13 +2254,16 @@ object DocQueries {
     * CollapseProject hazard documented at [[contamination]] — `hs` is
     * referenced $ContamN× per gram, so as a projected alias the whole
     * per-token hash pass would re-inline per reference). */
-  private def gramFold(at: Int => String): String =
-    (1 until ContamN).foldLeft(at(0)) { (acc, j) =>
+  private def gramFold(at: Int => String, n: Int = ContamN): String =
+    (1 until n).foldLeft(at(0)) { (acc, j) =>
       s"(($acc * 1031 + ${at(j)}) % ${1L << 52})"
     }
 
-  /** Token list → 52-bit md5-prefix hash list (DuckDB). */
-  private val tokHashListDuck: String =
+  /** Token list → 52-bit md5-prefix hash list (DuckDB). A `def`: it is
+    * referenced from `val` query registrations textually ABOVE this
+    * definition ([[lmSurprise]]), where a forward `val` reference would
+    * read null at object init. */
+  private def tokHashListDuck: String =
     s"""list_transform($tokDuck,
        |           x -> CAST('0x' || substr(md5(x), 1, 13) AS BIGINT))"""
       .stripMargin.replace("\n", " ")
@@ -2272,6 +2282,16 @@ object DocQueries {
        |ELSE transform(sequence(1, size(hs) - ${ContamN - 1}),
        |  i -> ${gramFold(j => s"element_at(hs, i + $j)")}) END), 1)"""
       .stripMargin.replace("\n", " "))
+
+  /** [[spanDedup]]'s per-doc-distinct (doc_id, gram) explode — the
+    * (doc_id, gram) distinct is PER-DOCUMENT (doc_id is in the key),
+    * so `array_distinct` on the gram list settles it map-side; the
+    * global `.distinct()` spelling shuffled the entire exploded gram
+    * stream just to remove duplicates that all live inside one row's
+    * explode. Exposed `private[graft]` for GramFoldSpec's fold-vs-
+    * string-window injectivity pin. */
+  private[graft] def spanDedupGramsFor(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), explode(array_distinct(gramsCol)).as("gram"))
 
   /** Train/test contamination check — the eval-integrity operator every
     * training pipeline runs before holding out a test split: a test doc
@@ -2507,15 +2527,7 @@ object DocQueries {
        |FROM per JOIN documents d USING (doc_id)
        |ORDER BY dup_frac DESC, d.doc_id
        |LIMIT 20""".stripMargin) { (s, d) =>
-    // same lambda-variable binding as contamination: the optimizer can
-    // never inline the tokenizer through it. The (doc_id, gram)
-    // distinct is PER-DOCUMENT (doc_id is in the key), so array_distinct
-    // on the gram list settles it map-side — the global .distinct()
-    // spelling shuffled the entire exploded gram stream just to remove
-    // duplicates that all live inside one row's explode.
-    val grams = gramsCol
-    val pg = docs(s, d)
-      .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+    val pg = spanDedupGramsFor(docs(s, d))
     val st = pg.groupBy("gram")
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
     val per = pg.join(st, "gram")
@@ -2729,7 +2741,7 @@ object DocQueries {
         // in Spark (substring pos 0 aliases pos 1 → a phantom self-pair
         // counted twice), while DuckDB's range(1, 1) is empty — the
         // empty-array guard keeps the twins lockstep (same guard as
-        // bigramsExpr)
+        // bigramsFromTokens)
         explode(expr(
           "CASE WHEN char_length(w) < 2 THEN array() ELSE " +
             "transform(sequence(1, char_length(w) - 1), " +
@@ -3060,7 +3072,7 @@ object DocQueries {
     * INTEGER (`100·Σw ≥ 60·n_tok` etc.), so class assignment can never
     * drift between engines; the only float is the final aggregated mean,
     * one exact int/int division. Token array bound once behind the
-    * CollapseProject lambda barrier (see [[bigramsExpr]]); per-doc work
+    * CollapseProject lambda barrier (see [[gramsCol]]); per-doc work
     * is map-side, then one low-cardinality (lang × band) aggregation —
     * the linear-classifier-gate shape production pipelines run at
     * ingest. */
