@@ -3219,16 +3219,21 @@ object DocQueries {
   }
 
   /** The streaming inverted-index MV's READ path, oracle-checked: the
-    * corpus is delivered as four doc_id-hash blocks through the real
-    * [[graft.streaming.IndexMV.writeBlock]] store path (per-block
-    * bounded partials, crash-safe swap), the first three blocks are
-    * then compacted through [[graft.streaming.IndexMV.compact]], and
-    * the result is read through the merge fold — so the lineage the
-    * oracle hashes goes partials → compaction → merge, not the batch
-    * shortcut. Verified against the SAME SQL as [[postingLists]]
-    * (df/cf counters add; bounded heaps re-select exactly because each
-    * doc's text lives whole in one block — the MV's stated delivery
-    * contract, guaranteed here by the doc_id split).
+    * corpus is ingested as four doc_id-hash blocks through the
+    * batch-bootstrap path ([[graft.streaming.IndexMV.writeBlocks]]:
+    * ONE corpus pass aggregated per block, each block committed
+    * through the same watermark-gated crash-safe swap the streaming
+    * [[graft.streaming.IndexMV.writeBlock]] sink uses — the former
+    * per-block delivery spelling re-scanned the corpus once per block;
+    * IndexMVSpec pins the two ingests store-equal), the first three
+    * blocks are then compacted through
+    * [[graft.streaming.IndexMV.compact]], and the result is read
+    * through the merge fold — so the lineage the oracle hashes goes
+    * partials → compaction → merge, not the batch shortcut. Verified
+    * against the SAME SQL as [[postingLists]] (df/cf counters add;
+    * bounded heaps re-select exactly because each doc's text lives
+    * whole in one block — the MV's stated delivery contract,
+    * guaranteed here by the doc_id split).
     *
     * The store builds in a per-invocation temp dir (driver-side, tiny:
     * O(vocab × k) per block); the returned frame reads from it lazily,
@@ -3241,12 +3246,7 @@ object DocQueries {
     // repo-local scratch, unique per invocation so concurrent runs
     // never share a store; swept once at JVM exit (Store.scratchStore)
     val partials = graft.store.Store.scratchStore("idxmv")
-    val corpus = docs(s, d)
-    (0 until 4).foreach { b =>
-      IndexMV.writeBlock(
-        corpus.where(pmod(col("doc_id"), lit(4)) === b), 5, partials,
-        blockId = b.toLong)
-    }
+    IndexMV.writeBlocks(docs(s, d), pmod(col("doc_id"), lit(4)), 5, partials)
     IndexMV.compact(s, partials, 5, throughBlockId = 2L)
     // the readback is PURE SQL over the `graft_mv_read` table function
     // (store/MvSql.scala) — the merged index is addressable exactly

@@ -81,6 +81,54 @@ object IndexMV {
         .write.mode("overwrite").parquet(tmp)
     }
 
+  /** Batch-BOOTSTRAP ingest: stage every block's index partial from ONE
+    * corpus pass — `blockCol` (a pure function of `doc_id`) splits the
+    * grouped aggregation by block, so the result per block is exactly
+    * [[partialIndex]] of that block's documents — then commit each
+    * block through the same watermark-gated crash-safe
+    * [[graft.store.BlockStore.writeBlock]] swap, by rename.
+    * IndexMVSpec pins `merged(writeBlocks(...)) == merged(per-block
+    * writeBlock deliveries)` literally. This is the backfill shape at
+    * 100 TB: history is aggregated in one pass with per-block atomic
+    * commits (per-block [[writeBlock]] would re-scan the corpus once
+    * per block), and the stream then appends new blocks through
+    * [[indexSink]] against the same store. The final repartition by
+    * block puts each block's rows in one task, so every staged block
+    * is one parquet file — the same file shape `writeBlock`'s
+    * `coalesce(1)` produces. */
+  def writeBlocks(docs: DataFrame, blockCol: org.apache.spark.sql.Column,
+                  k: Int, partialsPath: String): Unit = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val staged = java.nio.file.Paths.get(partialsPath, "_ingest_stage")
+    tokens(docs)
+      .withColumn("block", blockCol.cast("long"))
+      .groupBy("block", "tok", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("block", "tok")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        expr(s"graft_topk(cast(c AS double), doc_id, $k)").as("topk"))
+      .repartition(col("block"))
+      .write.partitionBy("block").mode("overwrite").parquet(staged.toString)
+    val blockIds = {
+      val s = java.nio.file.Files.list(staged)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("block="))
+          .map(_.stripPrefix("block=").toLong).toList.sorted
+      } finally s.close()
+    }
+    blockIds.foreach { b =>
+      graft.store.BlockStore.writeBlock(partialsPath, b) { tmp =>
+        java.nio.file.Files.move(staged.resolve(s"block=$b"),
+          java.nio.file.Paths.get(tmp))
+      }
+    }
+    // every block is committed (or refused by the watermark gate, which
+    // leaves its staged dir behind harmlessly) — drop the staging root
+    // so the store holds only `block=` dirs and maintenance sidecars
+    graft.store.Store.deleteRecursivelyIfExists(staged.toString)
+  }
+
   /** The persisted partial schema — also the explicit-schema answer
     * for a read racing the first block commit. */
   private val partialSchema: org.apache.spark.sql.types.StructType = {

@@ -118,6 +118,42 @@ class IndexMVSpec extends SparkSpec {
     assert(collectIndex(IndexMV.merged(spark, partials, K)) == before)
   }
 
+  test("batch-bootstrap writeBlocks == per-block writeBlock deliveries, " +
+    "block for block and through the merge") {
+    val src = tmpDir("imv-bulk-src")
+    // doc_id % 3 blocking with skewed tfs, so every block's bounded
+    // heap and df/cf partials differ and any cross-block leakage in the
+    // one-pass grouping would show
+    Files.writeString(Paths.get(src, "b.json"), Seq(
+      docJson(1, "cat cat dog"), docJson(2, "cat owl owl"),
+      docJson(3, "dog dog"), docJson(4, "owl cat dog cat"),
+      docJson(5, "cat"), docJson(6, "dog owl dog"),
+      docJson(7, "owl owl owl cat")).mkString("\n"))
+    val docs = spark.read.schema("doc_id LONG, text STRING")
+      .json(src.toString)
+    val bulk = tmpDir("imv-bulk-a")
+    val perBlock = tmpDir("imv-bulk-b")
+    IndexMV.writeBlocks(docs, pmod(col("doc_id"), lit(3)), K, bulk)
+    (0 until 3).foreach { blk =>
+      IndexMV.writeBlock(
+        docs.where(pmod(col("doc_id"), lit(3)) === blk), K, perBlock,
+        blockId = blk.toLong)
+    }
+    // store-equal per block (same partial rows), not just merge-equal
+    (0 until 3).foreach { blk =>
+      def rows(root: String) =
+        spark.read.parquet(s"$root/block=$blk")
+          .select(col("tok"), col("df"), col("cf"),
+            expr("transform(topk, p -> p.id)").as("ids"))
+          .orderBy("tok").collect().map(_.toSeq.toList).toList
+      assert(rows(bulk) == rows(perBlock), s"block $blk partial drifted")
+    }
+    assert(collectIndex(IndexMV.merged(spark, bulk, K)) ==
+      collectIndex(IndexMV.merged(spark, perBlock, K)))
+    // the staging root is cleaned up: only block dirs remain
+    assert(!Files.exists(Paths.get(bulk, "_ingest_stage")))
+  }
+
   test("a replayed block replaces its previous write losslessly") {
     val src = tmpDir("imv-replay-src")
     val partials = tmpDir("imv-replay-partials")
