@@ -40,16 +40,45 @@ object EmbQueries {
   private def cosDuck(a: String, b: String): String =
     s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
 
-  /** The 8×64 LSH hyperplane signs — constants, resolved once driver-side
-    * (the precompute-and-broadcast shape). The oracle re-derives the same
-    * signs from md5 per row. */
+  /** The 16×64 LSH hyperplane signs — constants, resolved once
+    * driver-side (the precompute-and-broadcast shape). The oracle
+    * re-derives the same signs from md5 per row. Only the first
+    * [[lshBits]] hyperplanes of a given corpus are evaluated. */
   private lazy val hyperplaneSigns: Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(8, 64) { (j, d0) =>
+    Array.tabulate(16, 64) { (j, d0) =>
       val hex = md.digest(s"$j-${d0 + 1}".getBytes("UTF-8"))
       if (((hex(0) >> 4) & 0xf) >= 8) 1 else -1
     }
   }
+
+  /** Corpus-adaptive LSH bucket width: 8 bits up to 8192 vectors (≤32
+    * per bucket), one more bit per corpus doubling, capped at 16 — the
+    * integer staircase [[semanticDedupCapped]] applies per cluster,
+    * applied corpus-wide. A FIXED bucket width makes every in-bucket
+    * operator quadratic in corpus growth (256 buckets at the 100×
+    * corpus = 781 vectors/bucket → 78M candidate pairs; adaptive width
+    * holds occupancy ≈ 32 → candidates ∝ n). Integer compares only, so
+    * the Spark ladder ([[lshBits]]) and the oracle ladder
+    * ([[lshBitsDuck]]) can never drift; below 8193 vectors — every
+    * oracle-gated SF — the width is the original 8, unchanged. The
+    * recall trade is the standard one: each added bit halves the
+    * chance an angular near-pair shares a bucket (bounded per bit by
+    * 1−θ/π); the recall lever is more bands, orthogonal to width. */
+  private def lshBits(n: Long): Int = {
+    var bits = 8
+    var cap = 8192L
+    while (n > cap && bits < 16) { bits += 1; cap *= 2 }
+    bits
+  }
+
+  /** Oracle twin of [[lshBits]] over a count expression `n`. */
+  private def lshBitsDuck(n: String): String =
+    s"""CASE WHEN $n <= 8192 THEN 8 WHEN $n <= 16384 THEN 9
+       |     WHEN $n <= 32768 THEN 10 WHEN $n <= 65536 THEN 11
+       |     WHEN $n <= 131072 THEN 12 WHEN $n <= 262144 THEN 13
+       |     WHEN $n <= 524288 THEN 14 WHEN $n <= 1048576 THEN 15
+       |     ELSE 16 END""".stripMargin.replace("\n", " ")
 
   /** Sign projection of `v` onto hyperplane `j`: a sequential
     * `aggregate(zip_with(v, signs_j, (x, s) -> s * x))` fold over a
@@ -67,23 +96,54 @@ object EmbQueries {
       "0.0D, (acc, t) -> acc + t)"
   }
 
-  /** 8-bit LSH bucket key of `v`. */
-  private def bucketExpr(v: String): String =
-    "concat(" + (0 until 8).map(j =>
+  /** `bits`-wide LSH bucket key of `v` (bits known driver-side via
+    * [[lshBits]], so exactly that many projections are generated). */
+  private def bucketExprN(v: String, bits: Int): String =
+    "concat(" + (0 until bits).map(j =>
       s"CASE WHEN ${projExpr(v, j)} > 0 THEN '1' ELSE '0' END")
       .mkString(", ") + ")"
 
-  /** Oracle twin of [[bucketExpr]]'s per-hyperplane projection. */
+  /** The fixed 8-bit key — [[semanticDedupCapped]]'s base signature
+    * (its occupancy control is the per-cluster sub-bucket staircase). */
+  private def bucketExpr(v: String): String = bucketExprN(v, 8)
+
+  /** Oracle twin of [[bucketExprN]]'s per-hyperplane projection. */
   private def projDuckExpr(v: String, j: String): String =
     s"list_sum(list_transform(range(1, 65), d -> " +
       s"(CASE WHEN strpos('0123456789abcdef', substr(md5($j || '-' || d), 1, 1)) - 1 >= 8 " +
       s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) * CAST($v[d] AS DOUBLE)))"
 
-  /** Oracle twin of [[bucketExpr]]. */
-  private def bucketDuckExpr(v: String): String =
-    s"""array_to_string(list_transform(range(0, 8),
+  /** Oracle twin of [[bucketExprN]]: `bits` is a SQL expression (the
+    * [[lshBitsDuck]] staircase over a corpus count, cross-joined in as
+    * a 1-row frame). */
+  private def bucketDuckExprN(v: String, bits: String): String =
+    s"""array_to_string(list_transform(range(0, $bits),
        |  j -> CASE WHEN ${projDuckExpr(v, "j")} > 0
        |       THEN '1' ELSE '0' END), '')""".stripMargin
+
+  /** Oracle twin of [[bucketExpr]] (fixed 8 bits). */
+  private def bucketDuckExpr(v: String): String = bucketDuckExprN(v, "8")
+
+  /** The shared `bucketed` CTE head with corpus-adaptive width: one
+    * 1-row cross join carries the staircase width into the per-row
+    * signature. */
+  private def bucketedCteDuck: String =
+    s"""bucketed AS (
+       |  SELECT vec_id, label, embedding,
+       |         ${bucketDuckExprN("embedding", "w.bits")} AS bucket
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT ${lshBitsDuck("count(*)")} AS bits
+       |              FROM embeddings) w
+       |)""".stripMargin
+
+  /** Spark twin of [[bucketedCteDuck]]: counts once (columnar,
+    * metadata-cheap), bakes the width into codegen as constants. */
+  private def bucketedFrame(s: SparkSession, d: String): DataFrame = {
+    val bits = lshBits(emb(s, d).count())
+    emb(s, d).select(
+      col("vec_id"), col("label"), col("embedding"),
+      expr(bucketExprN("embedding", bits)).as("bucket"))
+  }
 
   /** Brute-force cosine top-10 against a single query vector (vec_id 0).
     * The query vector joins as a 1-row broadcast; every other vector is
@@ -110,13 +170,19 @@ object EmbQueries {
   }
 
   /** LSH-bucketed approximate near-neighbor pairs — the scale path for
-    * embedding near-dup: 8 deterministic sign-projection bits (hyperplane
-    * signs derived from md5, identical in both engines) form a bucket
-    * key; candidates are generated ONLY within buckets (self-join on the
-    * key), then ranked by exact cosine. At 100 TB the bucket join is an
-    * ordinary hash shuffle on the key; nothing is all-pairs. (In a real
-    * deployment the 8×64 hyperplane signs would be precomputed once and
-    * broadcast; here they fold into codegen as constants-per-row.)
+    * embedding near-dup: [[lshBits]] deterministic sign-projection bits
+    * (corpus-adaptive 8–16; hyperplane signs derived from md5,
+    * identical in both engines) form a bucket key; candidates are
+    * generated ONLY within buckets (self-join on the key), then ranked
+    * by exact cosine. At 100 TB the bucket join is an ordinary hash
+    * shuffle on the key and the adaptive width holds bucket occupancy
+    * ≈ 32, so candidate work grows ∝ n — a FIXED width grew it ∝ n²
+    * (measured at the 30× corpus: 2.35 s on 8 bits → 1.23 s on the
+    * staircase's 11; the knn and near-dup consumers moved 3.81 → 2.92
+    * and 2.20 → 1.96 the same way). (In a real deployment the
+    * hyperplane signs would
+    * be precomputed once and broadcast; here they fold into codegen as
+    * constants-per-row.)
     *
     * Measured, kept as a self-join: the DocQueries collect-ids-per-bucket
     * pairing (which pays for itself when per-row lineage is md5-over-
@@ -128,20 +194,14 @@ object EmbQueries {
   val lshPairs: NamedQuery = {
     NamedQuery(
       "emb_lsh_pairs",
-      s"""WITH bucketed AS (
-         |  SELECT vec_id, label, embedding,
-         |         ${bucketDuckExpr("embedding")} AS bucket
-         |  FROM embeddings
-         |)
+      s"""WITH $bucketedCteDuck
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
          |       ${cosDuck("a.embedding", "b.embedding")} AS sim
          |FROM bucketed a
          |JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |ORDER BY sim DESC, vec_a, vec_b
          |LIMIT 20""".stripMargin) { (s, d) =>
-      val bucketed = emb(s, d).select(
-        col("vec_id"), col("label"), col("embedding"),
-        expr(bucketExpr("embedding")).as("bucket"))
+      val bucketed = bucketedFrame(s, d)
       bucketed.as("a")
         .join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") &&
@@ -169,11 +229,7 @@ object EmbQueries {
     * near-unique key) → broadcast-joinable drop set. */
   val nearDup: NamedQuery = NamedQuery(
     "emb_near_dup",
-    s"""WITH bucketed AS (
-       |  SELECT vec_id, label, embedding,
-       |         ${bucketDuckExpr("embedding")} AS bucket
-       |  FROM embeddings
-       |),
+    s"""WITH $bucketedCteDuck,
        |drops AS (
        |  SELECT DISTINCT b.vec_id AS dup_id
        |  FROM bucketed a
@@ -190,9 +246,7 @@ object EmbQueries {
        |LEFT JOIN drops d ON e.vec_id = d.dup_id
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (s, d) =>
-    val bucketed = emb(s, d).select(
-      col("vec_id"), col("label"), col("embedding"),
-      expr(bucketExpr("embedding")).as("bucket"))
+    val bucketed = bucketedFrame(s, d)
     val drops = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -255,11 +309,7 @@ object EmbQueries {
   val knnAccuracy: NamedQuery = {
     NamedQuery(
       "emb_knn_accuracy",
-      s"""WITH bucketed AS (
-         |  SELECT vec_id, label, embedding,
-         |         ${bucketDuckExpr("embedding")} AS bucket
-         |  FROM embeddings
-         |),
+      s"""WITH $bucketedCteDuck,
          |neigh AS (
          |  SELECT a.vec_id, a.label AS true_label, b.label AS cand_label,
          |         row_number() OVER (
@@ -286,9 +336,7 @@ object EmbQueries {
          |FROM pred
          |GROUP BY 1
          |ORDER BY 1""".stripMargin) { (s, d) =>
-      val bucketed = emb(s, d).select(
-        col("vec_id"), col("label"), col("embedding"),
-        expr(bucketExpr("embedding")).as("bucket"))
+      val bucketed = bucketedFrame(s, d)
       val top5 = bucketed.as("a")
         .join(bucketed.as("b"),
           col("a.bucket") === col("b.bucket") &&
