@@ -209,6 +209,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan(q).contains("CartesianProduct"))
   }
 
+  test("span dedup's (doc_id, gram) distinct settles map-side: the gram " +
+    "explode plans ZERO exchanges") {
+    // per-doc array_distinct replaced the global .distinct() — the key
+    // contains doc_id, so every duplicate lives inside one row's
+    // explode and a corpus-wide shuffle would be pure data movement.
+    // The one allowed exchange is Tables.documents' input-spreading
+    // REPARTITION_BY_NUM (the corpus arrives as a single parquet file
+    // locally); a reappearing distinct would plan HashAggregates plus
+    // a hash-partitioned exchange of the EXPLODED gram stream.
+    val p = graft.queries.DocQueries.spanDedupGramsFor(
+      Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate"),
+      s"the per-doc-distinct gram explode should not aggregate:\n$p")
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange"))
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toList
+    assert(shuffles.isEmpty,
+      s"the per-doc-distinct gram explode should be shuffle-free:\n$p")
+  }
+
   test("semantic dedup joins on the cluster key, never cartesian") {
     val p = plan(graft.queries.EmbQueries.semanticDedup)
     assert(!p.contains("CartesianProduct"),
