@@ -12,14 +12,18 @@ rm -f target/RECAPTURE_DONE target/RECAPTURE_FAILED
 
 # r12 trend subset: docs_minhash_pairs is demoted (bench contrast via
 # graft.Time, no longer Bench-runnable); trades_candles_streamed and
-# docs_bpe_encode are the round's new registered lines.
+# docs_bpe_encode are the round's new registered lines. The perf pass
+# added the lines it touched so the machine table covers them:
+# docs_contamination (exact twin of the bloom line), the adaptive-LSH
+# trio, and docs_normalized_dedup (the registry's former worst ratio).
 TREND="docs_ngram_jaccard,docs_containment,docs_dedup_then_simhash,\
 emb_ivf_streamed,emb_ivf_streamed_sql,docs_dup_clusters,\
 docs_ingest_dedup_gate,docs_simhash_hamming,docs_span_dedup,\
-docs_contamination_bloom,docs_minhash_pairs_mv,\
+docs_contamination_bloom,docs_contamination,docs_minhash_pairs_mv,\
 emb_semantic_dedup_capped,events_seq_match,docs_lm_surprise,\
 trades_price_quantiles,trades_hist_quantiles,trades_ttl_readback,\
-trades_candles_streamed,docs_bpe_encode"
+trades_candles_streamed,docs_bpe_encode,emb_lsh_pairs,\
+emb_knn_accuracy,emb_near_dup,docs_normalized_dedup"
 
 run() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$2" \

@@ -1195,7 +1195,7 @@ object DocQueries {
     """WITH n AS (
       |  SELECT lang,
       |         trim(regexp_replace(regexp_replace(lower(text),
-      |              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+      |              '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS norm,
       |         text
       |  FROM documents
       |)
@@ -1209,8 +1209,12 @@ object DocQueries {
       |FROM n
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
+    // runs, not single chars: replacing each run of strippable chars in
+    // one match does fewer replacement iterations for the identical
+    // output string (measured ~flat on this mostly-alnum corpus; the
+    // wall here is the regex scan itself, which is map-side CPU)
     val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]+", ""), " +", " "))
     def h52(c: org.apache.spark.sql.Column) =
       expr(s"cast(conv(substr(md5(${c.toString}), 1, 13), 16, 10) AS bigint)")
     docs(s, d)
