@@ -65,7 +65,7 @@ object EmbQueries {
     * recall trade is the standard one: each added bit halves the
     * chance an angular near-pair shares a bucket (bounded per bit by
     * 1−θ/π); the recall lever is more bands, orthogonal to width. */
-  private def lshBits(n: Long): Int = {
+  private[graft] def lshBits(n: Long): Int = {
     var bits = 8
     var cap = 8192L
     while (n > cap && bits < 16) { bits += 1; cap *= 2 }
@@ -73,7 +73,7 @@ object EmbQueries {
   }
 
   /** Oracle twin of [[lshBits]] over a count expression `n`. */
-  private def lshBitsDuck(n: String): String =
+  private[graft] def lshBitsDuck(n: String): String =
     s"""CASE WHEN $n <= 8192 THEN 8 WHEN $n <= 16384 THEN 9
        |     WHEN $n <= 32768 THEN 10 WHEN $n <= 65536 THEN 11
        |     WHEN $n <= 131072 THEN 12 WHEN $n <= 262144 THEN 13

@@ -121,4 +121,37 @@ class SketchQuantizeSpec extends SparkSpec {
         .map(items).sum == items(st))
     }
   }
+
+  test("the adaptive LSH width staircase matches its closed form and " +
+    "its SQL twin carries the same thresholds") {
+    // closed form: clamp(ceil(log2(n / 32)), 8, 16) — occupancy ≈ 32
+    def closed(n: Long): Int = {
+      val buckets = math.max(1L, (n + 31) / 32)
+      var bits = 0
+      while ((1L << bits) < buckets) bits += 1
+      math.max(8, math.min(16, bits))
+    }
+    // every boundary on both sides, plus interior points
+    val ns = Seq(1L, 100L, 8192L, 8193L, 16384L, 16385L, 32768L, 60000L,
+      65536L, 65537L, 131072L, 200000L, 262144L, 524288L, 1048576L,
+      1048577L, 5000000L, Long.MaxValue / 2)
+    ns.foreach { n =>
+      assert(EmbQueries.lshBits(n) == closed(n),
+        s"lshBits($n) = ${EmbQueries.lshBits(n)}, closed form ${closed(n)}")
+    }
+    // the oracle ladder must carry EXACTLY the thresholds the Spark loop
+    // walks, in order — a drifted constant would split the engines only
+    // above 8192 vectors, which no oracle-gated SF reaches
+    val sql = EmbQueries.lshBitsDuck("n")
+    val thresholds = (0 to 7).map(k => 8192L << k)
+    val positions = thresholds.dropRight(1).zipWithIndex.map {
+      case (t, i) =>
+        val pat = s"n <= $t THEN ${8 + i}"
+        val pos = sql.indexOf(pat)
+        assert(pos >= 0, s"oracle ladder missing arm '$pat':\n$sql")
+        pos
+    }
+    assert(positions == positions.sorted, "oracle ladder arms out of order")
+    assert(sql.contains("ELSE 16"), "oracle ladder missing the 16-bit cap")
+  }
 }
