@@ -2454,19 +2454,24 @@ object DocQueries {
     * collect that creates it ships exactly the bytes a broadcast
     * would.
     *
-    * The FP-removing join broadcasts the TEST side — the frame that is
-    * small by the operator's premise — and streams the bloom survivors
-    * through it, so the train lineage is map-side END TO END: scan →
-    * explode → probe → broadcast-hash join → partial agg, no
-    * train-sized exchange under ANY contamination rate. The first cut
-    * broadcast the SURVIVORS instead, which inverts on a
-    * high-contamination corpus: on the deliberately dup-heavy 10×
-    * corpus (~every test doc has a train twin) survivors ≈ all train
-    * grams and the query ran 2.7× its sf0.1 time — survivor size is a
-    * function of the DATA, test size is a designed-in constant, and
-    * only the latter is safe to broadcast. Join duplicates per train
-    * occurrence are harmless: every consumer aggregates with
-    * countDistinct, so survivors need no distinct pass either. */
+    * The FP-removing join is a partitioned hash SEMI-JOIN of the test
+    * grams against the DISTINCT bloom survivors — third spelling,
+    * each measured. (1) Broadcasting the survivors inverts on a
+    * high-contamination corpus (survivors ≈ all train grams on the
+    * dup-heavy 10×: 2.7× its sf0.1 time) — survivor size is a function
+    * of the DATA, never safe to broadcast. (2) Broadcasting the TEST
+    * side keeps the train lineage map-side end to end, but the
+    * broadcast is ~|test grams| rows built single-threaded and copied
+    * per task: 16.3 s at the 100× corpus, SLOWER than the 9.5 s exact
+    * twin it exists to beat. (3) This spelling exchanges only the
+    * deduped survivors plus the test grams — by construction NEVER
+    * more than the exact twin's exchange (survivors ⊆ distinct train
+    * grams; the map-side Bloom prune can only shrink it, and on a
+    * clean production corpus shrinks it to ≈ fpp·|train|) — and
+    * measured 13.1 s at 100× (ratio 6.0×), trading ~0.7 s at sf0.1
+    * where two tiny exchanges cost more than one tiny broadcast.
+    * Semantics are exact: a false-positive survivor's gram is by
+    * definition absent from the test set, so the semi-join drops it. */
   val contaminationBloom: NamedQuery = NamedQuery(
     "docs_contamination_bloom", contaminationSql) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
@@ -2495,12 +2500,13 @@ object DocQueries {
     val bloomBytes = testGrams
       .agg(expr(s"graft_bloom_agg(xxhash64(lang, gram), $mBits, 7)"))
       .head.getAs[Array[Byte]](0)
-    val hits = split.where(col("b") < 8)
+    val survivors = split.where(col("b") < 8)
       .select(col("lang"), explode(col("gs")).as("gram"))
       .where(call_function("graft_bloom_contains",
         lit(bloomBytes), xxhash64(col("lang"), col("gram"))))
-      .join(broadcast(testGrams), Seq("lang", "gram"))
-      .select("lang", "doc_id", "gram")
+      .distinct()
+    val hits = testGrams.join(
+      survivors.hint("shuffle_hash"), Seq("lang", "gram"), "left_semi")
     contaminationReport(split, testGrams, hits)
   }
 
