@@ -1,21 +1,28 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (builder brief): image/audio/video payloads
   * travel as opaque `binary` columns with typed metadata; decode and
-  * feature extraction run per-partition so a real codec would be
-  * initialized once per task, not per row.
+  * feature extraction run per-partition so the codec machinery is
+  * initialized once per task, not once per row.
   *
-  * The container has no image/audio libraries, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (dims/features derived from a
-  * SHA-256 of the payload). Everything around it — the typed schema, the
-  * partition-preserving batch iteration, the per-partition "codec" init,
-  * the feature-vector shape — is the real Spark-side contract a codec
-  * would drop into.
+  * The decode is REAL: payloads are genuine PNG files (images) and
+  * genuine BMP files (video frames), written and re-parsed with the
+  * JDK's `javax.imageio` — no external codec library needed. Because the
+  * corpus ships no media, payloads are SYNTHESIZED deterministically
+  * from document attributes (`doc_id`, text length) with pixel formulas
+  * simple enough that a SQL oracle can predict the decoded dimensions
+  * and channel sums arithmetically; the Spark side never shortcuts to
+  * the formulas — it decodes the actual bytes, so a broken encoder OR
+  * decoder is an oracle hash mismatch.
   */
 object Media {
 
@@ -24,75 +31,182 @@ object Media {
   final case class MediaRow(doc_id: Long, source: String, media_type: String,
                             payload: Array[Byte])
 
-  /** Decoded metadata + extracted feature vector. */
+  /** Decoded metadata + extracted features: real parsed dimensions,
+    * exact per-channel pixel sums (integers, so engines agree bit-for-
+    * bit) and the derived per-channel mean vector. */
   final case class MediaFeatures(doc_id: Long, source: String,
                                  media_type: String,
                                  n_bytes: Int, width: Int, height: Int,
+                                 sum_r: Long, sum_g: Long, sum_b: Long,
                                  checksum: String, features: Array[Float])
 
-  /** Synthesize an opaque binary media column from the documents table
-    * (the corpus ships no real media; payloads are the utf-8 text
-    * bytes). At 100 TB payloads would live in parquet binary columns or
-    * object-store pointers — the schema is identical either way. */
-  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(
-      col("doc_id"),
-      col("source"),
-      lit("image/stub").as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+  // --- deterministic synthesis formulas (shared with the SQL oracles in
+  // MediaQueries — change one, change both) ------------------------------
+  def imgWidth(docId: Long): Int  = 4 + (docId % 13).toInt
+  def imgHeight(docId: Long): Int = 4 + ((docId / 13) % 11).toInt
+  def imgBase(docId: Long): Int   = (docId % 251).toInt
+  /** image pixel (x, y) as packed RGB. */
+  def imgPixel(base: Int, x: Int, y: Int): Int = {
+    val r = (base + x) % 256
+    val g = (base + y) % 256
+    val b = (base + x + y) % 256
+    (r << 16) | (g << 8) | b
   }
 
-  /** Decode + feature-extract, batch-shaped: `mapPartitions` so the codec
-    * (here: a MessageDigest standing in for a JPEG/audio decoder —
-    * STUB, see object doc) is constructed once per partition and rows
-    * stream through it. Replace the body of `decodeOne` with a real
-    * codec call to productionize; nothing else changes. */
+  /** Video frames are fixed 4×4; content keyed on (doc_id % 64,
+    * frame_idx) so cross-document frame dedup is non-trivial and the
+    * oracle can count distinct frames without hashing bytes. Pixel
+    * (0, 0) embeds the key verbatim, making frame content injective in
+    * the key; the rest is a gradient so luma varies. */
+  val FrameDim = 4
+  def videoDupKey(docId: Long): Int = (docId % 64).toInt
+  def framePixel(dk: Int, fi: Int, x: Int, y: Int): Int =
+    if (x == 0 && y == 0) (dk << 16) | (fi << 8)
+    else {
+      val r = (dk + x + fi) % 256
+      val g = (dk + y) % 256
+      val b = (x + y) % 256
+      (r << 16) | (g << 8) | b
+    }
+
+  private def renderImage(w: Int, h: Int)(px: (Int, Int) => Int)
+      : BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, px(x, y)); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeWith(fmt: String, img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(1024)
+    if (!ImageIO.write(img, fmt, bos))
+      throw new IllegalStateException(s"no JDK ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  private def frameBytes(dk: Int, fi: Int): Array[Byte] =
+    encodeWith("bmp", renderImage(FrameDim, FrameDim)(framePixel(dk, fi, _, _)))
+
+  /** Exact byte length of one encoded BMP frame (constant for constant
+    * dimensions — BMP is uncompressed). Computed once, by encoding a
+    * probe frame; the synth asserts every frame matches it. */
+  lazy val bmpFrameLen: Int = frameBytes(0, 0).length
+
+  /** Synthesize a real PNG image column from the documents table: one
+    * small (≤16×14) PNG per document, dimensions and pixels derived
+    * from `doc_id` by the formulas above. At 100 TB payloads would
+    * arrive in parquet binary columns or as object-store pointers — the
+    * downstream schema is identical either way. `mapPartitions` so the
+    * ImageIO writer setup happens per-task. */
+  def imagesFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false) // stream-only; no temp-file cache per call
+        rows.map { case (docId, source) =>
+          val img = renderImage(imgWidth(docId), imgHeight(docId))(
+            imgPixel(imgBase(docId), _, _))
+          MediaRow(docId, source, "image/png", encodeWith("png", img))
+        }
+      }
+  }
+
+  /** Synthesize a "video" column: each payload is `ceil(n_chars / 64)`
+    * consecutive real 4×4 BMP frames (uncompressed, so every frame is
+    * exactly [[bmpFrameLen]] bytes and byte-offset frame slicing is
+    * well-defined — the fixed-GOP keyframe layout). */
+  def videosFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source"),
+        ((length(col("text")) + 63) / 64).cast("int").as("nf"))
+      .as[(Long, String, Int)]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        val expect = bmpFrameLen
+        rows.map { case (docId, source, nf) =>
+          val dk = videoDupKey(docId)
+          val bos = new ByteArrayOutputStream(nf * expect)
+          var fi = 0
+          while (fi < nf) {
+            val fb = frameBytes(dk, fi)
+            require(fb.length == expect,
+              s"BMP frame length drifted: ${fb.length} != $expect")
+            bos.write(fb); fi += 1
+          }
+          MediaRow(docId, source, "video/bmp-frames", bos.toByteArray)
+        }
+      }
+  }
+
+  /** `ImageIO.read` signals "not an image" two ways: null for bytes no
+    * reader recognizes, an IOException/EOFException for recognized-but-
+    * truncated files. Both mean the same thing to a corpus-wide decode
+    * pass: skip the row. */
+  private def tryDecode(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Decode + feature-extract, batch-shaped: `mapPartitions` so codec
+    * setup is per-partition and rows stream through it. The decode is a
+    * real `ImageIO.read` — parsed width/height from the PNG header,
+    * per-channel sums/means from the decoded raster. Null, unrecognized
+    * and truncated payloads are SKIPPED, the relational analogue of
+    * null-propagating scalar decode — one corrupt row must not abort a
+    * corpus-wide decode pass. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition "codec" init — a real decoder would open here.
-      // Null payloads (row has no media) are SKIPPED, the relational
-      // analogue of null-propagating scalar decode — one NPE-ing row
-      // must not abort a corpus-wide decode pass.
-      val codec = MessageDigest.getInstance("SHA-256")
-      rows.filter(_.payload != null).map(r => decodeOne(codec, r))
+      ImageIO.setUseCache(false)
+      val sha = MessageDigest.getInstance("SHA-256")
+      rows.flatMap { r =>
+        if (r.payload == null) None
+        else tryDecode(r.payload).map(decodeOne(sha, r, _))
+      }
     }
   }
 
-  /** STUB decode: a real implementation would parse the image header for
-    * (width, height) and run a feature extractor over decoded pixels.
-    * The deterministic fake derives both from the payload digest so
-    * tests are stable and the full pipeline shape is exercised. */
-  private def decodeOne(codec: MessageDigest, r: MediaRow): MediaFeatures = {
-    val digest = codec.digest(r.payload)
-    def u(i: Int): Int = digest(i) & 0xff
+  private def decodeOne(sha: MessageDigest, r: MediaRow,
+                        img: BufferedImage): MediaFeatures = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < rgb.length) {
+      val p = rgb(i)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    val n = (w * h).toFloat * 255f
+    val digest = sha.digest(r.payload)
     MediaFeatures(
-      doc_id = r.doc_id,
-      source = r.source,
-      media_type = r.media_type,
-      n_bytes = r.payload.length,
-      width = 64 + u(0) * 16 + u(1),    // "parsed" header dims
-      height = 64 + u(2) * 16 + u(3),
+      doc_id = r.doc_id, source = r.source, media_type = r.media_type,
+      n_bytes = r.payload.length, width = w, height = h,
+      sum_r = sr, sum_g = sg, sum_b = sb,
       checksum = digest.map("%02x".format(_)).mkString,
-      features = (0 until 8).map(i => u(i + 4) / 255.0f).toArray)
+      features = Array(sr / n, sg / n, sb / n))
   }
 
-  /** One sampled frame of a "video" payload. */
+  /** One sampled frame of a video payload: real decoded integer mean
+    * luma (`(Σr + Σg + Σb) div 3·pixels`) plus a payload-byte checksum
+    * for cross-document frame dedup. */
   final case class FrameSample(doc_id: Long, source: String, frame_idx: Int,
                                checksum: String, luma: Int)
 
   /** Frame sampling (the video-pipeline verb): the payload is treated as
     * consecutive `frameLen`-byte frames and every `stride`-th frame is
     * decoded — the keyframe-sampling shape. flatMap-shaped
-    * `mapPartitions`: one codec init per partition, sampled frames
-    * stream out without materializing whole videos. The per-frame decode
-    * is the same deterministic STUB (digest → checksum + a fake luma
-    * byte); a real decoder drops into the same loop. */
-  def sampleFrames(media: Dataset[MediaRow], frameLen: Int = 64,
+    * `mapPartitions`: codec setup once per partition, sampled frames
+    * stream out without materializing whole videos. Each sampled frame
+    * goes through a real `ImageIO.read`; slices no reader recognizes
+    * are skipped like corrupt images. */
+  def sampleFrames(media: Dataset[MediaRow], frameLen: Int,
                    stride: Int = 4): Dataset[FrameSample] = {
     // fail at plan time with a clear message, not with an executor-side
     // ArithmeticException (frameLen = 0) or a silent one-frame result
@@ -102,16 +216,29 @@ object Media {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      val codec = MessageDigest.getInstance("SHA-256")
+      ImageIO.setUseCache(false)
+      val sha = MessageDigest.getInstance("SHA-256")
       rows.filter(_.payload != null).flatMap { r =>
         val nFrames = (r.payload.length + frameLen - 1) / frameLen
-        (0 until nFrames).iterator.filter(_ % stride == 0).map { i =>
+        (0 until nFrames).iterator.filter(_ % stride == 0).flatMap { i =>
           val from = i * frameLen
           val until = math.min(from + frameLen, r.payload.length)
-          val digest = codec.digest(
-            java.util.Arrays.copyOfRange(r.payload, from, until))
-          FrameSample(r.doc_id, r.source, i,
-            digest.map("%02x".format(_)).mkString, digest(0) & 0xff)
+          val slice = java.util.Arrays.copyOfRange(r.payload, from, until)
+          tryDecode(slice).map { img =>
+            val rgb = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+              img.getWidth)
+            var s = 0L
+            var j = 0
+            while (j < rgb.length) {
+              val p = rgb(j)
+              s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              j += 1
+            }
+            val digest = sha.digest(slice)
+            FrameSample(r.doc_id, r.source, i,
+              digest.map("%02x".format(_)).mkString,
+              (s / (3L * rgb.length)).toInt)
+          }
         }
       }
     }
