@@ -1285,10 +1285,104 @@ object TradeQueries {
       .orderBy("minute", "symbol")
   }
 
+  /** S2 hash-gated END-TO-END: the wire-envelope JSON decode +
+    * normalization (reference: src/stream_binance.py:99-110) run through
+    * the REAL [[graft.streaming.TradeIngest.normalize]] `from_json`
+    * pipeline and compared row-for-row against DuckDB's independent JSON
+    * parser applying the same contract. Raw Binance-style envelope lines
+    * are generated deterministically from `orders` — both engines build
+    * byte-identical strings — with `o_orderkey % 9` selecting the edge
+    * case: two fully-valid shapes (maker true/false), one per missing
+    * key (`s`→'' , `t`→0, `p`→0.0, `q`→0.0, `m`→0 — the reference's
+    * `ev.get(k, default)` fallbacks), missing `T` (row dropped: a null
+    * event time poisons watermarks), and a TRUNCATED envelope (malformed
+    * JSON → PERMISSIVE null struct → dropped; DuckDB mirrors via
+    * `json_valid`). A wrong cast, a swapped `t`/`T` under
+    * case-insensitive resolution, a default applied to the wrong field,
+    * or a malformed row surviving is a hash mismatch. Per-row readback,
+    * no aggregation — the decode itself is the operator under test. */
+  val ingestDecode: NamedQuery = NamedQuery(
+    "trades_ingest_decode",
+    """WITH gen AS (
+      |  SELECT o_orderkey AS k0,
+      |         o_orderkey % 9 AS k,
+      |         ['BTCUSDT','ETHUSDT','SOLUSDT'][CAST(o_orderkey % 3 AS INTEGER) + 1] AS sym,
+      |         CAST(o_orderkey % 997 AS VARCHAR) || '.' ||
+      |           lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS p,
+      |         CAST(o_orderkey % 89 AS VARCHAR) || '.' ||
+      |           CAST(o_orderkey % 10 AS VARCHAR) AS q,
+      |         1700000000000 + (o_orderkey % 2678400) * 1000 AS tms,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN 'false' ELSE 'true' END AS m
+      |  FROM orders
+      |),
+      |raw AS (
+      |  SELECT k,
+      |    '{"stream":"trades","data":{'
+      |    || CASE WHEN k = 2 THEN '' ELSE '"s":"' || sym || '",' END
+      |    || CASE WHEN k = 3 THEN '' ELSE '"t":' || CAST(k0 AS VARCHAR) || ',' END
+      |    || CASE WHEN k = 4 THEN '' ELSE '"p":"' || p || '",' END
+      |    || CASE WHEN k = 5 THEN '' ELSE '"q":"' || q || '",' END
+      |    || CASE WHEN k = 7 THEN '' ELSE '"T":' || CAST(tms AS VARCHAR) || ',' END
+      |    || CASE WHEN k = 6 THEN '' ELSE '"m":' || m || ',' END
+      |    || '"e":"trade"}}' AS value
+      |  FROM gen
+      |),
+      |staged AS (
+      |  SELECT CASE WHEN k = 8 THEN substr(value, 1, len(value) - 5)
+      |              ELSE value END AS value
+      |  FROM raw
+      |),
+      |dec AS (
+      |  SELECT coalesce(json_extract_string(value, '$.data.s'), '') AS symbol,
+      |         coalesce(CAST(json_extract(value, '$.data.t') AS BIGINT), 0) AS trade_id,
+      |         coalesce(TRY_CAST(json_extract_string(value, '$.data.p') AS DOUBLE), 0.0) AS price,
+      |         coalesce(TRY_CAST(json_extract_string(value, '$.data.q') AS DOUBLE), 0.0) AS qty,
+      |         epoch_ms(CAST(json_extract(value, '$.data.T') AS BIGINT)) AS ts,
+      |         CASE WHEN coalesce(CAST(json_extract(value, '$.data.m') AS BOOLEAN), false)
+      |              THEN 1 ELSE 0 END AS is_buyer_maker
+      |  FROM staged
+      |  WHERE json_valid(value)
+      |)
+      |SELECT * FROM dec
+      |WHERE ts IS NOT NULL
+      |ORDER BY trade_id, symbol, ts""".stripMargin) { (s, d) =>
+    val key = col("o_orderkey")
+    val k = pmod(key, lit(9))
+    val sym = element_at(
+      lit(Array("BTCUSDT", "ETHUSDT", "SOLUSDT")),
+      (pmod(key, lit(3)) + 1).cast("int"))
+    val pStr = concat(pmod(key, lit(997)).cast("string"), lit("."),
+      lpad(pmod(key, lit(100)).cast("string"), 2, "0"))
+    val qStr = concat(pmod(key, lit(89)).cast("string"), lit("."),
+      pmod(key, lit(10)).cast("string"))
+    val tms = (lit(1700000000000L) + pmod(key, lit(2678400L)) * 1000L)
+      .cast("string")
+    def unless(skip: Int, seg: Column): Column =
+      when(k === skip, lit("")).otherwise(seg)
+    val envelope = concat(
+      lit("""{"stream":"trades","data":{"""),
+      unless(2, concat(lit("\"s\":\""), sym, lit("\","))),
+      unless(3, concat(lit("\"t\":"), key.cast("string"), lit(","))),
+      unless(4, concat(lit("\"p\":\""), pStr, lit("\","))),
+      unless(5, concat(lit("\"q\":\""), qStr, lit("\","))),
+      unless(7, concat(lit("\"T\":"), tms, lit(","))),
+      unless(6, concat(lit("\"m\":"),
+        when(pmod(key, lit(2)) === 0, lit("false")).otherwise(lit("true")),
+        lit(","))),
+      lit("\"e\":\"trade\"}}"))
+    val raw = Tables.orders(s, d)
+      .select(envelope.as("value"), k.as("k"))
+      .select(when(col("k") === 8,
+        expr("substr(value, 1, length(value) - 5)")).otherwise(col("value"))
+        .as("value"))
+    graft.streaming.TradeIngest.normalize(raw)
+      .orderBy("trade_id", "symbol", "ts")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     ohlcv1m, topSymbols, liveTrades, liveBuySell, histBuySell, zonedScan,
     countAll, latest10, top10Prewhere, minuteTrend, candleMerge,
-    candlesStreamed,
+    candlesStreamed, ingestDecode,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
     histQuantiles, priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,
     drawdown, ohlcv1h, weightedMedian, twap, deltaSum, ttlReadback)
