@@ -172,6 +172,15 @@ object GraftFunctions {
     HammingDistance(children.head, children(1))
   }
 
+  private val normalizeInfo = new ExpressionInfo(
+    classOf[NormalizeText].getName, "graft_normalize")
+
+  private val normalizeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"graft_normalize expects 1 argument, got ${children.length}")
+    NormalizeText(children.head)
+  }
+
   private val pqScoreInfo = new ExpressionInfo(
     classOf[PqScore].getName, "graft_pq_score")
 
@@ -267,6 +276,7 @@ object GraftFunctions {
       bloomContainsInfo, bloomContainsBuilder),
     (FunctionIdentifier("graft_zorder"), zorderInfo, zorderBuilder),
     (FunctionIdentifier("graft_hamming"), hammingInfo, hammingBuilder),
+    (FunctionIdentifier("graft_normalize"), normalizeInfo, normalizeBuilder),
     (FunctionIdentifier("graft_pq_score"), pqScoreInfo, pqScoreBuilder),
     (FunctionIdentifier("graft_pq_norm"), pqNormInfo, pqNormBuilder))
 

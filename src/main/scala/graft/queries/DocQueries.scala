@@ -1186,10 +1186,17 @@ object DocQueries {
     * every row twice through the distinct-aggregate exchange, so key
     * width is paid 2× per doc — 8-byte longs at the standard
     * negligible-collision trade both engines compute identically.
-    * Measured at 30×: 8.2 → 7.9 s — the wall is dominated by the two
-    * regexp passes, per-row map-side CPU that saturates this host's 32
-    * cores but distributes perfectly at cluster scale; the narrower
-    * exchange is kept for the shuffle it removes there. */
+    *
+    * The normalization itself is the codegen'd single-pass
+    * [[graft.functions.NormalizeText]] (r13): the composed
+    * lower→regex→regex→trim spelling was this registry's worst 100×
+    * trend line at 21.9 s warm — three full traversals of every
+    * document, all map-side CPU. The fused byte loop (identical output,
+    * pinned in NormalizeSpec against the composed form) took the 100×
+    * warm wall to 1.4 s — a 16× win (30×: 7.1 → 1.1 s) that moves the
+    * line off the worst-trend slot entirely. The oracle keeps the regex
+    * spelling — the two sides compute the same strings through
+    * genuinely different machinery. */
   val normalizedDedup: NamedQuery = NamedQuery(
     "docs_normalized_dedup",
     """WITH n AS (
@@ -1209,12 +1216,8 @@ object DocQueries {
       |FROM n
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
-    // runs, not single chars: replacing each run of strippable chars in
-    // one match does fewer replacement iterations for the identical
-    // output string (measured ~flat on this mostly-alnum corpus; the
-    // wall here is the regex scan itself, which is map-side CPU)
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]+", ""), " +", " "))
+    graft.functions.GraftFunctions.register(s)
+    val norm = expr("graft_normalize(text)")
     def h52(c: org.apache.spark.sql.Column) =
       expr(s"cast(conv(substr(md5(${c.toString}), 1, 13), 16, 10) AS bigint)")
     docs(s, d)
