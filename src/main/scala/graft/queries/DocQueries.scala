@@ -501,11 +501,12 @@ object DocQueries {
     * identical checkpointed decision frames, so oracle hashes are
     * unchanged. Existence is re-checked per hit (a swept scratch dir
     * or `sbt clean` re-runs the ingest instead of failing the read);
-    * a concurrent duplicate ingest is harmless (equivalent stores,
-    * last put wins, the loser is swept as scratch). */
+    * stopped-session eviction and corpus-fingerprint staleness live in
+    * [[graft.store.SessionScopedCache]] (r12 ADVICE); a concurrent
+    * duplicate ingest is harmless (equivalent stores, last put wins,
+    * the loser is swept as scratch). */
   private val gatedIngestCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      GatedIngest]()
+    new graft.store.SessionScopedCache[GatedIngest]()
 
   /** The Spark side of [[ingestGateCtesDuck]] — ONE gate
     * implementation for both registered consumers, so the counting
@@ -513,17 +514,10 @@ object DocQueries {
     * [[ingestDedupGate]]'s scaladoc for the gate's semantics and scale
     * argument. Cached per (session, corpus dir) — see
     * [[gatedIngestCache]]. */
-  private def runIngestGate(s: SparkSession, d: String): GatedIngest = {
-    val key = (s, d)
-    val hit = Option(gatedIngestCache.get(key)).filter { g =>
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(g.partials))
-    }
-    hit.getOrElse {
-      val g = doRunIngestGate(s, d)
-      gatedIngestCache.put(key, g)
-      g
-    }
-  }
+  private def runIngestGate(s: SparkSession, d: String): GatedIngest =
+    gatedIngestCache.getOrBuild(s, d)(g =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(g.partials)))(
+      doRunIngestGate(s, d))
 
   /** The uncached ingest — the actual 4-block probe→verify→commit
     * pass; only [[runIngestGate]] calls this. */
@@ -3263,7 +3257,8 @@ object DocQueries {
     // repo-local scratch, unique per invocation so concurrent runs
     // never share a store; swept once at JVM exit (Store.scratchStore)
     val partials = graft.store.Store.scratchStore("idxmv")
-    IndexMV.writeBlocks(docs(s, d), pmod(col("doc_id"), lit(4)), 5, partials)
+    IndexMV.writeBlocks(docs(s, d), pmod(col("doc_id"), lit(4)), 5, partials,
+      expectedBlocks = 0L to 3L)
     IndexMV.compact(s, partials, 5, throughBlockId = 2L)
     // the readback is PURE SQL over the `graft_mv_read` table function
     // (store/MvSql.scala) — the merged index is addressable exactly

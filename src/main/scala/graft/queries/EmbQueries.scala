@@ -1195,12 +1195,13 @@ object EmbQueries {
     * the build re-runs rather than the probe failing on a missing
     * path. Values are tiny (a path + a cell id); keying on the session
     * object keeps frames from leaking across sessions in multi-session
-    * test JVMs. A concurrent duplicate build (two suites racing the
+    * test JVMs, and [[graft.store.SessionScopedCache]] adds
+    * stopped-session eviction + corpus-fingerprint staleness (r12
+    * ADVICE). A concurrent duplicate build (two suites racing the
     * same key) is harmless — both stores are equivalent, last put
     * wins, the loser is swept as scratch. */
   private val streamedIvfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (String, Int)]()
+    new graft.store.SessionScopedCache[(String, Int)]()
 
   /** Shared build for [[ivfStreamed]] and its pure-SQL readback twin
     * [[ivfStreamedSql]]: deliver the base corpus in four blocks against
@@ -1211,15 +1212,10 @@ object EmbQueries {
     * [[streamedIvfCache]]. */
   private def buildStreamedIvf(s: SparkSession, d: String)
       : (String, Int, DataFrame) = {
-    val key = (s, d)
-    val hit = Option(streamedIvfCache.get(key)).filter { case (inv, _) =>
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(inv))
-    }
-    val (inv, probeCell) = hit.getOrElse {
-      val built = doBuildStreamedIvf(s, d)
-      streamedIvfCache.put(key, built)
-      built
-    }
+    val (inv, probeCell) =
+      streamedIvfCache.getOrBuild(s, d) { case (inv, _) =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(inv))
+      }(doBuildStreamedIvf(s, d))
     val q2 = emb(s, d).where(col("vec_id") === 0)
       .select(col("embedding").as("qv2"))
     (inv, probeCell, q2)

@@ -102,7 +102,15 @@ object BlockStore {
     Files.writeString(tmp, content)
     try Files.createLink(file, tmp)
     catch {
-      case _: UnsupportedOperationException =>
+      // no-link filesystems signal two ways: UnsupportedOperationException
+      // (API-level) or a FileSystemException subtype (FUSE/network mounts,
+      // e.g. "Operation not supported"). Both degrade to the two-syscall
+      // spelling. FileAlreadyExistsException is EXCLUDED although it
+      // subtypes FileSystemException — it is the contention signal this
+      // method exists to propagate.
+      case e @ (_: UnsupportedOperationException
+                | _: java.nio.file.FileSystemException)
+          if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
         Files.write(file,
           content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)

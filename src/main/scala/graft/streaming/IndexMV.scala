@@ -96,8 +96,17 @@ object IndexMV {
     * block puts each block's rows in one task, so every staged block
     * is one parquet file — the same file shape `writeBlock`'s
     * `coalesce(1)` produces. */
+  /** @param expectedBlocks block ids that must exist in the store even
+    *   when the corpus has no documents for them. The staged-partition
+    *   discovery only sees blocks with rows, whereas the per-block
+    *   [[writeBlock]] path commits an explicit empty `block=` dir — so
+    *   without this, the two ingest paths produced merge-equal but not
+    *   STORE-equal layouts on corpora with empty blocks (r12 ADVICE).
+    *   Callers that know the block-key range (every block key here is a
+    *   pure function with a known modulus) should pass it. */
   def writeBlocks(docs: DataFrame, blockCol: org.apache.spark.sql.Column,
-                  k: Int, partialsPath: String): Unit = {
+                  k: Int, partialsPath: String,
+                  expectedBlocks: Seq[Long] = Nil): Unit = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val staged = java.nio.file.Paths.get(partialsPath, "_ingest_stage")
     tokens(docs)
@@ -117,12 +126,20 @@ object IndexMV {
           .map(_.stripPrefix("block=").toLong).toList.sorted
       } finally s.close()
     }
-    blockIds.foreach { b =>
-      graft.store.BlockStore.writeBlock(partialsPath, b) { tmp =>
-        java.nio.file.Files.move(staged.resolve(s"block=$b"),
-          java.nio.file.Paths.get(tmp))
+    (blockIds ++ expectedBlocks.filterNot(blockIds.contains)).sorted
+      .foreach { b =>
+        graft.store.BlockStore.writeBlock(partialsPath, b) { tmp =>
+          val src = staged.resolve(s"block=$b")
+          if (java.nio.file.Files.isDirectory(src))
+            java.nio.file.Files.move(src, java.nio.file.Paths.get(tmp))
+          else // expected-but-empty: commit the explicit empty block the
+            // per-block path would have committed
+            docs.sparkSession.createDataFrame(
+              docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              partialSchema)
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+        }
       }
-    }
     // every block is committed (or refused by the watermark gate, which
     // leaves its staged dir behind harmlessly) — drop the staging root
     // so the store holds only `block=` dirs and maintenance sidecars

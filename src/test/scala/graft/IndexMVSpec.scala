@@ -154,6 +154,41 @@ class IndexMVSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(bulk, "_ingest_stage")))
   }
 
+  test("writeBlocks commits explicit empty blocks for expected ids — " +
+    "store-equal to the per-block path on corpora with empty blocks") {
+    val src = tmpDir("imv-empty-src")
+    // doc_id % 3 == 2 never occurs → block 2 is EMPTY
+    Files.writeString(Paths.get(src, "b.json"), Seq(
+      docJson(0, "cat dog"), docJson(1, "owl"),
+      docJson(3, "dog dog"), docJson(4, "owl cat")).mkString("\n"))
+    val docs = spark.read.schema("doc_id LONG, text STRING")
+      .json(src.toString)
+    val bulk = tmpDir("imv-empty-a")
+    val perBlock = tmpDir("imv-empty-b")
+    IndexMV.writeBlocks(docs, pmod(col("doc_id"), lit(3)), K, bulk,
+      expectedBlocks = 0L to 2L)
+    (0 until 3).foreach { blk =>
+      IndexMV.writeBlock(
+        docs.where(pmod(col("doc_id"), lit(3)) === blk), K, perBlock,
+        blockId = blk.toLong)
+    }
+    def blockDirs(root: String) = {
+      val s = Files.list(Paths.get(root))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("block=")).toSet
+      finally s.close()
+    }
+    assert(blockDirs(bulk) == blockDirs(perBlock),
+      "absent-vs-empty block dirs diverged between the ingest paths")
+    assert(blockDirs(bulk).contains("block=2"))
+    // the explicit empty block reads back as zero rows with the partial
+    // schema (a racing reader sees a valid empty parquet dir, not ENOENT)
+    assert(spark.read.parquet(s"$bulk/block=2").count() == 0)
+    assert(collectIndex(IndexMV.merged(spark, bulk, K)) ==
+      collectIndex(IndexMV.merged(spark, perBlock, K)))
+  }
+
   test("a replayed block replaces its previous write losslessly") {
     val src = tmpDir("imv-replay-src")
     val partials = tmpDir("imv-replay-partials")

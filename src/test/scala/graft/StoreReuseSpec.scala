@@ -56,4 +56,32 @@ class StoreReuseSpec extends SparkSpec {
     assert(rows(mv.run(spark, sf)) == m1,
       "readback over the re-ingested store diverged")
   }
+
+  test("SessionScopedCache: corpus regenerated in place rebuilds; " +
+    "stopped sessions evict (r12 ADVICE)") {
+    val corpus = java.nio.file.Files.createTempDirectory("ssc_corpus")
+    val table = corpus.resolve("documents.parquet")
+    java.nio.file.Files.writeString(table, "v1")
+    var builds = 0
+    val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cache = new graft.store.SessionScopedCache[String](_ => stopped.get)
+    def get() = cache.getOrBuild(spark, corpus.toString)(_ => true) {
+      builds += 1; s"build$builds"
+    }
+    assert(get() == "build1" && get() == "build1", "plain reuse broke")
+    // regenerate the corpus IN PLACE: same path, new bytes → the old
+    // existence-only check served the stale store here
+    java.nio.file.Files.writeString(table, "v2-regenerated")
+    java.nio.file.Files.setLastModifiedTime(table,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000))
+    assert(get() == "build2", "regenerated corpus served a stale store")
+    assert(cache.size == 1)
+    // a stopped session's entry must not pin the session for the JVM
+    // lifetime: the next access sweeps it
+    stopped.set(true)
+    assert(get() == "build3", "stopped-session entry survived")
+    java.nio.file.Files.deleteIfExists(table)
+    java.nio.file.Files.deleteIfExists(corpus)
+  }
 }
