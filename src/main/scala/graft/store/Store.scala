@@ -619,7 +619,13 @@ object Store {
     * one syscall: a steal landing INSIDE the final rename itself wins
     * the lease but can still see the stale commit; closing that needs
     * token verification inside the filesystem's rename, which POSIX
-    * does not offer.
+    * does not offer. That interleaving is driven DETERMINISTICALLY in
+    * BlockStoreSpec (via [[commitWindowHook]]): the stale copy commits,
+    * the fenced-out runner can never touch the store again, and the new
+    * holder's next ordinary pass replaces the stale copy — bounded,
+    * self-healing damage, which is why a generation-numbered commit
+    * scheme (readers resolve `gen_<epoch>` max) is documented but not
+    * built.
     *
     * `stageSuffix` isolates CONCURRENT fenced swaps of the same dir:
     * the fence only arbitrates the rename pair, so two runners staging
@@ -632,6 +638,17 @@ object Store {
     * A crashed runner's suffixed stage dir is reaped here once it is
     * older than [[StageGraceMs]] (same corpse-vs-live heuristic as
     * [[retention]]). */
+  /** Test seam for the IRREDUCIBLE fencing window: runs after the final
+    * fence re-check and immediately before the commit rename — the one
+    * place a lease steal can land and still be overwritten by this
+    * runner's (now stale) staged copy. Production never assigns it; the
+    * deterministic-interleaving test in BlockStoreSpec drives a steal
+    * here and pins the documented outcome (stale copy commits, the new
+    * holder's next maintenance pass self-heals). Kept a plain var, not
+    * a parameter: the window is an implementation residue, not caller
+    * surface. */
+  private[graft] var commitWindowHook: () => Unit = () => ()
+
   def swapDirectoryFenced(path: String, dirName: String,
                           fence: () => Unit,
                           stageSuffix: String = "")(
@@ -686,7 +703,7 @@ object Store {
         // which is the irreducible gap of fencing-by-check (closing it
         // needs the filesystem to verify the token inside rename
         // itself); the window is one rename, not a staging pass.
-        try { fence(); Files.move(Paths.get(tmp), target) }
+        try { fence(); commitWindowHook(); Files.move(Paths.get(tmp), target) }
         catch {
           case e: Exception =>
             Files.move(old, target) // roll back to the previous copy

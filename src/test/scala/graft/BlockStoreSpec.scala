@@ -594,4 +594,87 @@ class BlockStoreSpec extends SparkSpec {
     }
     assert(residue.isEmpty, s"rename-pair residue left behind: $residue")
   }
+
+  test("the IRREDUCIBLE window, driven deterministically: a steal " +
+    "landing between the final fence re-check and the commit rename " +
+    "commits the stale copy, and the new holder's next pass self-heals") {
+    // the one interleaving fencing-by-check cannot close (the scaladoc's
+    // documented residue at Store.swapDirectoryFenced): runner A passes
+    // BOTH fence checks, then — inside the single-syscall window before
+    // its commit rename — runner B steals the (expired) lease. A's
+    // stale staged copy goes live over a store B now owns. The claim
+    // this test pins: the damage is BOUNDED — A is fenced out of all
+    // future work, and B's next ordinary maintenance pass overwrites
+    // the stale copy, with no residue dirs at any point.
+    import java.nio.file.{Files, Paths}
+    val partials = tmpDir("bs-irreducible") + "/store"
+    writeBlock(partials, 0L, Seq(1L, 2L))
+    val root = Paths.get(partials).toAbsolutePath
+    val parent = root.getParent
+    val dirName = s"${root.getFileName}"
+    Files.createDirectories(root)
+    Files.writeString(root.resolve("live.txt"), "v0\n")
+
+    // A's lease expires almost immediately — the steal inside the
+    // window below is a LEGITIMATE steal, not a forced file rewrite
+    val a = BlockStore.acquireMaintenanceLease(partials, ttlMs = 1L)
+    var b: BlockStore.MaintenanceLease = null
+    Store.commitWindowHook = () => {
+      Thread.sleep(5L) // a's 1 ms deadline is safely past
+      b = BlockStore.acquireMaintenanceLease(partials)
+      assert(b.epoch > a.epoch,
+        s"steal did not advance the fencing epoch: ${b.epoch} vs ${a.epoch}")
+    }
+    try {
+      // A's swap RUNS TO COMPLETION — both fence checks passed before
+      // the steal landed, so nothing aborts it
+      Store.swapDirectoryFenced(parent.toString, dirName,
+        () => a.check(), stageSuffix = s"_${a.owner}") { tmp =>
+        Files.createDirectories(Paths.get(tmp))
+        Files.writeString(Paths.get(tmp, "stale.txt"), "A-STALE\n")
+      }
+    } finally Store.commitWindowHook = () => ()
+
+    // the documented outcome: the stale copy IS live (this is the
+    // residue — if this assertion ever fails, the window got closed and
+    // the scaladoc should say so instead)
+    assert(Files.exists(root.resolve("stale.txt")) &&
+      !Files.exists(root.resolve("live.txt")),
+      "expected the stale commit to land — the documented residue")
+
+    // bounded, part 1: A is fenced out of everything after the window —
+    // its next fenced attempt aborts before touching the store
+    val e = intercept[IllegalStateException] {
+      Store.swapDirectoryFenced(parent.toString, dirName,
+        () => a.check(), stageSuffix = s"_${a.owner}") { tmp =>
+        Files.createDirectories(Paths.get(tmp))
+        Files.writeString(Paths.get(tmp, "again.txt"), "A-AGAIN\n")
+      }
+    }
+    assert(e.getMessage.contains("maintenance lease lost"))
+    assert(Files.exists(root.resolve("stale.txt")),
+      "the fenced-out retry still mutated the store")
+
+    // bounded, part 2: B's next ORDINARY pass self-heals — the stale
+    // copy is replaced wholesale by the swap discipline itself
+    Store.swapDirectoryFenced(parent.toString, dirName,
+      () => b.check(), stageSuffix = s"_${b.owner}") { tmp =>
+      Files.createDirectories(Paths.get(tmp))
+      Files.writeString(Paths.get(tmp, "healed.txt"), "B\n")
+    }
+    assert(Files.exists(root.resolve("healed.txt")) &&
+      !Files.exists(root.resolve("stale.txt")),
+      "the new holder's pass did not replace the stale commit")
+    val residue = {
+      val s = Files.list(parent)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith(".old_") || n.startsWith(".stage_"))
+          .toList
+      } finally s.close()
+    }
+    assert(residue.isEmpty, s"residue dirs left behind: $residue")
+    b.release()
+  }
 }
