@@ -1332,6 +1332,16 @@ object TradeQueries {
       |              ELSE value END AS value
       |  FROM raw
       |),
+      |-- malformed envelopes are nulled INSIDE the projection (a WHERE
+      |-- json_valid gives no evaluation-order guarantee: at sf0.1 DuckDB
+      |-- ran json_extract before the filter and errored on the truncated
+      |-- row); json_extract(NULL, ...) is NULL, so these rows fall out
+      |-- via the ts IS NOT NULL gate exactly like Spark's PERMISSIVE
+      |-- null struct
+      |j AS (
+      |  SELECT CASE WHEN json_valid(value) THEN value END AS value
+      |  FROM staged
+      |),
       |dec AS (
       |  SELECT coalesce(json_extract_string(value, '$.data.s'), '') AS symbol,
       |         coalesce(CAST(json_extract(value, '$.data.t') AS BIGINT), 0) AS trade_id,
@@ -1340,8 +1350,7 @@ object TradeQueries {
       |         epoch_ms(CAST(json_extract(value, '$.data.T') AS BIGINT)) AS ts,
       |         CASE WHEN coalesce(CAST(json_extract(value, '$.data.m') AS BOOLEAN), false)
       |              THEN 1 ELSE 0 END AS is_buyer_maker
-      |  FROM staged
-      |  WHERE json_valid(value)
+      |  FROM j
       |)
       |SELECT * FROM dec
       |WHERE ts IS NOT NULL
