@@ -44,6 +44,21 @@ object Ops {
     * (shortest-repr) vs DuckDB (full binary expansion). */
   val Money: DecimalType = DecimalType(18, 6)
 
+  /** Narrow 2-dp money casts for the star-join hot path. The general
+    * [[Money]] product is (18,6)×(18,6) → decimal(37,12): every per-row
+    * product leaves Spark's compact-Long Decimal representation (unscaled
+    * value no longer fits a Long), so the aggregation buffer degrades to
+    * java.math.BigDecimal adds for the whole fact scan. These casts keep
+    * the product at (17,4) and the running sum's unscaled value inside a
+    * Long (fast add path) for totals up to ~9e14. VALUE-identical to the
+    * [[Money]] spelling whenever both inputs are exactly representable at
+    * 2 dp (decimal arithmetic is exact at any precision that fits —
+    * OpsSpec pins the equality, and the DuckDB oracle keeps DECIMAL(18,6)
+    * and still hash-matches); that is the corpus money contract
+    * (prices/discounts generated at 2 dp, price < 1e10). */
+  val MoneyCents: DecimalType = DecimalType(12, 2)
+  val MoneyFactor: DecimalType = DecimalType(4, 2)
+
   /** Exact, order-insensitive `sum(a * b)` over double columns holding
     * few-dp decimal values (prices, quantities, discounts). The multiply
     * happens in decimal so no per-row double rounding can drift from the
@@ -72,6 +87,16 @@ object Ops {
     * double bit-identical to the unsplit formulation. */
   def dsumProdPartial(a: Column, b: Column): Column =
     sum(a.cast(Money) * b.cast(Money))
+
+  /** [[dsumProdPartial]] restricted to exact-2-dp inputs — see
+    * [[MoneyCents]] for the fast-path argument and the exactness bound.
+    * Same downstream [[decFinal]]. */
+  def dsumProdPartialCents(a: Column, b: Column): Column =
+    sum(a.cast(MoneyCents) * b.cast(MoneyFactor))
+
+  /** Single-stage [[dsumProd]] on the [[MoneyCents]] fast path. */
+  def dsumProdCents(a: Column, b: Column): Column =
+    decToDouble(sum(a.cast(MoneyCents) * b.cast(MoneyFactor)))
 
   /** Partial stage of [[dsum]] for re-aggregation across stages: keeps
     * the EXACT decimal so the final merge never re-quantizes a double

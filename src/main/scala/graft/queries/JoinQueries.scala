@@ -36,7 +36,12 @@ object JoinQueries {
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(
-        Ops.dsumProdPartial(col("l_extendedprice"),
+        // cents fast path: price and (1 - discount) are exact 2-dp
+        // values, so the narrow casts are value-identical (OpsSpec) and
+        // keep the 60 M-row multiply+sum on compact Longs (r13: the
+        // (18,6) spelling's (37,12) products forced BigDecimal adds
+        // across the whole fact scan)
+        Ops.dsumProdPartialCents(col("l_extendedprice"),
           lit(1.0) - col("l_discount")).as("_rev"),
         count(lit(1)).as("_n"))
 

@@ -121,6 +121,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cents fast path == general Money spelling on exact-2-dp inputs") {
+    // the narrow (12,2)×(4,2) casts must be VALUE-identical to the
+    // (18,6)×(18,6) spelling whenever inputs are exact 2-dp money —
+    // including doubles that are epsilon away from their 2-dp value
+    // (every 2-dp non-dyadic double is), negatives, and magnitudes up
+    // to the TPC-H price range
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(4000)((
+      math.round((rnd.nextDouble() - 0.3) * 1e7) / 100.0, // price ±1e5, 2 dp
+      1.0 - math.round(rnd.nextDouble() * 10.0) / 100.0   // 1 - discount grid
+    ))
+    val df = rows.toDF("a", "b").repartition(7)
+    val out = df.agg(
+      Ops.dsumProd(col("a"), col("b")).as("general"),
+      Ops.dsumProdCents(col("a"), col("b")).as("cents"))
+    val r = out.collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1),
+      s"cents path drifted: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    // split partial+final equals the single-stage spelling too
+    val split = df.groupBy((col("a") > 0).as("g"))
+      .agg(Ops.dsumProdPartialCents(col("a"), col("b")).as("p"))
+      .agg(Ops.decFinal(col("p")).as("v")).collect()(0).getDouble(0)
+    assert(split == r.getDouble(0),
+      s"split cents path drifted: $split vs ${r.getDouble(0)}")
+  }
+
   test("sumFloat0 is 0 on an empty match set — CH sum semantics") {
     val df = Seq(1.5, -2.5).toDF("x")
     val out = df.agg(
