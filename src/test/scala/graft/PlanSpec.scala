@@ -14,6 +14,13 @@ class PlanSpec extends SparkSpec {
     q.run(spark, sf).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** Number of parquet scans, counted from the formatted plan's detail
+    * headers (`(n) Scan parquet`) — the tree section repeats each node,
+    * so a raw substring count double-counts. */
+  private def scanCount(p: String): Int =
+    p.linesIterator.count(l =>
+      l.startsWith("(") && l.contains(") Scan parquet"))
+
   test("windowed trade queries push the ts range down to the scan") {
     Seq(TradeQueries.ohlcv1m, TradeQueries.topSymbols,
       TradeQueries.candleMerge, TradeQueries.countAll).foreach { q =>
@@ -482,5 +489,28 @@ class PlanSpec extends SparkSpec {
     val executed = df.queryExecution.executedPlan.toString
     assert(executed.contains("ReusedExchange"),
       s"retention did not reuse the per-user exchange:\n$executed")
+  }
+
+  test("ingest decode is one scan, zero joins: generate → from_json → " +
+    "project, all map-side until the output sort") {
+    val p = plan(TradeQueries.ingestDecode)
+    assert(scanCount(p) == 1, s"expected exactly one scan:\n$p")
+    assert(!p.contains("Join"), s"decode planned a join:\n$p")
+    assert(p.contains("from_json"), "the real from_json decode is gone")
+    // the ONLY exchange is the final presentation sort's range
+    // partitioning — decode itself never shuffles (at 100 TB this runs
+    // as a pure map stage over the wire batches)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, // rangepartitioning + AQE read, nothing else
+      s"decode shuffled beyond the output sort ($exchanges exchanges):\n$p")
+  }
+
+  test("media decode stats: ONE corpus scan feeds the typed codec " +
+    "pipeline; source rides through, no join back to documents") {
+    val p = plan(graft.queries.MediaQueries.decodeStats)
+    assert(scanCount(p) == 1, s"expected exactly one scan:\n$p")
+    assert(!p.contains("Join"), s"metadata aggregation joined back:\n$p")
+    assert(p.contains("MapPartitions"),
+      "the per-partition codec stage is gone")
   }
 }
