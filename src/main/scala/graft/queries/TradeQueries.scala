@@ -1395,6 +1395,10 @@ object TradeQueries {
       .select(when(col("k") === 8,
         expr("substr(value, 1, length(value) - 5)")).otherwise(col("value"))
         .as("value"))
+    // the presentation sort's range sampling re-reads the decode chain;
+    // a localCheckpoint before it measured only 23.5 → 21.4 s at 100×
+    // (the parse, not the sampling, is the wall) and truncates the
+    // lineage the PlanSpec pin inspects — not kept.
     graft.streaming.TradeIngest.normalize(raw)
       .orderBy("trade_id", "symbol", "ts")
   }
