@@ -70,8 +70,14 @@ object TradeIngest {
       .select(
         coalesce(col("w_sym"), lit("")).as("symbol"),
         coalesce(col("w_tid"), lit(0L)).as("trade_id"),
-        coalesce(col("w_price").cast("double"), lit(0.0)).as("price"),
-        coalesce(col("w_qty").cast("double"), lit(0.0)).as("qty"),
+        // try_cast, NOT cast: under ANSI (the Spark 4 default) a plain
+        // cast THROWS on a malformed numeric string — one garbage price
+        // on the wire would kill the whole ingest stream, the exact
+        // failure mode the reference's float(...) has. A bad field
+        // degrades to the same default a missing field gets; the row
+        // (and its good event time) survives.
+        coalesce(expr("try_cast(w_price AS DOUBLE)"), lit(0.0)).as("price"),
+        coalesce(expr("try_cast(w_qty AS DOUBLE)"), lit(0.0)).as("qty"),
         timestamp_millis(col("w_tms")).as("ts"),
         when(coalesce(col("w_maker"), lit(false)), 1).otherwise(0)
           .as("is_buyer_maker"))

@@ -41,6 +41,33 @@ class StreamingSpec extends SparkSpec {
     assert(defaulted.getAs[Int]("is_buyer_maker") == 0)
   }
 
+  test("normalize wire edges: unknown fields, unicode escapes, bad " +
+    "numerics, string-typed T") {
+    val raw = Seq(
+      // unknown fields at both levels are ignored, not errors
+      """{"stream":"x","junk":1,"data":{"s":"ETHUSDT","t":1,"p":"5","q":"1",""" +
+        """"T":1700000000000,"m":false,"e":"trade","X":[1,2]}}""",
+      // unicode escape in a string field decodes (the generator-based
+      // oracle can't produce this row; the JSON spec edge lives here)
+      """{"data":{"s":"BTCÜSDT","t":2,"p":"1","q":"1","T":1700000000001}}""",
+      // non-numeric price string → cast null → reference default 0.0.
+      // (DEVIATION, deliberate: the reference's float("abc") would
+      // throw and kill its message loop; a robust ingest defaults the
+      // field and keeps the row — the event time is still good.)
+      """{"data":{"s":"S","t":3,"p":"abc","q":"0.5","T":1700000000002}}""",
+      // T as a JSON STRING, not a number: strict typed decode nulls the
+      // field → no event time → dropped (same as missing T)
+      """{"data":{"s":"S","t":4,"p":"1","q":"1","T":"1700000000003"}}"""
+    ).toDF("value")
+    val rows = TradeIngest.normalize(raw).orderBy("trade_id").collect()
+    assert(rows.map(_.getAs[Long]("trade_id")).toSeq == Seq(1L, 2L, 3L),
+      "unexpected survivor set")
+    assert(rows(0).getAs[Int]("is_buyer_maker") == 0) // explicit false
+    assert(rows(1).getAs[String]("symbol") == "BTCÜSDT")
+    assert(rows(2).getAs[Double]("price") == 0.0 &&
+      rows(2).getAs[Double]("qty") == 0.5)
+  }
+
   test("ingest sink round trip: stream of envelopes → parquet trades") {
     val src = tmpDir("ingest-src")
     val out = tmpDir("ingest-out")
