@@ -130,6 +130,13 @@ object Media {
         ImageIO.setUseCache(false)
         val expect = bmpFrameLen
         rows.map { case (docId, source, nf) =>
+          // framePixel's (0,0) key packing (dk << 16) | (fi << 8) is
+          // injective only for fi <= 255 (text <= 16,320 chars); past
+          // that the frame-dedup premise and the oracle's g=fi luma
+          // prediction both break SILENTLY. Fail loudly instead.
+          require(nf <= 256,
+            s"doc $docId wants $nf frames; frame_idx must fit one byte " +
+              "(<= 256 frames) for the (dk, fi) pixel-key packing")
           val dk = videoDupKey(docId)
           val bos = new ByteArrayOutputStream(nf * expect)
           var fi = 0

@@ -1361,7 +1361,7 @@ object TradeQueries {
       |)
       |SELECT * FROM dec
       |WHERE ts IS NOT NULL
-      |ORDER BY trade_id, symbol, ts""".stripMargin) { (s, d) =>
+      |ORDER BY trade_id, symbol, ts, price, qty""".stripMargin) { (s, d) =>
     val key = col("o_orderkey")
     val k = pmod(key, lit(9))
     val sym = element_at(
@@ -1406,8 +1406,17 @@ object TradeQueries {
     // a localCheckpoint before it measured only 23.5 → 21.4 s at 100×
     // (the parse, not the sampling, is the wall) and truncates the
     // lineage the PlanSpec pin inspects — not kept.
+    //
+    // (trade_id, symbol, ts) is NOT a total order here: every k=3 row
+    // (missing 't') shares trade_id=0, and at the scaled corpora the
+    // 10 M copy stride aliases the 2678400-second ts modulus, leaving
+    // ~10^5 groups of sort-key ties with differing price/qty. price
+    // then qty breaks them deterministically in both engines (exact
+    // decimal strings parse to identical IEEE doubles), and any
+    // residual tie is a full-row duplicate: price ties force
+    // k0≡ mod 100 hence equal parity, so is_buyer_maker ties too.
     graft.streaming.TradeIngest.normalize(raw)
-      .orderBy("trade_id", "symbol", "ts")
+      .orderBy("trade_id", "symbol", "ts", "price", "qty")
   }
 
   val all: Seq[NamedQuery] = Seq(

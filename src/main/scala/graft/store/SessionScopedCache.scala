@@ -18,9 +18,16 @@ import org.apache.spark.sql.SparkSession
   *  - REGENERATED CORPUS: the old caches re-checked only that the BUILT
   *    store still existed; a corpus directory regenerated IN PLACE
   *    within one session would keep serving the stale store. Each entry
-  *    records a cheap corpus fingerprint (max mtime over the corpus dir
-  *    and its direct children — ≤ a dozen stats) taken when the build
-  *    started; a fingerprint drift is a rebuild.
+  *    records a corpus fingerprint taken when the build started — a
+  *    hash of the FULL recursive listing, (relative path, size, mtime)
+  *    per entry — so a drift anywhere under the corpus dir is a
+  *    rebuild. Recursive + size-aware (r13 ADVICE) because the old
+  *    max-mtime-over-direct-children stamp missed two real cases: an
+  *    in-place rewrite below depth 1 (e.g. inside a `month=` partition
+  *    dir that keeps its entry set), and a timestamp-preserving
+  *    regeneration (`cp -p` / `rsync -t`) where only sizes and the
+  *    name set move. Cost stays one `Files.walk` over ≤ dozens of
+  *    entries for the corpus layouts this repo reads.
   *
   * Validity of the built artifact itself (e.g. the scratch sweep or
   * `sbt clean` removing the store out from under a long session) stays
@@ -38,16 +45,34 @@ final class SessionScopedCache[V] private[graft] (
   private val entries =
     new ConcurrentHashMap[(SparkSession, String), (Long, V)]()
 
-  private def corpusStamp(dir: String): Long = {
+  private[graft] def corpusStamp(dir: String): Long = {
     import java.nio.file.{Files, Paths}
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) return -1L
-    var mx = Files.getLastModifiedTime(p).toMillis
-    val children = Files.list(p)
-    try children.forEach { c =>
-      mx = math.max(mx, Files.getLastModifiedTime(c).toMillis)
-    } finally children.close()
-    mx
+    val lines = new scala.collection.mutable.ArrayBuffer[String]()
+    val walk = Files.walk(p)
+    try walk.forEach { c =>
+      // a file deleted between listing and stat (regeneration racing
+      // the stamp) just drops out; the completed regeneration moves
+      // the listing, so the next access still sees a drifted stamp
+      try {
+        val sz = if (Files.isRegularFile(c)) Files.size(c) else -1L
+        lines += s"${p.relativize(c)}|$sz|${Files.getLastModifiedTime(c).toMillis}"
+      } catch { case _: java.io.IOException => () }
+    } finally walk.close()
+    // order-independent of walk traversal, sensitive to every entry:
+    // FNV-1a over the sorted listing
+    var h = 0xcbf29ce484222325L
+    lines.sorted.foreach { s =>
+      var i = 0
+      while (i < s.length) {
+        h ^= s.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h ^= 0x1eL; h *= 0x100000001b3L // entry separator
+    }
+    h
   }
 
   def getOrBuild(s: SparkSession, dir: String)(valid: V => Boolean)(

@@ -84,4 +84,50 @@ class StoreReuseSpec extends SparkSpec {
     java.nio.file.Files.deleteIfExists(table)
     java.nio.file.Files.deleteIfExists(corpus)
   }
+
+  test("SessionScopedCache fingerprint: nested in-place rewrites and " +
+    "timestamp-preserving regeneration both drift the stamp (r13 ADVICE)") {
+    import java.nio.file.{Files, attribute}
+    val corpus = Files.createTempDirectory("ssc_deep")
+    // partitioned-table layout: the mutation happens TWO levels down,
+    // without changing the table dir's entry set — exactly the case
+    // the old direct-children max-mtime stamp could not see
+    val part = Files.createDirectories(
+      corpus.resolve("events.parquet").resolve("month=202401"))
+    val leaf = part.resolve("part-0000.parquet")
+    Files.writeString(leaf, "v1")
+    val pin = attribute.FileTime.fromMillis(1700000000000L)
+    // pin EVERY mtime in the tree so only the content of the stamp
+    // (not wall-clock side effects of the writes) drives the test
+    def pinAll(): Unit = {
+      val w = Files.walk(corpus)
+      try w.forEach(p => Files.setLastModifiedTime(p, pin))
+      finally w.close()
+    }
+    pinAll()
+    var builds = 0
+    val cache = new graft.store.SessionScopedCache[String](_ => false)
+    def get() = cache.getOrBuild(spark, corpus.toString)(_ => true) {
+      builds += 1; s"build$builds"
+    }
+    assert(get() == "build1" && get() == "build1", "plain reuse broke")
+    // (a) nested rewrite, mtime moved, entry set unchanged
+    Files.writeString(leaf, "v2")
+    Files.setLastModifiedTime(leaf,
+      attribute.FileTime.fromMillis(1700000000001L))
+    assert(get() == "build2", "nested in-place rewrite served stale")
+    // (b) timestamp-PRESERVING regeneration (cp -p / rsync -t): every
+    // mtime pinned back, but the leaf's size moved
+    Files.writeString(leaf, "v3-bigger-payload")
+    pinAll()
+    assert(get() == "build3",
+      "timestamp-preserving regeneration served stale")
+    // (c) same size + same mtimes + same names ⇒ stamp equal ⇒ hit:
+    // the documented residual blind spot is content-only drift, which
+    // no stat-based stamp can see
+    Files.writeString(leaf, "v4-bigger-payloaX")
+    pinAll()
+    assert(get() == "build3", "stat-identical rewrite should still hit")
+    graft.store.Store.deleteRecursively(corpus)
+  }
 }
