@@ -20,9 +20,12 @@ object ShuffleBytes {
     val sfDir = args(0)
     val names = args.drop(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // diagnostic knob: oversubscribe reduce partitions relative to the
+    // bench harness's cores=partitions default, to attribute spill
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -31,12 +34,16 @@ object ShuffleBytes {
 
     val bytes = new LongAdder
     val rows = new LongAdder
+    val spillMem = new LongAdder
+    val spillDisk = new LongAdder
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val m = e.stageInfo.taskMetrics
         if (m != null) {
           bytes.add(m.shuffleWriteMetrics.bytesWritten)
           rows.add(m.shuffleWriteMetrics.recordsWritten)
+          spillMem.add(m.memoryBytesSpilled)
+          spillDisk.add(m.diskBytesSpilled)
         }
       }
     })
@@ -50,7 +57,7 @@ object ShuffleBytes {
       // reset/readout is fine for a diagnostic (stage events land well
       // inside it once the blocking action returned)
       Thread.sleep(1000)
-      bytes.reset(); rows.reset()
+      bytes.reset(); rows.reset(); spillMem.reset(); spillDisk.reset()
       val t0 = System.nanoTime()
       byName(n).run(spark, sfDir).write.mode("overwrite").format("noop").save()
       // wall stops HERE — the listener-drain sleep below is harness
@@ -61,6 +68,8 @@ object ShuffleBytes {
       val mb = bytes.sum / 1e6
       println("SHUFFLE {\"query\":\"" + n + "\"," +
         f"""\"shuffle_mb\":$mb%.2f,\"shuffle_rows\":${rows.sum},""" +
+        f"""\"spill_mem_mb\":${spillMem.sum / 1e6}%.1f,""" +
+        f"""\"spill_disk_mb\":${spillDisk.sum / 1e6}%.1f,""" +
         f"""\"wall_sec\":$wall%.2f}""")
     }
     spark.stop()

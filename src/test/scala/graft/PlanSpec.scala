@@ -43,6 +43,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cartesian product in star plan")
   }
 
+  test("co-bucketed star layout removes the pre-agg exchange the flat " +
+    "layout pays (r14 layout experiment)") {
+    // flat: groupBy(l_orderkey) over corpus parquet must shuffle the
+    // fact-side partials
+    val flat = plan(JoinQueries.revenueRegionMonth)
+    assert(flat.contains("hashpartitioning(l_orderkey"),
+      "flat star lost its pre-agg exchange — the A/B contrast is gone")
+    // bucketed: the scan itself delivers the pre-agg's required
+    // distribution, so no exchange may touch the order key on either
+    // side of the first join
+    val bkt = plan(JoinQueries.revenueRegionMonthBucketed)
+    assert(!bkt.contains("hashpartitioning(l_orderkey"),
+      s"bucketed star still exchanges the fact pre-agg:\n$bkt")
+    assert(!bkt.contains("hashpartitioning(o_orderkey"),
+      s"bucketed star still exchanges the orders side:\n$bkt")
+    assert(bkt.contains("graft_bkt_lineitem"),
+      "bucketed star is not reading the bucketed layout")
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
     Seq(TradeQueries.latest10, TradeQueries.topSymbols,
       JoinQueries.topSuppliers).foreach { q =>
