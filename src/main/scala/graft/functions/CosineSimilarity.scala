@@ -181,6 +181,16 @@ object GraftFunctions {
     NormalizeText(children.head)
   }
 
+  private val parseEnvelopeInfo = new ExpressionInfo(
+    classOf[ParseTradeEnvelope].getName, "graft_parse_envelope")
+
+  private val parseEnvelopeBuilder: Seq[Expression] => Expression = {
+    children =>
+      require(children.length == 1,
+        s"graft_parse_envelope expects 1 argument, got ${children.length}")
+      ParseTradeEnvelope(children.head)
+  }
+
   private val pqScoreInfo = new ExpressionInfo(
     classOf[PqScore].getName, "graft_pq_score")
 
@@ -277,6 +287,8 @@ object GraftFunctions {
     (FunctionIdentifier("graft_zorder"), zorderInfo, zorderBuilder),
     (FunctionIdentifier("graft_hamming"), hammingInfo, hammingBuilder),
     (FunctionIdentifier("graft_normalize"), normalizeInfo, normalizeBuilder),
+    (FunctionIdentifier("graft_parse_envelope"),
+      parseEnvelopeInfo, parseEnvelopeBuilder),
     (FunctionIdentifier("graft_pq_score"), pqScoreInfo, pqScoreBuilder),
     (FunctionIdentifier("graft_pq_norm"), pqNormInfo, pqNormBuilder))
 

@@ -32,14 +32,9 @@ object TradeIngest {
     * — never schema inference (SURVEY.md §1.2). */
   val envelopeSchema: StructType = StructType(Seq(
     StructField("stream", StringType),
-    StructField("data", StructType(Seq(
-      StructField("s", StringType),   // symbol
-      StructField("t", LongType),     // trade id
-      StructField("p", StringType),   // price (string on the wire)
-      StructField("q", StringType),   // qty (string on the wire)
-      StructField("T", LongType),     // event time, epoch millis
-      StructField("m", BooleanType)   // buyer-is-maker
-    )))))
+    // the data struct is owned by the fast-path parser so the two
+    // decode paths can never disagree on shape: s/t/p/q/T/m
+    StructField("data", graft.functions.ParseTradeEnvelope.dataSchema)))
 
   /** The normalized trade row produced by ingest — the engine's
     * `crypto.trades` schema (reference: sql/V1__create_trades_table.sql:3-16)
@@ -60,8 +55,32 @@ object TradeIngest {
     * time are dropped (the reference would insert epoch-0 rows; a null
     * event time is useless downstream and poisons watermarks). */
   def normalize(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    normalizeImpl(raw, valueCol, fastPath = true)
+
+  /** The pre-r14 Jackson-only spelling, kept as the equivalence anchor:
+    * ParseEnvelopeSpec asserts `normalize` ≡ this on every envelope
+    * grammar edge, which is what licenses the fast path at all. */
+  private[graft] def normalizeJacksonOnly(raw: DataFrame,
+      valueCol: String = "value"): DataFrame =
+    normalizeImpl(raw, valueCol, fastPath = false)
+
+  private def normalizeImpl(raw: DataFrame, valueCol: String,
+      fastPath: Boolean): DataFrame = {
+    // the decode column: with the fast path on, the codegen'd
+    // single-scan envelope parser handles the fixed wire shape and
+    // returns null for anything unusual; Coalesce evaluates the
+    // Jackson branch only for those rows (r14: the Jackson tokenizer
+    // was the decode line's wall — ~500 k rows/s/core, 23.5 s at the
+    // 100× corpus)
+    val decoded =
+      if (fastPath) {
+        graft.functions.GraftFunctions.register(raw.sparkSession)
+        coalesce(
+          expr(s"graft_parse_envelope($valueCol)"),
+          from_json(col(valueCol), envelopeSchema).getField("data"))
+      } else from_json(col(valueCol), envelopeSchema).getField("data")
     raw
-      .select(from_json(col(valueCol), envelopeSchema).getField("data").as("d"))
+      .select(decoded.as("d"))
       // `t` (trade id) and `T` (event time) collide under Spark's default
       // case-insensitive field resolution — expand the struct positionally
       // and rename, never reference the fields by name.
@@ -82,6 +101,7 @@ object TradeIngest {
         when(coalesce(col("w_maker"), lit(false)), 1).otherwise(0)
           .as("is_buyer_maker"))
       .where(col("ts").isNotNull)
+  }
 
   /** S1: a live line-delimited source — the socket analogue of the
     * reference's WebSocket subscription (reference:
