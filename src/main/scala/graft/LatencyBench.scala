@@ -44,14 +44,32 @@ object LatencyBench {
     // not to the CPU count (the batch analytics keep 32). Default 8.
     val stateParts = args.lift(2).getOrElse("8")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // r14 experiment knobs against the volume-mode p99 (both default
+    // off so the recorded baseline methodology is unchanged):
+    //  - SPARK_GRAFT_STATE_PROVIDER=rocksdb swaps the HDFS-backed
+    //    state store for RocksDB (changelog checkpointing on, so a
+    //    commit ships the delta, not a full snapshot upload)
+    //  - SPARK_GRAFT_ASYNC_PROGRESS=1 turns on async progress
+    //    tracking (offset/commit-log writes move off the trigger path)
+    val provider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
+    val asyncProgress = sys.env.get("SPARK_GRAFT_ASYNC_PROGRESS")
+      .exists(_ == "1")
+    val builder = SparkSession.builder()
       .appName("graft-latency-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", stateParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider.contains("rocksdb")) {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing" +
+          ".enabled", "true")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val scratch = graft.store.Store.scratchStore("latency")
@@ -99,7 +117,10 @@ object LatencyBench {
       .text(src)
     val q = graft.streaming.CandlePipeline.candleSink(
       graft.streaming.TradeIngest.normalize(raw),
-      sink, chk, trigger = Trigger.AvailableNow())
+      sink, chk, trigger = Trigger.AvailableNow(),
+      extraOptions =
+        if (asyncProgress) Map("asyncProgressTrackingEnabled" -> "true")
+        else Map.empty)
     require(q.awaitTermination(1200000L), "stream did not drain in 20 min")
     spark.streams.removeListener(listener)
 
@@ -110,8 +131,11 @@ object LatencyBench {
     val lat = all.map(_._2)
     val warm = lat.drop(5)
     val sumMs = lat.sum.max(1L)
+    val mode = (if (provider.contains("rocksdb")) "rocksdb" else "hdfs") +
+      (if (asyncProgress) "+async" else "")
     println(
       s"""{"metric":"candle_ingest_batch_latency","sf_dir":"$sfDir",""" +
+      s""""state_mode":"$mode",""" +
       s""""n_batches":${all.size},"rows_total":$totalRows,""" +
       s""""rows_per_batch":${if (all.isEmpty) 0 else totalRows / all.size},""" +
       s""""p50_ms":${pct(lat, 0.50)},"p99_ms":${pct(lat, 0.99)},""" +

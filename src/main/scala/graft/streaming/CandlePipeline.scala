@@ -248,16 +248,21 @@ object CandlePipeline {
   }
 
   /** Start option (a) writing finalized candles to a parquet table. */
+  /** @param extraOptions writer options forwarded verbatim — the seam
+    *   latency experiments use to flip per-query knobs (e.g.
+    *   `asyncProgressTrackingEnabled`) without forking the sink. */
   def candleSink(trades: DataFrame, candlesPath: String,
                  checkpointPath: String,
                  lateness: String = "2 minutes",
-                 trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+                 trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                 extraOptions: Map[String, String] = Map.empty)
       : StreamingQuery =
     watermarkedCandles(trades, lateness).writeStream
       .trigger(trigger)
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
       .option("path", candlesPath)
+      .options(extraOptions)
       .format("parquet")
       .start()
 }
