@@ -181,6 +181,24 @@ object GraftFunctions {
     NormalizeText(children.head)
   }
 
+  private val gramIdsInfo = new ExpressionInfo(
+    classOf[GramIds].getName, "graft_gram_ids")
+
+  private val gramIdsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"graft_gram_ids expects (text, n), got ${children.length}")
+    GramIds(children.head, literalInt("graft_gram_ids", children(1)))
+  }
+
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimhashSig].getName, "graft_simhash")
+
+  private val simhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"graft_simhash expects 1 argument, got ${children.length}")
+    SimhashSig(children.head)
+  }
+
   private val parseEnvelopeInfo = new ExpressionInfo(
     classOf[ParseTradeEnvelope].getName, "graft_parse_envelope")
 
@@ -287,6 +305,8 @@ object GraftFunctions {
     (FunctionIdentifier("graft_zorder"), zorderInfo, zorderBuilder),
     (FunctionIdentifier("graft_hamming"), hammingInfo, hammingBuilder),
     (FunctionIdentifier("graft_normalize"), normalizeInfo, normalizeBuilder),
+    (FunctionIdentifier("graft_gram_ids"), gramIdsInfo, gramIdsBuilder),
+    (FunctionIdentifier("graft_simhash"), simhashInfo, simhashBuilder),
     (FunctionIdentifier("graft_parse_envelope"),
       parseEnvelopeInfo, parseEnvelopeBuilder),
     (FunctionIdentifier("graft_pq_score"), pqScoreInfo, pqScoreBuilder),

@@ -687,14 +687,15 @@ object DocQueries {
   }
 
   /** 32-bit SimHash per document: each token votes ±1 per bit position of
-    * its md5; bit = 1 where the vote sum is positive. Each distinct term
-    * contributes one 32-long vote vector (weighted by term frequency —
-    * the standard tf-weighted formulation), summed elementwise by the
-    * custom [[graft.functions.VectorSum]] aggregate: ONE shuffle carrying
-    * one 32-long array per (map task, doc) instead of the 32×-exploded
-    * two-shuffle built-in route. The oracle keeps the explode+two-level
+    * its md5; bit = 1 where the vote sum is positive (the standard
+    * tf-weighted formulation — a term occurring k times votes k times).
+    * Since r14 the whole signature is the fused map-side
+    * [[graft.functions.SimhashSig]] expression (see
+    * [[simhashFramesOf]]); the oracle keeps the explode+two-level
     * aggregation formulation — an independent derivation of the same
-    * bits. */
+    * bits. ([[graft.functions.VectorSum]], which carried the vote
+    * rollup in the distributed spelling, stays a registered aggregate
+    * of the function surface for vector-shaped accumulation.) */
   /** The (doc_id, simhash) signature pipeline shared by the display
     * query, the hamming pairing query, and the dedup-first variant —
     * one definition per engine, parameterized by the docs source (a SQL
@@ -722,43 +723,35 @@ object DocQueries {
        |  GROUP BY 1
        |)""".stripMargin
 
-  /** Spark side of [[simhashCteDuck]]. Hash DISTINCT (doc, token) pairs
-    * weighted by occurrence count — identical vote sums, but the md5
-    * runs once per distinct term instead of once per token instance
-    * (the dedup-before-expensive-op rule). This shape was re-measured
-    * against two alternatives at the dup-heavy 100× corpus and WINS:
-    * a fully map-side per-doc signature (32 interpreted `aggregate`
-    * passes over the token-hash array: flat at 100×, +20% at sf0.1)
-    * and a per-instance-hash single-exchange variant (32.2 s vs this
-    * shape's 9.5 s at 100× — without the dedup every duplicate clique
-    * member re-pays the hash and the 32-wide vote array). The
-    * (doc_id, tok) exchange this keeps is dedup work the dup-heavy
-    * corpus repays. `h32` is bound to a column BEFORE the transform
-    * lambda so the md5 evaluates once per row, not once per lambda
-    * element; bit pos i of the big-endian first-8-hex-digit word is
-    * bit (31 - i) of the parsed 32-bit value. */
+  /** Spark side of [[simhashCteDuck]] — since r14 the fused codegen'd
+    * [[graft.functions.SimhashSig]] expression: the whole signature is
+    * ONE map-side byte pass per document (tokenize, per-token-instance
+    * MD5 digest straight to its 32-bit word, ±1 votes, 32-char
+    * signature), zero exchanges. Vote sums are additive per token
+    * instance, so this is arithmetic-identical to the distributed
+    * spelling it replaces (hash DISTINCT (doc, token) pairs weighted
+    * by count, exchange on (doc_id, tok), `graft_vec_sum` rollup) —
+    * SimhashSigSpec pins fused ≡ composed per-instance votes, the
+    * `docs_simhash` oracle row hash-gates the end result.
+    *
+    * Measured history of this shape (all at the dup-heavy corpora):
+    * the distributed distinct-(doc, tok) spelling beat a map-side
+    * signature built from 32 INTERPRETED `aggregate` passes (+20% at
+    * sf0.1) and a per-instance-hash single-exchange variant (32.2 s vs
+    * 9.5 s at 100× — per-token interpreted lambda work, not the
+    * hashing, was the wall). The fused NATIVE per-instance pass
+    * removes exactly that interpreted overhead AND the exchange:
+    * r14 A/B in the round notes (sf0.1 `docs_simhash` 0.35 → 0.16 s;
+    * at 100× the signature stage's exchange disappears from the
+    * `docs_simhash_hamming` plan). Bit pos i of the signature is bit
+    * (31 - i) of the token's big-endian first-8-hex-digit word. */
   private[graft] def simhashFrames(s: SparkSession, d: String): DataFrame =
     simhashFramesOf(s, docs(s, d))
 
   private def simhashFramesOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    val tf = docsDf
-      .select(col("doc_id"), explode(expr(tokSpark)).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    val votes = tf
-      .select(col("doc_id"), col("cnt"),
-        expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint)").as("h32"))
-      .select(col("doc_id"), expr(
-        """transform(sequence(0, 31), pos ->
-          |  CASE WHEN shiftright(h32, 31 - pos) % 2 = 1
-          |       THEN cnt ELSE -cnt END)""".stripMargin.replace("\n", " "))
-        .as("v"))
-    votes
-      .groupBy("doc_id")
-      .agg(expr("graft_vec_sum(v)").as("sums"))
-      .select(col("doc_id"),
-        expr("array_join(transform(sums, " +
-          "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')").as("simhash"))
+    docsDf.select(col("doc_id"),
+      expr("graft_simhash(text)").as("simhash"))
   }
 
   /** All docs as the signature source — the default for the plain
@@ -1799,16 +1792,12 @@ object DocQueries {
        |FROM scored
        |ORDER BY mean_c, doc_id
        |LIMIT 20""".stripMargin) { (s, d) =>
-    // hashed-bigram list behind the same lambda barrier as gramsCol:
-    // per-token 52-bit md5 prefixes folded pairwise, so the Generate
-    // emits 8-byte longs directly — no per-bigram string concat + md5
-    val hashedBigrams = expr(
-      s"""element_at(transform(array(transform($tokSpark,
-         |  x -> cast(conv(substr(md5(x), 1, 13), 16, 10) AS bigint))), hs ->
-         |CASE WHEN size(hs) < 2 THEN array()
-         |ELSE transform(sequence(1, size(hs) - 1),
-         |  i -> ${gramFold(j => s"element_at(hs, i + $j)", 2)}) END), 1)"""
-        .stripMargin.replace("\n", " "))
+    // hashed-bigram list = the n=2 width of the fused gram expression
+    // ([[graft.functions.GramIds]], r14 — was the composed nested-
+    // transform spelling): the Generate emits 8-byte longs directly,
+    // no per-bigram string concat + md5, no interpreted lambdas
+    graft.functions.GraftFunctions.register(s)
+    val hashedBigrams = expr("graft_gram_ids(text, 2)")
     val g = docs(s, d)
       .select(col("doc_id"), col("lang"), explode(hashedBigrams).as("g"))
     val counts = g.groupBy("g").agg(count(lit(1)).as("c"))
@@ -2288,13 +2277,22 @@ object DocQueries {
        |                i -> ${gramFold(j => s"t[i + $j]")})
        |         END"""
 
-  private def gramsCol: org.apache.spark.sql.Column = expr(
-    s"""element_at(transform(array(transform($tokSpark,
-       |  x -> cast(conv(substr(md5(x), 1, 13), 16, 10) AS bigint))), hs ->
-       |CASE WHEN size(hs) < $ContamN THEN array()
-       |ELSE transform(sequence(1, size(hs) - ${ContamN - 1}),
-       |  i -> ${gramFold(j => s"element_at(hs, i + $j)")}) END), 1)"""
-      .stripMargin.replace("\n", " "))
+  /** Spark side of [[gramListDuck]] — since r14 the fused codegen'd
+    * [[graft.functions.GramIds]] expression (one byte pass: tokenize,
+    * per-token MD5 digest straight to its 52-bit prefix, rolling
+    * window fold), replacing the composed nested-`transform` spelling.
+    * The composed form paid, per token, an md5 HEX STRING + `substr` +
+    * `conv` base-16 parse, and its window fold ran inside
+    * higher-order functions — CodegenFallback, so the whole gram
+    * subtree evaluated interpreted (this is also what made the
+    * CollapseProject lambda-barrier workaround documented at
+    * [[contamination]] necessary; a single leaf expression has
+    * nothing to inline). GramIdsSpec pins fused ≡ composed on the
+    * tokenizer edge grammar + a seeded random sweep; callers must
+    * register the function surface first. Measured A/B in the
+    * round-14 notes. */
+  private def gramsCol: org.apache.spark.sql.Column =
+    expr(s"graft_gram_ids(text, $ContamN)")
 
   /** [[spanDedup]]'s per-doc-distinct (doc_id, gram) explode — the
     * (doc_id, gram) distinct is PER-DOCUMENT (doc_id is in the key),
@@ -2303,8 +2301,10 @@ object DocQueries {
     * stream just to remove duplicates that all live inside one row's
     * explode. Exposed `private[graft]` for GramFoldSpec's fold-vs-
     * string-window injectivity pin. */
-  private[graft] def spanDedupGramsFor(docsDf: DataFrame): DataFrame =
+  private[graft] def spanDedupGramsFor(docsDf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     docsDf.select(col("doc_id"), explode(array_distinct(gramsCol)).as("gram"))
+  }
 
   /** Train/test contamination check — the eval-integrity operator every
     * training pipeline runs before holding out a test split: a test doc
@@ -2387,17 +2387,18 @@ object DocQueries {
 
   val contamination: NamedQuery = NamedQuery(
     "docs_contamination", contaminationSql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
     val b = expr(splitBucketSpark)
     // trainGrams keeps the global DISTINCT: its (lang, gram) key dedups
     // ACROSS documents, which no per-doc pass can settle; the partial
     // aggregate already dedups map-side before the exchange.
-    // The token array is bound as a LAMBDA variable (`transform(array(
-    // tok), t -> ...)`) rather than a projected alias: CollapseProject
-    // re-inlines a multi-referenced alias into the per-gram lambda here
-    // (measured: `split(trim(text))` appeared 7× in the optimized plan,
-    // re-tokenizing once PER GRAM — 4 s of the query's 6 s wall), and a
-    // lambda binding is the one construct the optimizer can never
-    // inline through. Same hazard shingleFrame documents, stronger fix.
+    // Historical note: the composed gram spelling needed the token
+    // array bound as a LAMBDA variable to stop CollapseProject from
+    // re-inlining it into the per-gram lambda (measured:
+    // `split(trim(text))` appeared 7× in the optimized plan,
+    // re-tokenizing once PER GRAM — 4 s of the query's 6 s wall). The
+    // r14 fused graft_gram_ids leaf has no lambda to inline into;
+    // PlanSpec still pins the no-re-tokenize property.
     val grams = gramsCol
     val split = docs(s, d)
       .select(col("doc_id"), col("lang"), b.as("b"), grams.as("gs"))
