@@ -256,6 +256,27 @@ class PlanSpec extends SparkSpec {
       s"the per-doc-distinct gram explode should be shuffle-free:\n$p")
   }
 
+  test("simhash signature build is pure map-side: fused graft_simhash, " +
+    "zero exchanges, no token explode") {
+    // the r14 fused SimhashSig made the whole signature one codegen'd
+    // byte pass per document; the distributed spelling it replaced
+    // exploded the token stream and exchanged on (doc_id, tok). A
+    // reappearing explode or aggregate here is the 100 TB regression
+    // this pin exists to catch (the exchange was corpus-sized). Same
+    // REPARTITION_BY_NUM allowance as the span-dedup pin above.
+    val p = graft.queries.DocQueries.simhashFrames(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_simhash"),
+      s"signature should come from the fused expression:\n$p")
+    assert(!p.contains("Generate") && !p.contains("HashAggregate"),
+      s"signature build should not explode or aggregate:\n$p")
+    val shuffles = p.linesIterator
+      .filter(_.contains("Exchange"))
+      .filterNot(_.contains("REPARTITION_BY_NUM")).toList
+    assert(shuffles.isEmpty,
+      s"the fused signature build should be shuffle-free:\n$p")
+  }
+
   test("semantic dedup joins on the cluster key, never cartesian") {
     val p = plan(graft.queries.EmbQueries.semanticDedup)
     assert(!p.contains("CartesianProduct"),
