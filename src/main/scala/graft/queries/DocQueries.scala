@@ -42,11 +42,16 @@ object DocQueries {
     * engine, shared by every split-aware query ([[trainSplit]],
     * [[contamination]], [[fuzzyContamination]], [[corpusBuild]]) so a
     * split change can never silently decouple a consumer from the
-    * assignment actually used for training. */
-  private val splitBucketDuck =
-    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) % 10"
-  private val splitBucketSpark =
-    "cast(conv(substr(md5(cast(doc_id AS string)), 1, 2), 16, 10) AS bigint) % 10"
+    * assignment actually used for training. Parameterized over the
+    * keyed column since r14: [[clusterSplit]] buckets the CLUSTER
+    * label through the identical function, so "same id ⇒ same split"
+    * holds across both granularities by construction. */
+  private def bucketDuckOf(c: String) =
+    s"CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 2) AS BIGINT) % 10"
+  private def bucketSparkOf(c: String) =
+    s"cast(conv(substr(md5(cast($c AS string)), 1, 2), 16, 10) AS bigint) % 10"
+  private val splitBucketDuck = bucketDuckOf("doc_id")
+  private val splitBucketSpark = bucketSparkOf("doc_id")
 
   /** The quality stopword lexicon — one list, rendered per engine,
     * shared by [[quality]]/[[qualityQuartiles]] and [[filterFunnel]]'s
@@ -1594,10 +1599,13 @@ object DocQueries {
     * fixpoint independently via a recursive CTE (min reachable id), so
     * the iteration count cannot leak into the result. Output: cluster
     * size histogram + min/max cluster representative. */
-  val dupClusters: NamedQuery = NamedQuery(
-    "docs_dup_clusters",
-    s"""WITH RECURSIVE $gramCteDuck,
-       |pairs AS (
+  /** The near-dup connected-component labeling as a DuckDB CTE chain
+    * (requires `WITH RECURSIVE` and [[gramCteDuck]] in scope): `lab`
+    * maps every doc that HAS an edge to its component's min doc_id.
+    * Shared by [[dupClusters]] and [[clusterSplit]] so both operate on
+    * the same component structure by construction. */
+  private val componentLabDuck: String =
+    s"""pairs AS (
        |  SELECT a.doc_id AS src, b.doc_id AS dst
        |  FROM g a
        |  JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1610,7 +1618,59 @@ object DocQueries {
        |  UNION
        |  SELECT e.src AS id, r.label FROM e JOIN reach r ON e.dst = r.id
        |),
-       |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY 1),
+       |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY 1)"""
+      .stripMargin
+
+  /** Connected-component labels of a rep-level near-dup graph by
+    * iterative min-label propagation — the distributed half of
+    * [[componentLabDuck]], factored out of [[dupClusters]] (r14) so
+    * [[clusterSplit]] shares it. Returns `(id, label)` for every rep
+    * that has at least one edge; reps without edges are absent (their
+    * component is themselves — callers COALESCE). The O(1)-row
+    * convergence probe (monotone label sum) is the only driver-side
+    * data in the loop; a capped-out loop throws rather than returning
+    * a near-answer, because the oracle computes the true fixpoint. */
+  private def repClusterLabels(g: DataFrame): DataFrame = {
+    val pairs = inBucketPairs(g)
+      .join(g.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(g.as("y"), col("y.doc_id") === col("doc_b"))
+      .where(jaccardCol >= ClusterTau)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // materialize the edge set once: every propagation round re-reads
+    // THIS, not the md5/gram lineage (at cluster scale: persist to disk)
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var prevSum = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    val MaxRounds = 50 // >> any near-dup component diameter
+    while (!converged && rounds < MaxRounds) {
+      val prop = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = prop.unionByName(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint() // truncate the per-round lineage
+      val nextSum = labelSum(next)
+      converged = prevSum == nextSum
+      prevSum = nextSum
+      labels = next
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"near-dup label propagation did not converge in $MaxRounds rounds")
+    labels
+  }
+
+  val dupClusters: NamedQuery = NamedQuery(
+    "docs_dup_clusters",
+    s"""WITH RECURSIVE $gramCteDuck,
+       |$componentLabDuck,
        |sizes AS (SELECT cluster, count(*) AS sz FROM lab GROUP BY 1)
        |SELECT CAST(sz AS BIGINT) AS cluster_size,
        |       count(*) AS n_clusters,
@@ -1635,44 +1695,7 @@ object DocQueries {
     // singleton cluster of size m.
     val tg = textGroups(docs(s, d))
     val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
-    val pairs = inBucketPairs(g)
-      .join(g.as("x"), col("x.doc_id") === col("doc_a"))
-      .join(g.as("y"), col("y.doc_id") === col("doc_b"))
-      .where(jaccardCol >= ClusterTau)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    // materialize the edge set once: every propagation round re-reads
-    // THIS, not the md5/gram lineage (at cluster scale: persist to disk)
-    val edges = pairs
-      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    // O(1)-row convergence probe (monotone labels: fixpoint when the
-    // label sum stops falling — the only driver-side data in the loop);
-    // each round computes ONE new sum, the previous carries forward
-    var prevSum = labelSum(labels)
-    var converged = false
-    var rounds = 0
-    val MaxRounds = 50 // >> any near-dup component diameter
-    while (!converged && rounds < MaxRounds) {
-      val prop = edges
-        .join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      val next = prop.unionByName(labels)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint() // truncate the per-round lineage
-      val nextSum = labelSum(next)
-      converged = prevSum == nextSum
-      prevSum = nextSum
-      labels = next
-      rounds += 1
-    }
-    // wrong silently is worse than loud: the oracle computes the true
-    // fixpoint, so a capped-out loop MUST fail, not return a near-answer
-    if (!converged) throw new IllegalStateException(
-      s"docs_dup_clusters: label propagation did not converge in $MaxRounds rounds")
+    val labels = repClusterLabels(g)
     // expand rep-level components back to document counts
     val mult = tg.select(col("rep").as("id"), col("m"))
     val clustered = labels.join(mult, "id").select("label", "m")
@@ -1689,6 +1712,118 @@ object DocQueries {
         min(col("label")).as("min_rep"),
         max(col("label")).as("max_rep"))
       .orderBy("cluster_size")
+  }
+
+  /** Dedup-aware train/val/test split (r14) — the split-integrity
+    * operator a training pipeline runs so near-duplicates never
+    * straddle the eval boundary: hashing each doc_id independently
+    * ([[trainSplit]]'s bucket) puts ~16% of every near-dup cluster's
+    * pairs across the train/test line (2·0.8·0.1 — contamination by
+    * construction, before any gram is compared); bucketing the CLUSTER
+    * label through the SAME md5 function moves whole clusters
+    * together, making cross-split leakage structurally zero while
+    * keeping the expected split fractions. Clusters are
+    * [[dupClusters]]' components (shared [[componentLabDuck]] /
+    * [[repClusterLabels]] machinery); docs outside the near-dup graph
+    * — unique texts, and sub-4-char texts that never gram-profile
+    * (the [[gramProfilesOf]]/[[gramCteDuck]] filter, mirrored here by
+    * keying them on doc_id rather than their text-group rep) — are
+    * their own singleton cluster, so their assignment coincides with
+    * the naive split and only genuine near-dup members can move.
+    *
+    * One summary row, all BIGINT (no float drift): corpus/cluster
+    * counts, the naive split's leaky clusters and cross-split pair
+    * count, test-set sizes under both assignments, docs whose
+    * train/val/test class changes, and the cluster split's own leak
+    * count — zero by construction but ASSERTED IN DATA, not assumed.
+    *
+    * Shape at 100 TB: the heavy piece is the component labeling the
+    * registry already pays in [[dupClusters]] (collapsed rep graph,
+    * bounded edge set); new cost is one full-text group join (the
+    * exact-value spelling — [[textGroups]]' 16-byte hash key is the
+    * width optimization when documents are large), one cluster-keyed
+    * hash aggregate, and a one-row rollup. Nothing is pairwise. */
+  val clusterSplit: NamedQuery = NamedQuery(
+    "docs_cluster_split",
+    s"""WITH RECURSIVE $gramCteDuck,
+       |$componentLabDuck,
+       |cl AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+       |),
+       |sp AS (
+       |  SELECT doc_id, cluster,
+       |         ${bucketDuckOf("doc_id")} AS nb,
+       |         ${bucketDuckOf("cluster")} AS cb
+       |  FROM cl
+       |),
+       |pc AS (
+       |  SELECT cluster,
+       |         count(*) AS n,
+       |         count(CASE WHEN nb < 8 THEN 1 END) AS tr,
+       |         count(CASE WHEN nb = 9 THEN 1 END) AS te,
+       |         count(CASE WHEN cb < 8 THEN 1 END) AS ctr,
+       |         count(CASE WHEN cb = 9 THEN 1 END) AS cte,
+       |         count(CASE WHEN
+       |             (CASE WHEN nb < 8 THEN 0 WHEN nb = 8 THEN 1 ELSE 2 END)
+       |          <> (CASE WHEN cb < 8 THEN 0 WHEN cb = 8 THEN 1 ELSE 2 END)
+       |           THEN 1 END) AS moved
+       |  FROM sp GROUP BY 1
+       |)
+       |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |       count(*) AS n_clusters,
+       |       count(CASE WHEN n >= 2 THEN 1 END) AS n_multi_clusters,
+       |       count(CASE WHEN tr > 0 AND te > 0 THEN 1 END)
+       |         AS naive_leaky_clusters,
+       |       CAST(COALESCE(sum(tr * te), 0) AS BIGINT)
+       |         AS naive_cross_pairs,
+       |       CAST(sum(te) AS BIGINT) AS n_test_naive,
+       |       CAST(sum(cte) AS BIGINT) AS n_test_cluster,
+       |       CAST(sum(moved) AS BIGINT) AS n_docs_moved,
+       |       count(CASE WHEN ctr > 0 AND cte > 0 THEN 1 END)
+       |         AS cluster_leaky_clusters
+       |FROM pc""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val tg = textGroups(dd)
+    val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
+    val labels = repClusterLabels(g)
+    // doc → rep via the canonical group text (exact-value join), then
+    // rep → component label where the rep has edges; COALESCE(rep)
+    // covers edge-less reps exactly like the oracle's LEFT JOIN lab
+    val docRep = dd.select(col("doc_id"), col("text"))
+      .join(tg.select(col("text"), col("rep")), Seq("text"))
+      .select(col("doc_id"),
+        when(char_length(col("text")) < 4, col("doc_id"))
+          .otherwise(col("rep")).as("rep"))
+    val docCluster = docRep
+      .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep")).as("cluster"))
+    val sp = docCluster.select(
+      col("cluster"),
+      expr(bucketSparkOf("doc_id")).as("nb"),
+      expr(bucketSparkOf("cluster")).as("cb"))
+    def cls(c: org.apache.spark.sql.Column) =
+      when(c < 8, 0).when(c === 8, 1).otherwise(2)
+    val pc = sp.groupBy("cluster").agg(
+      count(lit(1)).as("n"),
+      count(when(col("nb") < 8, 1)).as("tr"),
+      count(when(col("nb") === 9, 1)).as("te"),
+      count(when(col("cb") < 8, 1)).as("ctr"),
+      count(when(col("cb") === 9, 1)).as("cte"),
+      count(when(cls(col("nb")) =!= cls(col("cb")), 1)).as("moved"))
+    pc.agg(
+      sum(col("n")).as("n_docs"),
+      count(lit(1)).as("n_clusters"),
+      count(when(col("n") >= 2, 1)).as("n_multi_clusters"),
+      count(when(col("tr") > 0 && col("te") > 0, 1))
+        .as("naive_leaky_clusters"),
+      coalesce(sum(col("tr") * col("te")), lit(0L)).as("naive_cross_pairs"),
+      sum(col("te")).as("n_test_naive"),
+      sum(col("cte")).as("n_test_cluster"),
+      sum(col("moved")).as("n_docs_moved"),
+      count(when(col("ctr") > 0 && col("cte") > 0, 1))
+        .as("cluster_leaky_clusters"))
   }
 
   /** Bigram language-model counts — the n-gram statistics stage of an LM
@@ -3436,6 +3571,7 @@ object DocQueries {
     simhash,
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
+    clusterSplit,
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, contaminationBloom, dedupThenSimhash,

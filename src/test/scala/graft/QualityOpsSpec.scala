@@ -226,6 +226,44 @@ class QualityOpsSpec extends SparkSpec {
     }
   }
 
+  test("cluster split: near-dup clusters never straddle the boundary, " +
+    "and the naive split's leak is counted exactly") {
+    // cluster 1 STRADDLES the naive split by construction: a train-
+    // bucket doc and a test-bucket doc share a text verbatim (an exact
+    // dup is the strongest near-dup). cluster 2 is a genuine GRAPH
+    // near-dup (one same-length token differs at the tail, so the
+    // stride-4 shingle jaccard stays >= 0.9) with both members in
+    // train buckets — it must count as a multi cluster but NOT leak.
+    val trainId = idWithBucket(0)
+    val testId = idWithBucket(9)
+    val t1 = (1 to 50).map(i => f"dup$i%03d").mkString(" ")
+    val t2a = (1 to 100).map(i => f"tok$i%03d").mkString(" ")
+    val t2b = t2a.dropRight(4) + "XXXX"
+    val dir = writeDocs(Seq(
+      (trainId, t1, "aa"),
+      (testId, t1, "aa"),
+      (idWithBucket(0, skip = 1), t2a, "aa"),
+      (idWithBucket(1), t2b, "aa"),
+      (idWithBucket(8), "a lone validation document body", "aa"),
+      (idWithBucket(2), "some other unrelated document text", "aa")))
+    val r = graft.queries.DocQueries.clusterSplit.run(spark, dir).collect()(0)
+    val m = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getLong(m("n_docs")) == 6L)
+    assert(r.getLong(m("n_clusters")) == 4L)
+    assert(r.getLong(m("n_multi_clusters")) == 2L)
+    assert(r.getLong(m("naive_leaky_clusters")) == 1L)
+    assert(r.getLong(m("naive_cross_pairs")) == 1L)
+    assert(r.getLong(m("cluster_leaky_clusters")) == 0L)
+    // cluster 1's label is its min member id; exactly the member whose
+    // naive class differs from the label's class moves. cluster 2's
+    // label buckets train (0 or 1), so neither member moves.
+    def cls(b: Int) = if (b < 8) 0 else if (b == 8) 1 else 2
+    val lbl = math.min(trainId, testId)
+    val expectMoved = Seq(trainId, testId)
+      .count(id => cls(bucket(lbl)) != cls(bucket(id)))
+    assert(r.getLong(m("n_docs_moved")) == expectMoved.toLong)
+  }
+
   test("dedup-then-simhash equals the plain pairing on the pre-deduped corpus") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
