@@ -10,11 +10,13 @@ set -e
 cd /root/repo
 rm -f target/RECAPTURE_DONE target/RECAPTURE_FAILED
 
-# r14 trend subset (29 lines): r13's 27 plus the media line the r13
+# r14 trend subset (30 lines): r13's 27 plus the media line the r13
 # verdict asked for (media_frame_sample — the 30x full-registry worst
 # ratio, pure map-side codec CPU, now proven at the fourth scale
-# point) and the co-bucketed star-join twin (the r14 layout
-# experiment's registered fix).
+# point), the co-bucketed star-join twin (the r14 layout
+# experiment's registered fix), and docs_cluster_split (the r14
+# dedup-aware split operator - rides the dup-cluster component
+# labeling).
 TREND="docs_ngram_jaccard,docs_containment,docs_dedup_then_simhash,\
 emb_ivf_streamed,emb_ivf_streamed_sql,docs_dup_clusters,\
 docs_ingest_dedup_gate,docs_simhash_hamming,docs_span_dedup,\
@@ -24,7 +26,7 @@ trades_price_quantiles,trades_hist_quantiles,trades_ttl_readback,\
 trades_candles_streamed,docs_bpe_encode,emb_lsh_pairs,\
 emb_knn_accuracy,emb_near_dup,docs_normalized_dedup,\
 joins_revenue_region_month,trades_gapfill_asof,trades_ingest_decode,\
-media_frame_sample,joins_revenue_region_month_bucketed"
+media_frame_sample,joins_revenue_region_month_bucketed,docs_cluster_split"
 
 run() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$2" \
