@@ -746,7 +746,8 @@ object DocQueries {
     * 9.5 s at 100× — per-token interpreted lambda work, not the
     * hashing, was the wall). The fused NATIVE per-instance pass
     * removes exactly that interpreted overhead AND the exchange:
-    * r14 A/B in the round notes (sf0.1 `docs_simhash` 0.35 → 0.16 s;
+    * r14 A/B in the round notes (100× `docs_simhash` 3.54 → 0.74 s
+    * warm, and the 280 MB aggregation spill → 0;
     * at 100× the signature stage's exchange disappears from the
     * `docs_simhash_hamming` plan). Bit pos i of the signature is bit
     * (31 - i) of the token's big-endian first-8-hex-digit word. */
