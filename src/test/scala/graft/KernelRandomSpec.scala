@@ -73,4 +73,66 @@ class KernelRandomSpec extends SparkSpec {
       r.getDouble(0) == r.getDouble(1)
     })
   }
+
+  // --- graft_gram_ids / graft_simhash ≡ composed (r14 kernels) ----------
+
+  /** Token-shaped strings biased toward the TOKENIZER's decision points
+    * — the part of the r14 fused kernels with non-obvious semantics
+    * (Java `split("\\s+", -1)` empty-token grammar): whitespace
+    * variants singly and in runs, leading/trailing separators, 0x20
+    * padding the trim strips vs \t it keeps, multi-byte tokens, and
+    * enough plain tokens that 13-windows occur. */
+  private val docGen: Gen[String] = {
+    val atom = Gen.frequency(
+      8 -> Gen.chooseNum(1, 3).flatMap(k =>
+        Gen.listOfN(k, Gen.alphaNumChar).map(_.mkString)),
+      5 -> Gen.const(" "),
+      2 -> Gen.oneOf("\t", "\n", "\r", "\f", ""),
+      1 -> Gen.oneOf("  ", " \t ", "\r\n"),
+      1 -> Gen.oneOf("é", "Ω", "中文", "😀"))
+    Gen.chooseNum(0, 50).flatMap(k => Gen.listOfN(k, atom).map(_.mkString))
+  }
+
+  private def composedGramExpr(n: Int): String = {
+    val fold = (1 until n).foldLeft("element_at(hs, i)") { (acc, j) =>
+      s"(($acc * 1031 + element_at(hs, i + $j)) % ${1L << 52})"
+    }
+    s"""element_at(transform(array(transform(split(trim(text), '\\\\s+'),
+       |  x -> cast(conv(substr(md5(x), 1, 13), 16, 10) AS bigint))), hs ->
+       |CASE WHEN size(hs) < $n THEN array()
+       |ELSE transform(sequence(1, size(hs) - ${n - 1}),
+       |  i -> $fold) END), 1)""".stripMargin.replace("\n", " ")
+  }
+
+  test("property: fused graft_gram_ids ≡ the composed fold, n=2 and n=13") {
+    graft.functions.GraftFunctions.register(spark)
+    for (n <- Seq(2, 13))
+      check(20)(Prop.forAllNoShrink(Gen.listOfN(150, docGen)) { texts =>
+        texts.toDF("text")
+          .select(
+            expr(s"graft_gram_ids(text, $n)").as("fused"),
+            expr(composedGramExpr(n)).as("composed"))
+          .as[(Seq[Long], Seq[Long])].collect()
+          .forall { case (f, c) => f == c }
+      })
+  }
+
+  test("property: fused graft_simhash ≡ the composed per-instance votes") {
+    graft.functions.GraftFunctions.register(spark)
+    val composed =
+      """array_join(transform(sequence(0, 31), pos ->
+        |  CASE WHEN aggregate(split(trim(text), '\\s+'), 0L, (acc, tok) ->
+        |    acc + CASE WHEN shiftright(
+        |        cast(conv(substr(md5(tok), 1, 8), 16, 10) AS bigint),
+        |        31 - pos) % 2 = 1 THEN 1 ELSE -1 END) > 0
+        |  THEN '1' ELSE '0' END), '')""".stripMargin.replace("\n", " ")
+    check(20)(Prop.forAllNoShrink(Gen.listOfN(150, docGen)) { texts =>
+      texts.toDF("text")
+        .select(
+          expr("graft_simhash(text)").as("fused"),
+          expr(composed).as("composed"))
+        .as[(String, String)].collect()
+        .forall { case (f, c) => f == c }
+    })
+  }
 }
