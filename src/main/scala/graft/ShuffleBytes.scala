@@ -23,9 +23,16 @@ object ShuffleBytes {
     // diagnostic knob: oversubscribe reduce partitions relative to the
     // bench harness's cores=partitions default, to attribute spill
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // diagnostic knob: disable broadcast joins (plan-time AND AQE) to
+    // measure the 100 TB dim shape — the test corpora copy dims through
+    // unscaled, so AQE broadcasts them and hides the fact-side exchange
+    // a multi-GB dim would force; "-1" on both thresholds restores it
+    val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST_THRESHOLD", "10MB")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.autoBroadcastJoinThreshold", bcast)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -756,8 +756,15 @@ object DocQueries {
 
   private def simhashFramesOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docsDf.sparkSession)
-    docsDf.select(col("doc_id"),
-      expr("graft_simhash(text)").as("simhash"))
+    // NULL-text docs emit NO signature row — the pre-fusion explode
+    // pipeline (and the oracle's unnest) dropped them implicitly, and
+    // without this filter the fused expression would emit (doc_id,
+    // NULL) rows whose NULL signatures then group together as
+    // hamming-0 pairs in the signature collapse. The fixed corpora
+    // have no NULL text; this pins the semantics for sources that do.
+    docsDf.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("graft_simhash(text)").as("simhash"))
   }
 
   /** All docs as the signature source — the default for the plain
@@ -1284,12 +1291,21 @@ object DocQueries {
     *
     * `textKey` is injectable ONLY so CollapseBoundsSpec can force a
     * collision (a real xxhash64 collision is not craftable); every
-    * production caller uses the default. */
+    * production caller uses the default.
+    *
+    * NULL-text docs form NO group (filtered here, not at each
+    * caller): an all-NULL group would carry an empty `collect_set`
+    * and trip the collision assert, and every downstream consumer —
+    * gram profiling, within-group pairing, the oracle's unnest-based
+    * CTEs — already drops NULL text. Callers that must account for
+    * every document ([[clusterSplit]]) key NULL-text docs on doc_id,
+    * exactly like the sub-4-char texts that never gram-profile. */
   private[graft] def textGroups(
       dd: DataFrame,
       textKey: org.apache.spark.sql.Column = xxhash64(col("text")))
       : DataFrame =
-    dd.groupBy(textKey.as("tkey"), char_length(col("text")).as("tlen"))
+    dd.where(col("text").isNotNull)
+      .groupBy(textKey.as("tkey"), char_length(col("text")).as("tlen"))
       .agg(expr("slice(array_sort(collect_list(doc_id)), 1, 21)").as("ids"),
         min(col("doc_id")).as("rep"), count(lit(1)).as("m"),
         collect_set(col("text")).as("ts"))
@@ -1298,7 +1314,7 @@ object DocQueries {
           concat(lit("textGroups: text-key collision between distinct " +
             "texts in group rep "), col("rep"))).isNull,
           element_at(col("ts"), 1)).as("text"),
-        col("ids"), col("rep"), col("m"))
+        col("ids"), col("rep"), col("m"), col("tkey"), col("tlen"))
       .localCheckpoint()
 
   /** Within-group pairs of a [[textGroups]] frame: every member pair
@@ -1589,11 +1605,11 @@ object DocQueries {
     * real dedup pipeline needs (near-dup is transitive only through
     * chains: A~B, B~C ⇒ one cluster even when A≁C, and keep-one-per-PAIR
     * would over- or under-drop). Connected components over the
-    * ngram-Jaccard near-dup graph via iterative min-label propagation:
-    * each round, every node takes the min label among itself and its
-    * neighbors — a hash join + aggregation per round, converging in
-    * O(graph diameter) rounds (near-dup cliques are shallow; 20 is a hard
-    * safety cap). This is the standard distributed-CC shape: nothing is
+    * ngram-Jaccard near-dup graph via min-label propagation with a
+    * pointer-doubling shortcut each round (see [[repClusterLabels]]),
+    * converging in O(log diameter) rounds — near-dup cliques are
+    * shallow, but an adversarial chain no longer costs its full
+    * diameter in Spark jobs. This is the standard distributed-CC shape: nothing is
     * ever collected driver-side except the 2-value convergence probe, and
     * the edge set is checkpointed so each round re-reads materialized
     * edges, not the md5-heavy gram lineage. The oracle derives the same
@@ -1623,15 +1639,43 @@ object DocQueries {
       .stripMargin
 
   /** Connected-component labels of a rep-level near-dup graph by
-    * iterative min-label propagation — the distributed half of
-    * [[componentLabDuck]], factored out of [[dupClusters]] (r14) so
-    * [[clusterSplit]] shares it. Returns `(id, label)` for every rep
-    * that has at least one edge; reps without edges are absent (their
-    * component is themselves — callers COALESCE). The O(1)-row
-    * convergence probe (monotone label sum) is the only driver-side
-    * data in the loop; a capped-out loop throws rather than returning
-    * a near-answer, because the oracle computes the true fixpoint. */
-  private def repClusterLabels(g: DataFrame): DataFrame = {
+    * min-label propagation WITH POINTER DOUBLING (r15) — the
+    * distributed half of [[componentLabDuck]], factored out of
+    * [[dupClusters]] (r14) so [[clusterSplit]] shares it. Returns
+    * `(id, label)` for every rep that has at least one edge; reps
+    * without edges are absent (their component is themselves —
+    * callers COALESCE). The O(1)-row convergence probe (monotone
+    * label sum) is the only driver-side data in the loop; a
+    * capped-out loop throws rather than returning a near-answer,
+    * because the oracle computes the true fixpoint.
+    *
+    * Each round is (a) one edge-propagation step — every node takes
+    * the min label over its closed neighborhood — followed by (b) one
+    * SHORTCUT step — every node replaces its label by its label's
+    * label (path halving, the pointer-doubling idea behind
+    * large-star/small-star CC à la Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"). Propagation alone needs
+    * O(diameter) rounds (2×diameter Spark jobs — an adversarial
+    * long-chain component at 100 TB pays the full chain); with the
+    * shortcut the reach from the component minimum roughly doubles
+    * per round, so convergence is O(log diameter) — pinned by
+    * CcChainSpec on a constructed diameter-39 path (measured 6 rounds,
+    * asserted ≤10, where plain propagation needs 39+1; the chain is
+    * built from TEXTS through the production bucket/Jaccard rule, not
+    * injected edges). Invariants the fixpoint argument
+    * rests on: label(x) ≤ x always (initial label = id; min includes
+    * self; shortcut moves to label(label(x)) ≤ label(x)), labels are
+    * always ids of same-component nodes, and the per-node label is
+    * monotone non-increasing — so the sum probe converges exactly at
+    * the propagation fixpoint, where labels are constant per
+    * component and therefore the component minimum. Same fixpoint as
+    * the pre-r15 plain propagation: the oracle rows of
+    * `docs_dup_clusters` / `docs_cluster_split` gate it unchanged. */
+  private def repClusterLabels(g: DataFrame): DataFrame =
+    repClusterLabelsWithRounds(g)._1
+
+  private[graft] def repClusterLabelsWithRounds(g: DataFrame)
+      : (DataFrame, Int) = {
     val pairs = inBucketPairs(g)
       .join(g.as("x"), col("x.doc_id") === col("doc_a"))
       .join(g.as("y"), col("y.doc_id") === col("doc_b"))
@@ -1649,14 +1693,30 @@ object DocQueries {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    val MaxRounds = 50 // >> any near-dup component diameter
+    // O(log diameter) with the shortcut step — 50 covers a diameter
+    // beyond 2^50 while remaining the same hard stop the plain
+    // propagation had
+    val MaxRounds = 50
     while (!converged && rounds < MaxRounds) {
       val prop = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val next = prop.unionByName(labels)
+      val once = prop.unionByName(labels)
         .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint() // truncate the per-round lineage
+        .localCheckpoint() // truncate the per-round lineage; also the
+        // self-join below needs distinct attribute lineage on its two
+        // sides (a union-derived frame self-joined trips Catalyst's
+        // constraint rewrite on ambiguous ids)
+      // shortcut (path halving): label ← label's label. Every label
+      // value is itself a node id of the labels frame (initial labels
+      // are ids; both steps only copy existing labels), so the join
+      // always hits — the coalesce is belt-and-braces for the root,
+      // whose label is itself.
+      val next = once.as("a")
+        .join(once.select(col("id").as("lid"), col("label").as("llab"))
+          .as("b"), col("a.label") === col("lid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("llab"), col("a.label")).as("label"))
       val nextSum = labelSum(next)
       converged = prevSum == nextSum
       prevSum = nextSum
@@ -1665,7 +1725,7 @@ object DocQueries {
     }
     if (!converged) throw new IllegalStateException(
       s"near-dup label propagation did not converge in $MaxRounds rounds")
-    labels
+    (labels, rounds)
   }
 
   val dupClusters: NamedQuery = NamedQuery(
@@ -1788,14 +1848,24 @@ object DocQueries {
     val tg = textGroups(dd)
     val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
     val labels = repClusterLabels(g)
-    // doc → rep via the canonical group text (exact-value join), then
-    // rep → component label where the rep has edges; COALESCE(rep)
-    // covers edge-less reps exactly like the oracle's LEFT JOIN lab
-    val docRep = dd.select(col("doc_id"), col("text"))
-      .join(tg.select(col("text"), col("rep")), Seq("text"))
+    // doc → rep on textGroups' 16-byte collision-checked key, NOT the
+    // full text (r15): at 100 TB document sizes the doc→group exchange
+    // ships (hash, length) per row instead of the document bytes —
+    // exchange-width A/B at 30× in COVERAGE.md's round-15 notes.
+    // Collision-safe transitively: every doc's own text
+    // IS in some group with this key, and textGroups' assert_true
+    // guarantees at most one group per key, so the matched group is
+    // the doc's. The join is LEFT so a NULL-text doc (no group, NULL
+    // tlen never matches) keys on doc_id like the sub-4-char texts —
+    // mirroring the oracle's `FROM documents d LEFT JOIN lab`.
+    val docRep = dd.select(col("doc_id"),
+        xxhash64(col("text")).as("tkey"),
+        char_length(col("text")).as("tlen"))
+      .join(tg.select(col("tkey"), col("tlen"), col("rep")),
+        Seq("tkey", "tlen"), "left")
       .select(col("doc_id"),
-        when(char_length(col("text")) < 4, col("doc_id"))
-          .otherwise(col("rep")).as("rep"))
+        when(col("tlen").isNull || col("tlen") < 4 || col("rep").isNull,
+          col("doc_id")).otherwise(col("rep")).as("rep"))
     val docCluster = docRep
       .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
       .select(col("doc_id"),

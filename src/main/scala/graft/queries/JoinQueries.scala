@@ -185,11 +185,7 @@ object JoinQueries {
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
   }
 
-  /** Top-10 suppliers by lineitem revenue — fact ⋈ growing dim (no hint;
-    * AQE broadcasts at small SF, shuffles at scale), then top-k
-    * (`TakeOrderedAndProject`, no full sort). */
-  val topSuppliers: NamedQuery = NamedQuery(
-    "joins_top_suppliers",
+  private val topSuppliersSql: String =
     s"""SELECT s_name,
        |       ${Sql.dsumProd("l_extendedprice", "1 - l_discount")} AS revenue,
        |       count(*) AS n_items
@@ -197,7 +193,15 @@ object JoinQueries {
        |JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY 1
        |ORDER BY revenue DESC, s_name
-       |LIMIT 10""".stripMargin) { (s, d) =>
+       |LIMIT 10""".stripMargin
+
+  /** Top-10 suppliers by lineitem revenue — fact ⋈ growing dim (no hint;
+    * AQE broadcasts at small SF, shuffles at scale), then top-k
+    * (`TakeOrderedAndProject`, no full sort). Layout-agnostic baseline;
+    * the suppkey-bucketed PROJECTION twin is
+    * [[topSuppliersBucketed]] — see the one-sort-key trade note there. */
+  val topSuppliers: NamedQuery = NamedQuery(
+    "joins_top_suppliers", topSuppliersSql) { (s, d) =>
     Tables.lineitem(s, d)
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
@@ -205,6 +209,69 @@ object JoinQueries {
         Ops.dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
           .as("revenue"),
         count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** Cached per (session, corpus dir): the suppkey-bucketed lineitem
+    * PROJECTION for [[topSuppliersBucketed]]. */
+  private val bucketedSupplierCache =
+    new graft.store.SessionScopedCache[String]()
+
+  private def bucketedSupplierFact(s: SparkSession, d: String): String = {
+    val suffix = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d))
+    val liT = s"graft_bkt_lineitem_sup_$suffix"
+    bucketedSupplierCache.getOrBuild(s, d)(t => s.catalog.tableExists(t)) {
+      resetManagedTable(s, liT)
+      graft.store.Store.writeBucketed(
+        Tables.lineitem(s, d)
+          .select("l_suppkey", "l_extendedprice", "l_discount")
+          .repartition(StarBuckets, col("l_suppkey")),
+        liT, "l_suppkey", StarBuckets)
+      liT
+    }
+  }
+
+  /** The same top-suppliers body over a SUPPKEY-bucketed lineitem
+    * projection — the r15 answer to the ONE-SORT-KEY TRADE the r14
+    * star twin could not teach: a fact table buckets on a single key,
+    * so the orderkey layout that collapses the star join's exchange
+    * does nothing for this join (l_suppkey) or for the brand join
+    * (l_partkey). What every warehouse engine does at 100 TB — and
+    * what the reference's engine calls a PROJECTION — is maintain a
+    * second, narrow, differently-clustered copy of the columns a
+    * secondary access path needs: here 3 of lineitem's 16 columns
+    * (~19% of the fact bytes at parquet widths), bucketed on
+    * l_suppkey. Against that layout the per-supplier pre-aggregation
+    * runs exchange-free inside each bucket (the scan's distribution IS
+    * the agg's required distribution) and the only shuffle left is the
+    * |supplier|-sized partial frame — the fact table never crosses the
+    * wire on ANY broadcast decision. The flat spelling is fine while
+    * the dim broadcasts; at real scale supplier is multi-GB, the
+    * broadcast disappears, and the flat join must shuffle the whole
+    * fact on l_suppkey — the no-broadcast ShuffleBytes A/B in
+    * COVERAGE.md's round-15 notes measures exactly that contrast.
+    * Same oracle as [[topSuppliers]], so the layout path is
+    * hash-gated too.
+    *
+    * The pre-agg groups by l_suppkey (exact decimal cent partials —
+    * sum order cannot drift the final double), then joins the dim and
+    * collapses per s_name; bit-identical to the flat sum. */
+  val topSuppliersBucketed: NamedQuery = NamedQuery(
+    "joins_top_suppliers_bucketed", topSuppliersSql) { (s, d) =>
+    val liT = bucketedSupplierFact(s, d)
+    s.table(liT)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        Ops.dsumProdPartialCents(col("l_extendedprice"),
+          lit(1.0) - col("l_discount")).as("_rev"),
+        count(lit(1)).as("_n"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(
+        Ops.decFinal(col("_rev")).as("revenue"),
+        sum(col("_n")).as("n_items"))
       .orderBy(col("revenue").desc, col("s_name"))
       .limit(10)
   }
@@ -412,6 +479,6 @@ object JoinQueries {
 
   val all: Seq[NamedQuery] = Seq(
     revenueRegionMonth, revenueRegionMonthBucketed, topSuppliers,
-    segmentPriority, brandVolume, customersNoOrders, revenueRollup,
-    groupingSets, urgentSemi, anyLeft)
+    topSuppliersBucketed, segmentPriority, brandVolume, customersNoOrders,
+    revenueRollup, groupingSets, urgentSemi, anyLeft)
 }
