@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   * so scale ratios recorded in COVERAGE.md are reproducible across
   * rounds and machines.
   *
-  * Usage: runMain graft.ScaleCorpus <srcSfDir> <outDir> [factor]
+  * Usage: runMain graft.ScaleCorpus <srcSfDir> <outDir> [factor] [clean]
+  * — the optional `clean` flag switches `documents` to the low-dup
+  * recipe of [[scaledCleanDocs]] (all other tables keep the dup recipe).
   */
 object ScaleCorpus {
 
@@ -60,7 +62,39 @@ object ScaleCorpus {
       }: _*)
   }
 
-  def build(spark: SparkSession, src: String, out: String, factor: Int): Unit =
+  /** CLEAN-mode documents (r15): same F-copy id remap, but every copy
+    * past the first rewrites EVERY token with a per-copy suffix
+    * (`tok` → `tokc7`), so copies share no word n-grams, no char-4-gram
+    * profiles, no simhash signatures — the scaled corpus stays
+    * deterministic but has the LOW-DUP gram structure of a production
+    * corpus instead of the dup recipe's F-copy cliques. Copy 0 is
+    * byte-identical to the source, so the base corpus remains a
+    * subset. `n_chars` is recomputed from the rewritten text (suffixes
+    * lengthen tokens). Built to bracket the Bloom-contamination
+    * crossover the dup corpus inverts: with copies' grams disjoint,
+    * train/test gram overlap stays base-sized while distinct train
+    * grams grow ~F×, which is exactly the regime the map-side Bloom
+    * prune exists for (survivors ≈ fpp·|train| + true hits, not ≈
+    * |train|). Other tables keep the dup recipe — the knob isolates
+    * the DOCUMENT gram structure, the one variable the crossover
+    * depends on. */
+  def scaledCleanDocs(df: DataFrame, idCols: Seq[String], factor: Int)
+      : DataFrame = {
+    val cols = df.columns
+    df.withColumn("copy_i", explode(expr(s"sequence(0, ${factor - 1})")))
+      .withColumn("text",
+        when(col("copy_i") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1c"), col("copy_i")))))
+      .withColumn("n_chars", char_length(col("text")))
+      .select(cols.map { c =>
+        if (idCols.contains(c)) (col(c) + col("copy_i") * lit(Stride)).as(c)
+        else col(c)
+      }: _*)
+  }
+
+  def build(spark: SparkSession, src: String, out: String, factor: Int,
+            cleanDocs: Boolean = false): Unit =
     Tables.corpusTables.foreach { t =>
       val base = Tables.table(spark, src, t)
       val df = factIds.get(t) match {
@@ -78,7 +112,11 @@ object ScaleCorpus {
               s"ScaleCorpus: $t.$c max id $mx >= stride $Stride — remapped " +
                 "copies would collide; raise Stride")
           }
-          scaled(base, ids, factor).repartition(8)
+          val sc =
+            if (cleanDocs && t == "documents")
+              scaledCleanDocs(base, ids, factor)
+            else scaled(base, ids, factor)
+          sc.repartition(8)
         case None => base // dims copy through unchanged
       }
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -88,6 +126,7 @@ object ScaleCorpus {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val cleanDocs = args.length > 3 && args(3) == "clean"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,8 +137,9 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, src, out, factor)
-    println(s"SCALED $src -> $out factor=$factor")
+    build(spark, src, out, factor, cleanDocs)
+    println(s"SCALED $src -> $out factor=$factor" +
+      (if (cleanDocs) " mode=clean" else " mode=dup"))
     spark.stop()
   }
 }
