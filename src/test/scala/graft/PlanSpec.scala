@@ -62,6 +62,45 @@ class PlanSpec extends SparkSpec {
       "bucketed star is not reading the bucketed layout")
   }
 
+  test("suppkey-bucketed projection runs the per-supplier pre-agg " +
+    "exchange-free (r15 one-sort-key experiment)") {
+    // the projection twin: no exchange may touch l_suppkey — the
+    // bucketed scan delivers the pre-agg's required distribution, so
+    // the fact side never crosses the wire on ANY broadcast decision
+    val bkt = plan(JoinQueries.topSuppliersBucketed)
+    assert(!bkt.contains("hashpartitioning(l_suppkey"),
+      s"bucketed supplier projection still exchanges the fact pre-agg:\n$bkt")
+    assert(bkt.contains("graft_bkt_lineitem_sup"),
+      "bucketed supplier twin is not reading the suppkey projection")
+    // contrast held on the flat side under the no-broadcast (grown-dim)
+    // shape: with the dim too big to broadcast, the flat join must
+    // exchange the whole fact on l_suppkey — asserted with the
+    // threshold disabled so the pin doesn't depend on AQE's choice
+    val s = TestSession.spark
+    val prevA = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevB =
+      s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val flat = plan(JoinQueries.topSuppliers)
+      assert(flat.contains("hashpartitioning(l_suppkey"),
+        "flat supplier join lost its fact exchange — A/B contrast gone")
+      val bktOff = plan(JoinQueries.topSuppliersBucketed)
+      assert(!bktOff.contains("hashpartitioning(l_suppkey"),
+        "bucketed supplier projection exchanges the fact when the dim " +
+          s"cannot broadcast:\n$bktOff")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevA)
+      prevB match {
+        case Some(v) =>
+          s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("top-k queries plan TakeOrderedAndProject, not a global sort+limit") {
     Seq(TradeQueries.latest10, TradeQueries.topSymbols,
       JoinQueries.topSuppliers).foreach { q =>
