@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{AnnMV, IndexMV}
+
+/** Long-horizon MV maintenance scenario at scale (r15): drives ≥8
+  * blocks of BOTH streamed-MV store families (the ANN inverted lists
+  * and the posting-list index) through interleaved ingest → compact →
+  * expire → compact cycles — the multi-day life of a continuously-fed
+  * materialized view, which the unit suites exercise only at toy block
+  * counts — and HASH-GATES the final merge-on-read against a batch
+  * twin built from exactly the non-expired documents/vectors.
+  *
+  * Cycle per family (12 blocks, key = pmod(id, 12)):
+  * ingest 0..3 → compact(≤3) → ingest 4,5 → expire(<4) [retires the
+  * folded history; watermark 4] → ingest 6..8 → compact(≤7) [fold
+  * spans the watermark boundary's survivors] → ingest 9..11 →
+  * expire(<8) [retires a folded block — block granularity: rows 4..7
+  * leave together] → compact(≤10) [the expiry watermark must survive
+  * compaction] → replay block 5 [id < watermark ⇒ the sink-path gate
+  * must DROP it, not resurrect retired data] → readback.
+  *
+  * The equality is content equality under an order-independent
+  * checksum (count + unordered sum of per-row xxhash64), so it holds
+  * at any scale without a driver-side collect of the store.
+  *
+  * Usage: runMain graft.MvMaintenanceBench <sfDir> — prints one JSON
+  * line; throws (non-zero exit) on any readback mismatch or a replay
+  * that resurrects expired rows.
+  */
+object MvMaintenanceBench {
+
+  private val NumBlocks = 12
+  private val K = 5 // posting-heap bound, same as docs_posting_lists_mv
+
+  /** (row count, unordered sum of row hashes) — order-independent
+    * content fingerprint computed distributively. The sum rides an
+    * unbounded decimal: 2⁶³-magnitude hash values overflow a Long sum
+    * under ANSI after a few thousand rows. */
+  private def checksum(df: DataFrame, cols: Seq[String]): (Long, String) = {
+    val r = df
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(cols.map(col): _*).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h"))
+      .head()
+    (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
+  }
+
+  private def blockOf(idCol: String, i: Int) =
+    pmod(col(idCol), lit(NumBlocks)) === i
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    // ---------- ANN inverted-list family ----------
+    val t0 = System.nanoTime()
+    val inv = graft.store.Store.scratchStore("mvmaint-ann")
+    val cents = graft.queries.EmbQueries.centroidFrame(spark, sfDir)
+      .select(col("label").as("clabel"), col("centroid"))
+      .localCheckpoint()
+    val vecs = Tables.embeddings(spark, sfDir)
+    def vecBlock(i: Int) = vecs.where(blockOf("vec_id", i))
+    (0 to 3).foreach(i => AnnMV.writeInvertedBlock(vecBlock(i), cents, inv, i))
+    AnnMV.compactInverted(spark, inv, throughBlockId = 3L)
+    (4 to 5).foreach(i => AnnMV.writeInvertedBlock(vecBlock(i), cents, inv, i))
+    graft.store.BlockStore.expire(inv, beforeBlockId = 4L)
+    (6 to 8).foreach(i => AnnMV.writeInvertedBlock(vecBlock(i), cents, inv, i))
+    AnnMV.compactInverted(spark, inv, throughBlockId = 7L)
+    (9 to 11).foreach(i => AnnMV.writeInvertedBlock(vecBlock(i), cents, inv, i))
+    graft.store.BlockStore.expire(inv, beforeBlockId = 8L)
+    AnnMV.compactInverted(spark, inv, throughBlockId = 10L)
+    // at-least-once replay of a RETIRED batch: the watermark gate must
+    // drop it (resurrection would corrupt the readback hash below)
+    AnnMV.writeInvertedBlock(vecBlock(5), cents, inv, 5L)
+
+    val annCols = Seq("vec_id", "label", "cell", "embedding")
+    val retainedVecs = vecs.where(pmod(col("vec_id"), lit(NumBlocks)) >= 8)
+    val annGot = checksum(AnnMV.inverted(spark, inv), annCols)
+    val annWant = checksum(AnnMV.partialInverted(retainedVecs, cents)
+      .select(col("vec_id"), col("label"), col("cell"), col("embedding")),
+      annCols)
+    val wallAnn = (System.nanoTime() - t0) / 1e9
+    require(annGot == annWant,
+      s"ANN maintenance readback mismatch: store=$annGot batch=$annWant")
+
+    // ---------- posting-list index family ----------
+    val t1 = System.nanoTime()
+    val idx = graft.store.Store.scratchStore("mvmaint-idx")
+    val docsDf = Tables.documents(spark, sfDir)
+    def docBlock(i: Int) = docsDf.where(blockOf("doc_id", i))
+    (0 to 3).foreach(i => IndexMV.writeBlock(docBlock(i), K, idx, i))
+    IndexMV.compact(spark, idx, K, throughBlockId = 3L)
+    (4 to 5).foreach(i => IndexMV.writeBlock(docBlock(i), K, idx, i))
+    graft.store.BlockStore.expire(idx, beforeBlockId = 4L)
+    (6 to 8).foreach(i => IndexMV.writeBlock(docBlock(i), K, idx, i))
+    IndexMV.compact(spark, idx, K, throughBlockId = 7L)
+    (9 to 11).foreach(i => IndexMV.writeBlock(docBlock(i), K, idx, i))
+    graft.store.BlockStore.expire(idx, beforeBlockId = 8L)
+    IndexMV.compact(spark, idx, K, throughBlockId = 10L)
+    IndexMV.writeBlock(docBlock(5), K, idx, 5L) // replay of retired block
+
+    // batch twin: ONE block holding exactly the retained documents,
+    // read through the same merged() fold — so the equality isolates
+    // block decomposition + maintenance, not presentation
+    val twin = graft.store.Store.scratchStore("mvmaint-idx-twin")
+    val retainedDocs = docsDf.where(pmod(col("doc_id"), lit(NumBlocks)) >= 8)
+    IndexMV.writeBlock(retainedDocs, K, twin, 0L)
+    val idxCols = Seq("term", "df", "cf", "top_docs")
+    val idxGot = checksum(IndexMV.merged(spark, idx, K), idxCols)
+    val idxWant = checksum(IndexMV.merged(spark, twin, K), idxCols)
+    val wallIdx = (System.nanoTime() - t1) / 1e9
+    require(idxGot == idxWant,
+      s"index maintenance readback mismatch: store=$idxGot batch=$idxWant")
+
+    println(s"""{"metric":"mv_maintenance","sf_dir":"$sfDir"""" +
+      s""","blocks":$NumBlocks,"compactions":3,"expirations":2""" +
+      s""","replays_dropped":2,"ann_rows":${annGot._1}""" +
+      f""","ann_match":true,"idx_terms":${idxGot._1},"idx_match":true""" +
+      f""","wall_ann_sec":$wallAnn%.2f,"wall_idx_sec":$wallIdx%.2f}""")
+    spark.stop()
+  }
+}

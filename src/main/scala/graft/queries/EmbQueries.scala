@@ -455,7 +455,7 @@ object EmbQueries {
   /** The (label, centroid) frame of the coarse quantizer — per-label
     * exact-decimal dimension means, shared by the inline IVF queries
     * and the persisted index builder. */
-  private def centroidFrame(s: SparkSession, d: String): DataFrame =
+  private[graft] def centroidFrame(s: SparkSession, d: String): DataFrame =
     embDims(s, d)
       .groupBy("label", "dim")
       .agg(Ops.avgFloat(col("v")).as("m"))
