@@ -82,8 +82,13 @@ object MvMaintenanceBench {
     graft.store.BlockStore.expire(inv, beforeBlockId = 8L)
     AnnMV.compactInverted(spark, inv, throughBlockId = 10L)
     // at-least-once replay of a RETIRED batch: the watermark gate must
-    // drop it (resurrection would corrupt the readback hash below)
+    // drop it (resurrection would corrupt the readback hash below) —
+    // asserted directly on the store, not only through the hash: the
+    // refused write must not even stage a block=5 dir
     AnnMV.writeInvertedBlock(vecBlock(5), cents, inv, 5L)
+    require(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(inv, "block=5")),
+      "ANN replay of a retired block resurrected its block dir")
 
     val annCols = Seq("vec_id", "label", "cell", "embedding")
     val retainedVecs = vecs.where(pmod(col("vec_id"), lit(NumBlocks)) >= 8)
@@ -110,6 +115,9 @@ object MvMaintenanceBench {
     graft.store.BlockStore.expire(idx, beforeBlockId = 8L)
     IndexMV.compact(spark, idx, K, throughBlockId = 10L)
     IndexMV.writeBlock(docBlock(5), K, idx, 5L) // replay of retired block
+    require(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(idx, "block=5")),
+      "index replay of a retired block resurrected its block dir")
 
     // batch twin: ONE block holding exactly the retained documents,
     // read through the same merged() fold — so the equality isolates
