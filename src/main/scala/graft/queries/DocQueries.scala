@@ -2022,6 +2022,82 @@ object DocQueries {
       .limit(20)
   }
 
+  /** Per-source marginal vocabulary contribution — the greedy
+    * data-VALUATION primitive behind source selection in corpus
+    * curation (the submodular-coverage view: when sources are added in
+    * a fixed greedy order, each one's value is the vocabulary it
+    * contributes that no earlier source did; near-duplicate sources
+    * score ~0 novel mass no matter how many documents they add).
+    * Vocabulary = hashed word-BIGRAM ids (the fused
+    * [[graft.functions.GramIds]] 52-bit fold at n=2, same lockstep
+    * spelling as [[lmSurprise]]), so the whole computation moves
+    * 8-byte longs. Output: one row per source — doc count, distinct
+    * bigrams, NOVEL bigrams (those whose lexicographically-first
+    * holder this source is), and the running coverage per-mille in
+    * exact integer arithmetic (BIGINT `div`, no float drift).
+    *
+    * Shape at 100 TB: per-doc `array_distinct` settles doc-local dups
+    * map-side; ONE (source, gram) distinct exchange of 8-byte pairs;
+    * the gram-keyed `min(source)` agg combines map-side (grams
+    * near-unique ⇒ no skew); everything after is a ≤|sources|-row
+    * frame. Nothing is pairwise in sources or documents. */
+  val sourceNovelty: NamedQuery = NamedQuery(
+    "docs_source_novelty",
+    s"""WITH t AS (SELECT doc_id, source, $tokHashListDuck AS t
+       |           FROM documents),
+       |bg0 AS (
+       |  SELECT source,
+       |         unnest(list_transform(range(1, len(t)),
+       |           i -> ${gramFold(j => s"t[i + $j]", 2)})) AS g
+       |  FROM t WHERE len(t) >= 2
+       |),
+       |bg AS (SELECT DISTINCT source, g FROM bg0),
+       |ng AS (SELECT source, count(*) AS n_grams FROM bg GROUP BY 1),
+       |nov AS (SELECT min(source) AS source FROM bg GROUP BY g),
+       |nv AS (SELECT source, count(*) AS novel_grams FROM nov GROUP BY 1),
+       |dc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |j AS (
+       |  SELECT d.source, d.n_docs,
+       |         COALESCE(ng.n_grams, 0) AS n_grams,
+       |         COALESCE(nv.novel_grams, 0) AS novel_grams
+       |  FROM dc d
+       |  LEFT JOIN ng USING (source)
+       |  LEFT JOIN nv USING (source)
+       |)
+       |SELECT source, n_docs, n_grams, novel_grams,
+       |       CAST(sum(novel_grams) OVER (ORDER BY source) * 1000
+       |            // (SELECT sum(novel_grams) FROM j) AS BIGINT)
+       |         AS cum_coverage_pm
+       |FROM j
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val g = docs(s, d)
+      .select(col("source"),
+        explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
+      .distinct()
+    val ng = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val nv = g.groupBy("g").agg(min(col("source")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("novel_grams"))
+    val j = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(ng, Seq("source"), "left")
+      .join(nv, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("source").rowsBetween(W.unboundedPreceding, 0)
+    // ≤|sources| rows reach the window/total — the single-partition
+    // WindowExec is over a handful of rows, not the corpus
+    j.withColumn("_cum", sum(col("novel_grams")).over(w))
+      .withColumn("_tot",
+        sum(col("novel_grams")).over(
+          W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .select(col("source"), col("n_docs"), col("n_grams"),
+        col("novel_grams"),
+        expr("(_cum * 1000) div _tot").as("cum_coverage_pm"))
+      .orderBy("source")
+  }
+
   /** The full training-corpus build as ONE dataflow — the capstone the
     * individual operators exist for: exact dedup (keep smallest doc_id
     * per text hash) → quality gate (composite score ≥ 0.5, the shared
@@ -3644,6 +3720,7 @@ object DocQueries {
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     clusterSplit,
     bigramLm, simhashHamming, corpusBuild, containment, langSources,
+    sourceNovelty,
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, contaminationBloom, dedupThenSimhash,
     lmSurprise,
