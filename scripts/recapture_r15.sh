@@ -27,7 +27,8 @@ trades_candles_streamed,docs_bpe_encode,emb_lsh_pairs,\
 emb_knn_accuracy,emb_near_dup,docs_normalized_dedup,\
 joins_revenue_region_month,trades_gapfill_asof,trades_ingest_decode,\
 media_frame_sample,joins_revenue_region_month_bucketed,docs_cluster_split,\
-joins_top_suppliers_bucketed"
+joins_top_suppliers_bucketed,\
+docs_source_novelty"
 
 run() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$2" \
