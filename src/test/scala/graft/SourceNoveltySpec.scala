@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.DocQueries
+
+/** Hand-computed semantics pin for `docs_source_novelty` (the DuckDB
+  * oracle gates Spark↔DuckDB agreement; this pins both against the
+  * DEFINITION): novelty counts hashed word bigrams whose
+  * lexicographically-first holding source is this one, single-token
+  * docs contribute no vocabulary but still count as documents, shared
+  * bigrams are credited only to the first source, and the cumulative
+  * coverage per-mille is exact integer division. */
+class SourceNoveltySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("novel bigram credit goes to the lexicographically first source; " +
+    "cumulative per-mille is exact integer division") {
+    val dir = tmpDir("novelty-corpus")
+    // srcA: bigrams {a b, b c}; srcB: {a b (shared), x y (novel)};
+    // doc 4 has one token → no bigram, still a document of srcA
+    Seq(
+      (1L, "a b c", "en", 5L, "srcA"),
+      (2L, "a b", "en", 3L, "srcB"),
+      (3L, "x y", "en", 3L, "srcB"),
+      (4L, "a", "en", 1L, "srcA"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DocQueries.sourceNovelty.run(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_grams"), r.getAs[Long]("novel_grams"),
+        r.getAs[Long]("cum_coverage_pm"))).toList
+    // total distinct bigrams = 3 ({a b}, {b c}, {x y});
+    // srcA holds 2 and is first for both → cum 2*1000 div 3 = 666;
+    // srcB holds 2 but only {x y} is novel → cum 3000 div 3 = 1000
+    assert(got == List(
+      ("srcA", 2L, 2L, 2L, 666L),
+      ("srcB", 2L, 2L, 1L, 1000L)))
+  }
+
+  test("a duplicate-only source contributes zero novel mass") {
+    val dir = tmpDir("novelty-dup")
+    Seq(
+      (1L, "p q r s", "en", 7L, "s0"),
+      (2L, "p q r s", "en", 7L, "s1"), // byte-dup of s0's doc
+      (3L, "p q", "en", 3L, "s1"))     // subset of s0's bigrams
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DocQueries.sourceNovelty.run(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("novel_grams"),
+        r.getAs[Long]("cum_coverage_pm"))).toList
+    assert(got == List(("s0", 3L, 1000L), ("s1", 0L, 1000L)))
+  }
+}
