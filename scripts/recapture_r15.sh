@@ -10,13 +10,16 @@ set -e
 cd /root/repo
 rm -f target/RECAPTURE_DONE target/RECAPTURE_FAILED
 
-# r15 trend subset (31 lines): r13's 27 plus the media line the r13
+# r15 trend subset (32 lines): r13's 27 plus the media line the r13
 # verdict asked for (media_frame_sample — the 30x full-registry worst
 # ratio, pure map-side codec CPU, now proven at the fourth scale
 # point), the co-bucketed star-join twin (the r14 layout
-# experiment's registered fix), and docs_cluster_split (the r14
+# experiment's registered fix), docs_cluster_split (the r14
 # dedup-aware split operator - rides the dup-cluster component
-# labeling).
+# labeling), and the two r15 registrations:
+# joins_top_suppliers_bucketed (the suppkey-projection answer to the
+# one-sort-key trade) and docs_source_novelty (per-source marginal
+# vocabulary).
 TREND="docs_ngram_jaccard,docs_containment,docs_dedup_then_simhash,\
 emb_ivf_streamed,emb_ivf_streamed_sql,docs_dup_clusters,\
 docs_ingest_dedup_gate,docs_simhash_hamming,docs_span_dedup,\

@@ -63,9 +63,10 @@ object ScaleCorpus {
   }
 
   /** CLEAN-mode documents (r15): same F-copy id remap, but every copy
-    * past the first rewrites EVERY token with a per-copy suffix
-    * (`tok` → `tokc7`), so copies share no word n-grams, no char-4-gram
-    * profiles, no simhash signatures — the scaled corpus stays
+    * past the first rewrites EVERY token with a per-copy FIXED-WIDTH
+    * suffix (`tok` → `tokc0007`), so copies share no word n-grams, no
+    * char-4-gram profiles, no simhash signatures — the scaled corpus
+    * stays
     * deterministic but has the LOW-DUP gram structure of a production
     * corpus instead of the dup recipe's F-copy cliques. Copy 0 is
     * byte-identical to the source, so the base corpus remains a
@@ -77,20 +78,57 @@ object ScaleCorpus {
     * prune exists for (survivors ≈ fpp·|train| + true hits, not ≈
     * |train|). Other tables keep the dup recipe — the knob isolates
     * the DOCUMENT gram structure, the one variable the crossover
-    * depends on. */
+    * depends on.
+    *
+    * Collision-freedom (r16, was an r15 ADVICE gap): the suffix is
+    * `c` + the copy number ZERO-PADDED to [[SuffixWidth]] digits. With
+    * equal-width suffixes, two rewritten tokens from copies i ≠ j can
+    * never collide — equality would force their last 1+width chars
+    * (the suffixes) equal, hence i = j. The only residual risk is a
+    * SOURCE token (copy 0, unchanged) that already ends in a live
+    * suffix shape; [[assertCleanSuffixSafe]] rejects that corpus at
+    * build time instead of assuming it away. */
+  private[graft] val SuffixWidth = 4
+
   def scaledCleanDocs(df: DataFrame, idCols: Seq[String], factor: Int)
       : DataFrame = {
+    require(factor <= 9999, s"clean suffix width $SuffixWidth caps factor at 9999")
     val cols = df.columns
     df.withColumn("copy_i", explode(expr(s"sequence(0, ${factor - 1})")))
       .withColumn("text",
         when(col("copy_i") === 0, col("text"))
           .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("$1c"), col("copy_i")))))
+            concat(lit("$1c"), lpad(col("copy_i"), SuffixWidth, "0")))))
       .withColumn("n_chars", char_length(col("text")))
       .select(cols.map { c =>
         if (idCols.contains(c)) (col(c) + col("copy_i") * lit(Stride)).as(c)
         else col(c)
       }: _*)
+  }
+
+  /** Build-time guard for the copy-0 edge the fixed-width suffix can't
+    * close by construction: a source token that already ends in
+    * `c<width digits>` whose value lands in [1, factor) would make the
+    * unchanged copy 0 share that token with a rewritten copy. One
+    * cheap distinct-token scan (conservative — it doesn't also check
+    * that the stripped prefix is itself a token); refuses the corpus
+    * with the offending tokens named rather than silently weakening
+    * the copies-share-no-grams invariant every Bloom-crossover number
+    * rests on. */
+  def assertCleanSuffixSafe(df: DataFrame, factor: Int): Unit = {
+    val pat = s"c[0-9]{$SuffixWidth}$$"
+    val offenders = df
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .where(col("tok").rlike(pat))
+      .withColumn("suffix_val",
+        substring(col("tok"), -SuffixWidth, SuffixWidth).cast("int"))
+      .where(col("suffix_val") >= 1 && col("suffix_val") < factor)
+      .select("tok").distinct().limit(5)
+      .collect().map(_.getString(0)) // bounded: ≤5 rows, build-time only
+    require(offenders.isEmpty,
+      s"ScaleCorpus clean mode: source tokens collide with the per-copy " +
+        s"suffix shape (factor=$factor): ${offenders.mkString(", ")} — " +
+        "raise SuffixWidth or change the marker")
   }
 
   def build(spark: SparkSession, src: String, out: String, factor: Int,
@@ -113,9 +151,10 @@ object ScaleCorpus {
                 "copies would collide; raise Stride")
           }
           val sc =
-            if (cleanDocs && t == "documents")
+            if (cleanDocs && t == "documents") {
+              assertCleanSuffixSafe(base, factor)
               scaledCleanDocs(base, ids, factor)
-            else scaled(base, ids, factor)
+            } else scaled(base, ids, factor)
           sc.repartition(8)
         case None => base // dims copy through unchanged
       }

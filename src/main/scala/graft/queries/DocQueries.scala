@@ -2040,10 +2040,18 @@ object DocQueries {
     * map-side; ONE (source, gram) distinct exchange of 8-byte pairs;
     * the gram-keyed `min(source)` agg combines map-side (grams
     * near-unique ⇒ no skew); everything after is a ≤|sources|-row
-    * frame. Nothing is pairwise in sources or documents. */
+    * frame. Nothing is pairwise in sources or documents.
+    *
+    * NULL sources (r16, was an r15 ADVICE gap): a NULL source would
+    * diverge between engines — Spark ORDER BY puts NULLs first, DuckDB
+    * last, and the cumulative per-mille then disagrees. Both spellings
+    * coalesce NULL source to '' at the scan (sorts first in BOTH
+    * engines), so the semantics no longer depend on the corpus having
+    * no NULL sources. */
   val sourceNovelty: NamedQuery = NamedQuery(
     "docs_source_novelty",
-    s"""WITH t AS (SELECT doc_id, source, $tokHashListDuck AS t
+    s"""WITH t AS (SELECT doc_id, COALESCE(source, '') AS source,
+       |                  $tokHashListDuck AS t
        |           FROM documents),
        |bg0 AS (
        |  SELECT source,
@@ -2055,7 +2063,8 @@ object DocQueries {
        |ng AS (SELECT source, count(*) AS n_grams FROM bg GROUP BY 1),
        |nov AS (SELECT min(source) AS source FROM bg GROUP BY g),
        |nv AS (SELECT source, count(*) AS novel_grams FROM nov GROUP BY 1),
-       |dc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |dc AS (SELECT COALESCE(source, '') AS source, count(*) AS n_docs
+       |       FROM documents GROUP BY 1),
        |j AS (
        |  SELECT d.source, d.n_docs,
        |         COALESCE(ng.n_grams, 0) AS n_grams,
@@ -2072,13 +2081,15 @@ object DocQueries {
        |ORDER BY source""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val g = docs(s, d)
-      .select(col("source"),
+      .select(coalesce(col("source"), lit("")).as("source"),
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
       .distinct()
     val ng = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val nv = g.groupBy("g").agg(min(col("source")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("novel_grams"))
-    val j = docs(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val j = docs(s, d)
+      .select(coalesce(col("source"), lit("")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .join(ng, Seq("source"), "left")
       .join(nv, Seq("source"), "left")
       .select(col("source"), col("n_docs"),

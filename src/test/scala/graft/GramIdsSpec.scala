@@ -43,7 +43,7 @@ class GramIdsSpec extends SparkSpec {
     "\t",                      // trim keeps \t; split → ['', ''] (2 tokens)
     "\ta b",                   // leading separator → leading empty token
     "a b\n",                   // trailing separator → trailing empty token
-    "\t \n a \r\f b ",   // mixed ws runs collapse to ONE separator
+    "\t \n a \r\f b \u000b",   // mixed ws runs collapse to ONE separator
     "a  b   c",                // multi-space runs
     "  padded  ",              // trim strips only 0x20
     "one two three four five six seven eight nine ten eleven twelve",
@@ -68,7 +68,7 @@ class GramIdsSpec extends SparkSpec {
   test("deterministic random sweep: 1500 strings, both widths") {
     val rnd = new scala.util.Random(14)
     // alphabet dense in whitespace variants and token-boundary chars
-    val alpha = "ab XY09 \t\n\r\f.é—😀 "
+    val alpha = "ab XY09 \t\n\r\f\u000b.é—😀 "
     def gen(n: Int) = (0 until n).map(_ =>
       (0 until rnd.nextInt(120))
         .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)

@@ -87,7 +87,7 @@ class KernelRandomSpec extends SparkSpec {
       8 -> Gen.chooseNum(1, 3).flatMap(k =>
         Gen.listOfN(k, Gen.alphaNumChar).map(_.mkString)),
       5 -> Gen.const(" "),
-      2 -> Gen.oneOf("\t", "\n", "\r", "\f", ""),
+      2 -> Gen.oneOf("\t", "\n", "\r", "\f", "\u000b"),
       1 -> Gen.oneOf("  ", " \t ", "\r\n"),
       1 -> Gen.oneOf("é", "Ω", "中文", "😀"))
     Gen.chooseNum(0, 50).flatMap(k => Gen.listOfN(k, atom).map(_.mkString))

@@ -60,4 +60,41 @@ class ScaleCorpusSpec extends SparkSpec {
     val again = ScaleCorpus.scaledCleanDocs(src, Seq("doc_id"), 3)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
+
+  test("clean recipe: fixed-width suffix keeps adversarial token shapes " +
+    "disjoint across copies (the r15 ADVICE collision)") {
+    // with the old variable-width suffix, 'a' from copy 12 and 'ac1'
+    // from copy 2 both became 'ac12'; fixed width makes them
+    // 'ac0012' vs 'ac1c0002'
+    val tricky = Seq((1L, "a ac1", "en", 5L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = ScaleCorpus.scaledCleanDocs(tricky, Seq("doc_id"), 13)
+    val toks = out.select(
+        (col("doc_id") / 10000000L).cast("long").as("copy"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .distinct()
+    val shared = toks.groupBy("tok")
+      .agg(countDistinct(col("copy")).as("nc"))
+      .where(col("nc") > 1).count()
+    assert(shared == 0, s"$shared tokens shared across clean copies")
+  }
+
+  test("clean recipe: build-time guard refuses a source token that " +
+    "already wears a live copy suffix") {
+    // 'xc0002' in the SOURCE collides with copy 2's rewrite of 'x'
+    val poisoned = Seq((1L, "x xc0002", "en", 8L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      ScaleCorpus.assertCleanSuffixSafe(poisoned, 3)
+    }
+    assert(e.getMessage.contains("xc0002"))
+    // a suffix value OUTSIDE [1, factor) is harmless and must pass:
+    // factor 3 never writes suffix c0007
+    val safe = Seq((1L, "x xc0007", "en", 8L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    ScaleCorpus.assertCleanSuffixSafe(safe, 3)
+    // and the real sf0.1 corpus must pass for the factors we build
+    val real = Tables.table(spark, "/root/testdata/sf0.1", "documents")
+    ScaleCorpus.assertCleanSuffixSafe(real, 300)
+  }
 }

@@ -52,4 +52,22 @@ class SourceNoveltySpec extends SparkSpec {
         r.getAs[Long]("cum_coverage_pm"))).toList
     assert(got == List(("s0", 3L, 1000L), ("s1", 0L, 1000L)))
   }
+
+  test("NULL source coalesces to '' and sorts first (r16 ADVICE: " +
+    "engine-agnostic NULL ordering)") {
+    val dir = tmpDir("novelty-null")
+    Seq(
+      (1L, "m n", "en", 3L, null.asInstanceOf[String]),
+      (2L, "m n o", "en", 5L, "srcZ"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DocQueries.sourceNovelty.run(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("novel_grams"), r.getAs[Long]("cum_coverage_pm")))
+      .toList
+    // '' sorts before 'srcZ' in both engines; {m n} is credited to ''
+    // (lexicographically first), srcZ keeps only {n o}
+    assert(got == List(("", 1L, 1L, 500L), ("srcZ", 1L, 1L, 1000L)))
+  }
 }
