@@ -2109,6 +2109,113 @@ object DocQueries {
       .orderBy("source")
   }
 
+  /** Greedy selection rounds for [[sourceGreedy]] — bounded so the
+    * driver-side loop (and the unrolled oracle) stay O(1). */
+  private val GreedyK = 5
+
+  /** GREEDY max-coverage source selection (r16) — the curation
+    * primitive [[sourceNovelty]] approximates with a FIXED
+    * (lexicographic) order, done properly: iteratively pick the source
+    * with the largest NOVEL vocabulary mass given everything already
+    * selected (the classic greedy (1−1/e)-approximation to submodular
+    * max-coverage). Vocabulary = the same hashed word-bigram ids
+    * (fused [[graft.functions.GramIds]] 52-bit fold at n=2); NULL
+    * source coalesces to '' like the fixed-order twin. At most
+    * [[GreedyK]] rounds; a round emits only a POSITIVE marginal gain —
+    * once every remaining (source, gram) pair is covered the frame is
+    * empty and selection stops, in both engines. Ties break toward the
+    * lexicographically smaller source. Output: one row per round —
+    * round number, picked source, its marginal novel grams, and the
+    * running coverage per-mille of the FULL vocabulary in exact
+    * integer arithmetic.
+    *
+    * Shape at 100 TB: one corpus-wide (source, gram) DISTINCT of
+    * 8-byte pairs, checkpointed and reused; each round is ONE map-side-
+    * combining agg over the remaining pairs plus ONE anti-join on the
+    * 8-byte gram key against the picked source's grams — k·2 bounded
+    * passes, nothing pairwise, nothing driver-side except the 1-row
+    * per-round argmax (the CC convergence-probe discipline). The
+    * DuckDB twin is the same loop unrolled to k CTE steps. */
+  val sourceGreedy: NamedQuery = NamedQuery(
+    "docs_source_greedy", {
+      val steps = (1 to GreedyK).map { i =>
+        val pick =
+          s"""p$i AS (SELECT source, count(*) AS nov FROM r$i
+             |        GROUP BY 1 ORDER BY nov DESC, source LIMIT 1)"""
+            .stripMargin
+        val next =
+          if (i == GreedyK) ""
+          else
+            s""",
+               |r${i + 1} AS (
+               |  SELECT b.source, b.g FROM r$i b
+               |  WHERE b.source <> (SELECT source FROM p$i)
+               |    AND NOT EXISTS (SELECT 1 FROM r$i c
+               |                    WHERE c.source = (SELECT source FROM p$i)
+               |                      AND c.g = b.g)
+               |)""".stripMargin
+        pick + next
+      }.mkString(",\n")
+      val sel = (1 to GreedyK)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS round, source, nov FROM p$i")
+        .mkString("\n        UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, COALESCE(source, '') AS source,
+         |                  $tokHashListDuck AS t
+         |           FROM documents),
+         |bg0 AS (
+         |  SELECT source,
+         |         unnest(list_transform(range(1, len(t)),
+         |           i -> ${gramFold(j => s"t[i + $j]", 2)})) AS g
+         |  FROM t WHERE len(t) >= 2
+         |),
+         |r1 AS (SELECT DISTINCT source, g FROM bg0),
+         |$steps,
+         |sel AS (
+         |        $sel)
+         |SELECT round, source, nov AS novel_grams,
+         |       CAST(sum(nov) OVER (ORDER BY round) * 1000
+         |            // (SELECT count(DISTINCT g) FROM r1) AS BIGINT)
+         |         AS cum_coverage_pm
+         |FROM sel
+         |ORDER BY round""".stripMargin
+    }) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    // the one corpus-sized piece, computed once and reused k times
+    val base = docs(s, d)
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
+      .distinct()
+      .localCheckpoint()
+    val total = base.agg(countDistinct(col("g"))).head().getLong(0)
+    var remaining = base
+    var cum = 0L
+    val picks = scala.collection.mutable.ListBuffer.empty[(Long, String, Long, Long)]
+    var r = 1
+    var done = total == 0L
+    while (!done && r <= GreedyK) {
+      // per-round argmax: ONE row leaves the cluster
+      val top = remaining.groupBy("source").agg(count(lit(1)).as("nov"))
+        .orderBy(col("nov").desc, col("source")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val src = top(0).getString(0)
+        val nov = top(0).getLong(1)
+        cum += nov
+        picks += ((r.toLong, src, nov, cum * 1000L / total))
+        if (r < GreedyK) {
+          val covered = remaining.where(col("source") === src).select("g")
+          remaining = remaining.where(col("source") =!= src)
+            .join(covered, Seq("g"), "left_anti")
+            .localCheckpoint() // truncate the per-round lineage
+        }
+        r += 1
+      }
+    }
+    picks.toSeq.toDF("round", "source", "novel_grams", "cum_coverage_pm")
+      .orderBy("round")
+  }
+
   /** The full training-corpus build as ONE dataflow — the capstone the
     * individual operators exist for: exact dedup (keep smallest doc_id
     * per text hash) → quality gate (composite score ≥ 0.5, the shared
@@ -2163,6 +2270,110 @@ object DocQueries {
     val sampled = gated.where(sampleH <
       when(col("lang") === "en", SamplePct("en")).otherwise(SamplePct("other")))
     val b = expr(splitBucketSpark)
+    sampled
+      .select(col("lang"), col("n_chars"),
+        when(b < 8, "train").when(b === 8, "val").otherwise("test")
+          .as("split"))
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "split")
+  }
+
+  /** NEAR-DUP-AWARE corpus build (r16) — [[corpusBuild]] with the dedup
+    * stage upgraded from exact-only to near-duplicate CLUSTER collapse,
+    * and the split assignment keyed on the cluster label: the
+    * end-to-end pipeline a real curation run uses, and the integration
+    * proof that the registry's near-dup machinery composes — exact
+    * dedup (min-id per text), near-dup components over the
+    * ngram-Jaccard graph ([[componentLabDuck]] / [[repClusterLabels]],
+    * the [[dupClusters]] structure), keep each cluster's MIN-ID
+    * representative, quality gate, stratified sample, cluster-keyed
+    * train/val/test. Because only the cluster minimum survives, and
+    * the component label IS that minimum (the CC fixpoint invariant),
+    * "keep where doc_id = cluster" is the whole collapse, and the
+    * cluster-keyed split bucket coincides with the survivor's own —
+    * leakage is structurally zero both because near-dups can't
+    * straddle the boundary (one survivor) and because the key says so.
+    *
+    * Engine agreement is the interesting part: the oracle labels the
+    * PER-DOC graph, Spark labels the COLLAPSED rep graph — they agree
+    * on survivors because byte-identical texts share every bucket and
+    * every edge, so a component's min doc is the min of its text
+    * group (it would otherwise have a smaller same-text sibling in
+    * the same component), i.e. always a rep, and rep-graph labels
+    * restricted to reps equal per-doc labels ([[dupClusters]]'
+    * expansion argument, run in reverse). NULL-text docs survive the
+    * exact stage but score NULL at the gate in both engines.
+    *
+    * Shape at 100 TB: the component labeling the registry already
+    * pays in [[dupClusters]] (collapsed rep graph, bounded edges),
+    * plus one narrow rep→(lang, n_chars) hash join on an 8-byte key;
+    * gate/sample/split are map-side; one low-cardinality final agg.
+    * Nothing new is pairwise or corpus-wide. */
+  val corpusBuildNearDup: NamedQuery = NamedQuery(
+    "docs_corpus_build_neardup",
+    s"""WITH RECURSIVE $gramCteDuck,
+       |$componentLabDuck,
+       |dedup AS (
+       |  SELECT lang, n_chars, text, doc_id FROM (
+       |    SELECT lang, n_chars, text, doc_id,
+       |           row_number() OVER (PARTITION BY md5(text)
+       |                              ORDER BY doc_id) AS rn
+       |    FROM documents)
+       |  WHERE rn = 1
+       |),
+       |reps AS (
+       |  SELECT d.lang, d.n_chars, d.text, d.doc_id,
+       |         COALESCE(l.cluster, d.doc_id) AS cluster
+       |  FROM dedup d LEFT JOIN lab l ON l.id = d.doc_id
+       |  WHERE d.doc_id = COALESCE(l.cluster, d.doc_id)
+       |),
+       |gated AS (
+       |  SELECT lang, n_chars, doc_id, cluster FROM reps
+       |  WHERE $scoreDuck >= 0.5
+       |),
+       |sampled AS (
+       |  SELECT lang, n_chars, cluster FROM gated
+       |  WHERE CAST('0x' || substr(md5('s-' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |             AS BIGINT) % 100 < ${pctCaseSql("lang")}
+       |),
+       |assigned AS (
+       |  SELECT lang, n_chars,
+       |         CASE WHEN b < 8 THEN 'train'
+       |              WHEN b = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM (SELECT lang, n_chars, ${bucketDuckOf("cluster")} AS b
+       |        FROM sampled)
+       |)
+       |SELECT lang, split,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM assigned
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    // exact-dedup survivors ARE textGroups' reps (min id per distinct
+    // text); NULL-text docs are dropped here AND at the oracle's gate
+    // (their score is NULL), so the engines agree on the output
+    val tg = textGroups(dd)
+    val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
+    val labels = repClusterLabels(g)
+    val kept = tg.select(col("rep"), col("text"))
+      .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .where(col("rep") === coalesce(col("label"), col("rep")))
+      .select(col("rep").as("doc_id"), col("text"),
+        coalesce(col("label"), col("rep")).as("cluster"))
+    // recover lang/n_chars for the gate: narrow 8-byte-key hash join
+    val enriched = kept
+      .join(dd.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+    val gated = enriched.where(scoreSpark >= 0.5)
+    val sampleH = expr(
+      "cast(conv(substr(md5(concat('s-', cast(doc_id AS string))), 1, 8), 16, 10) AS bigint) % 100")
+    val sampled = gated.where(sampleH <
+      when(col("lang") === "en", SamplePct("en")).otherwise(SamplePct("other")))
+    val b = expr(bucketSparkOf("cluster"))
     sampled
       .select(col("lang"), col("n_chars"),
         when(b < 8, "train").when(b === 8, "val").otherwise("test")
@@ -3730,8 +3941,9 @@ object DocQueries {
     langIdConfusion, quality, fingerprint, normalizedDedup, ngramJaccard,
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     clusterSplit,
-    bigramLm, simhashHamming, corpusBuild, containment, langSources,
-    sourceNovelty,
+    bigramLm, simhashHamming, corpusBuild, corpusBuildNearDup,
+    containment, langSources,
+    sourceNovelty, sourceGreedy,
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, contaminationBloom, dedupThenSimhash,
     lmSurprise,

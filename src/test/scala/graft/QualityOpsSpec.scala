@@ -264,6 +264,44 @@ class QualityOpsSpec extends SparkSpec {
     assert(r.getLong(m("n_docs_moved")) == expectMoved.toLong)
   }
 
+  /** The stratified-sample hash of docs_corpus_build{,_neardup}:
+    * first 8 hex chars of md5("s-" + decimal doc_id), mod 100. */
+  private def sampleHash(id: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"s-$id".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % 100).toInt
+  }
+
+  test("near-dup corpus build: collapses the near-dup cluster to its " +
+    "min-id rep where the exact-only capstone keeps both members") {
+    // all texts are long, lowercase, stopword-free → score 0.7 ≥ 0.5
+    // (gate passes everything); lang "aa" → 60% sample rate. Pick ids
+    // that all land IN the sample so the collapse is the ONLY
+    // difference between the twins.
+    val t2a = (1 to 100).map(i => f"tok$i%03d").mkString(" ")
+    val t2b = t2a.dropRight(4) + "XXXX" // same-length near-dup, jaccard ≥ 0.9
+    val uni = (1 to 80).map(i => f"uni$i%03d").mkString(" ")
+    val dup = (1 to 80).map(i => f"dup$i%03d").mkString(" ")
+    def sampledId(skip: Int): Long =
+      Iterator.from(0).map(_.toLong).filter(sampleHash(_) < 60)
+        .drop(skip).next()
+    val ids = (0 to 4).map(sampledId)
+    val dir = writeDocs(Seq(
+      (ids(0), t2a, "aa"), (ids(1), t2b, "aa"), // near-dup cluster
+      (ids(2), uni, "aa"),                      // unique
+      (ids(3), dup, "aa"), (ids(4), dup, "aa"))) // exact-dup pair
+    def totalDocs(q: NamedQuery): Long =
+      q.run(spark, dir).agg(org.apache.spark.sql.functions.sum("n_docs"))
+        .collect()(0).getLong(0)
+    val exact = totalDocs(graft.queries.DocQueries.corpusBuild)
+    val nd = totalDocs(graft.queries.DocQueries.corpusBuildNearDup)
+    // exact twin: near-dup members are distinct texts → both kept → 4
+    // survivors; near-dup twin: cluster collapses to min(ids 0,1) → 3
+    assert(exact == 4L, s"exact capstone kept $exact")
+    assert(nd == 3L, s"near-dup capstone kept $nd")
+  }
+
   test("dedup-then-simhash equals the plain pairing on the pre-deduped corpus") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"

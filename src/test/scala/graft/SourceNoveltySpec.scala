@@ -70,4 +70,42 @@ class SourceNoveltySpec extends SparkSpec {
     // (lexicographically first), srcZ keeps only {n o}
     assert(got == List(("", 1L, 1L, 500L), ("srcZ", 1L, 1L, 1000L)))
   }
+
+  test("greedy selection picks by marginal gain, not lexicographic " +
+    "order, and stops when nothing novel remains") {
+    val dir = tmpDir("novelty-greedy")
+    // bigram masses: srcA {p q} (1); srcB {a b, b c, c d} (3);
+    // srcC {c d (covered by B), d p, p q} — lexicographic order is
+    // A, B, C; greedy is B (3 novel), then C (2 novel: d p + p q,
+    // c d already covered), then A (0 novel → never emitted)
+    Seq(
+      (1L, "p q", "en", 3L, "srcA"),
+      (2L, "a b c d", "en", 7L, "srcB"),
+      (3L, "c d p q", "en", 7L, "srcC"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DocQueries.sourceGreedy.run(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("source"),
+        r.getAs[Long]("novel_grams"), r.getAs[Long]("cum_coverage_pm")))
+      .toList
+    // total distinct bigrams = 5; cum: 3000/5 = 600, 5000/5 = 1000
+    assert(got == List(
+      (1L, "srcB", 3L, 600L),
+      (2L, "srcC", 2L, 1000L)))
+  }
+
+  test("greedy ties break toward the lexicographically smaller source") {
+    val dir = tmpDir("novelty-greedy-tie")
+    Seq(
+      (1L, "x y", "en", 3L, "sB"),
+      (2L, "u v", "en", 3L, "sA"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DocQueries.sourceGreedy.run(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("source")))
+      .toList
+    assert(got == List((1L, "sA"), (2L, "sB")))
+  }
 }
