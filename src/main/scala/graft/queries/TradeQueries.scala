@@ -1225,6 +1225,94 @@ object TradeQueries {
       .orderBy("symbol")
   }
 
+  /** PROJECTION MAINTENANCE AT INGEST (r16) — the production shape of
+    * the r14/r15 bucketed-projection work: instead of building the
+    * projection lazily per corpus (the
+    * [[graft.queries.JoinQueries]] SessionScopedCache), each arriving
+    * fact block computes its projection FROM ITS OWN ROWS and commits
+    * base + projection in ONE directory rename — the ClickHouse
+    * per-part projection contract (a part and its projections are one
+    * atomic unit; reference `sql/V1__create_trades_table.sql`'s table
+    * is the base this would hang off). The block dir carries
+    * `side=base` (the fact rows) and `side=proj` (per-symbol partial
+    * aggregates: count + EXACT decimal volume via
+    * [[graft.ops.Ops.dsumPartial]]), so:
+    *  - atomicity is strictly stronger than a catalog-table append
+    *    ([[graft.store.Store.writeBucketed]]'s `saveAsTable` cannot
+    *    join a block's rename transaction, which is why the ingest
+    *    path maintains a per-block projection rather than appending
+    *    to the session-catalog bucketed table — that one remains the
+    *    right vehicle for the JOIN access path, built once per
+    *    corpus);
+    *  - TTL retires base and projection together ([[ttlReadback]]'s
+    *    expire applies to the whole block dir — a separate projection
+    *    store would need its own fenced retention);
+    *  - an at-least-once replay of an expired block is refused for
+    *    both sides by the same watermark gate.
+    * The probe answers the per-symbol rollup ONLY from the projection
+    * partials (merge = sum of counts + [[graft.ops.Ops.decFinal]]
+    * over exact decimal partials), hash-gated against the flat DuckDB
+    * spelling over the raw rows — a projection that lost a block,
+    * double-counted a replay, or drifted from its base is a hash
+    * mismatch. At 100 TB the readback scans ~|symbols|·|blocks|
+    * projection rows instead of the fact table: the aggregate-
+    * projection win, maintained incrementally at ingest instead of
+    * rebuilt per query. */
+  val projectionIngest: NamedQuery = NamedQuery(
+    "trades_projection_ingest",
+    s"""WITH ${Sql.tradesCte}
+       |SELECT symbol,
+       |       count(*) AS trades,
+       |       ${Sql.dsum("qty")} AS volume
+       |FROM trades
+       |WHERE (day(ts) - 1) // 8 >= 1
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.store.BlockStore
+    val store = graft.store.Store.scratchStore("projmv")
+    val t = trades(s, d)
+      .select(col("symbol"), col("qty"),
+        expr("(day(ts) - 1) div 8").as("block"))
+    // one corpus pass stages all four 8-day blocks (the ttlReadback
+    // ingest discipline)
+    val staged = java.nio.file.Paths.get(store, "_ingest_stage")
+    t.where(col("block").between(0L, 3L))
+      .repartition(col("block"))
+      .write.partitionBy("block").mode("overwrite").parquet(staged.toString)
+    def stageBlock(b: Long): Boolean =
+      BlockStore.writeBlock(store, b) { tmp =>
+        val tmpP = java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(tmp))
+        val base = tmpP.resolve("side=base")
+        val src = staged.resolve(s"block=$b")
+        if (java.nio.file.Files.isDirectory(src))
+          java.nio.file.Files.move(src, base)
+        else // an empty 8-day bucket still commits as an explicit block
+          t.where(col("block") === b).select("symbol", "qty")
+            .repartition(1).write.mode("overwrite").parquet(base.toString)
+        // the projection, computed from the part's own rows, lands in
+        // the SAME tmp dir — the one rename commits both sides
+        s.read.parquet(base.toString)
+          .groupBy("symbol")
+          .agg(count(lit(1)).as("cnt"),
+            Ops.dsumPartial(col("qty")).as("vol"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(tmpP.resolve("side=proj").toString)
+      }
+    (0L to 3L).foreach(stageBlock)
+    BlockStore.expire(store, beforeBlockId = 1L)
+    // replay refusal covers the projection too: the block dir is one unit
+    require(!stageBlock(0L),
+      "expired block resurrected through the sink path")
+    val root = java.nio.file.Paths.get(store).toAbsolutePath
+    val projDirs = BlockStore.blockDirs(root)
+      .map(_.resolve("side=proj").toString)
+    s.read.option("basePath", root.toString).parquet(projDirs: _*)
+      .groupBy("symbol")
+      .agg(sum(col("cnt")).as("trades"), Ops.decFinal(col("vol")).as("volume"))
+      .orderBy("symbol")
+  }
+
   /** ST4 option (a) — the WATERMARKED streaming candle path — run to
     * completion and hash-gated (previously test-only; the merge path,
     * option (b), is gated via [[candleMerge]]): the 2-day trade window
@@ -1425,5 +1513,6 @@ object TradeQueries {
     candlesStreamed, ingestDecode,
     dedupLatest, movingVolume, volumeShare, priceQuantiles,
     histQuantiles, priceHistogram, priceStats, minuteReturns, unpivotOhlc, ewma,
-    drawdown, ohlcv1h, weightedMedian, twap, deltaSum, ttlReadback)
+    drawdown, ohlcv1h, weightedMedian, twap, deltaSum, ttlReadback,
+    projectionIngest)
 }
