@@ -1697,6 +1697,16 @@ object DocQueries {
     // beyond 2^50 while remaining the same hard stop the plain
     // propagation had
     val MaxRounds = 50
+    // ADAPTIVE SHORTCUT (r16, the r15-verdict clawback): the first two
+    // rounds run PLAIN propagation — real near-dup components are
+    // cliques and shallow chains that converge inside the warmup, so
+    // the common case pays zero shortcut constant (the r15
+    // always-shortcut spelling cost sf0.1 a measured ~1 s of self-join
+    // + checkpoint per round that its shallow graph could never repay).
+    // From round 3 the path-halving shortcut engages, so an
+    // adversarial long chain still converges in warmup + O(log
+    // diameter) rounds — CcChainSpec pins ≤10 rounds at diameter 39.
+    val ShortcutWarmup = 2
     while (!converged && rounds < MaxRounds) {
       val prop = edges
         .join(labels, edges("dst") === labels("id"))
@@ -1712,11 +1722,13 @@ object DocQueries {
       // are ids; both steps only copy existing labels), so the join
       // always hits — the coalesce is belt-and-braces for the root,
       // whose label is itself.
-      val next = once.as("a")
-        .join(once.select(col("id").as("lid"), col("label").as("llab"))
-          .as("b"), col("a.label") === col("lid"), "left")
-        .select(col("a.id").as("id"),
-          coalesce(col("llab"), col("a.label")).as("label"))
+      val next =
+        if (rounds < ShortcutWarmup) once
+        else once.as("a")
+          .join(once.select(col("id").as("lid"), col("label").as("llab"))
+            .as("b"), col("a.label") === col("lid"), "left")
+          .select(col("a.id").as("id"),
+            coalesce(col("llab"), col("a.label")).as("label"))
       val nextSum = labelSum(next)
       converged = prevSum == nextSum
       prevSum = nextSum
