@@ -28,11 +28,23 @@ object ShuffleBytes {
     // unscaled, so AQE broadcasts them and hides the fact-side exchange
     // a multi-GB dim would force; "-1" on both thresholds restores it
     val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST_THRESHOLD", "10MB")
+    // diagnostic knobs for the non-memory-speed-shuffle shape: local[32]
+    // shuffles through the page cache, so exchange-byte differences never
+    // reach the wall column; shrinking spark.memory.fraction (with a small
+    // SPARK_DRIVER_MEM heap) forces the sorter/aggregator to spill, which
+    // makes every exchanged byte pay a serialize+disk round-trip — the
+    // closest local stand-in for a network-bound cluster's per-byte cost.
+    // Disabling shuffle compression makes the byte term itself bigger.
+    val memFrac = sys.env.getOrElse("SPARK_GRAFT_MEMORY_FRACTION", "0.6")
+    val shufComp = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.autoBroadcastJoinThreshold", bcast)
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
+      .config("spark.memory.fraction", memFrac)
+      .config("spark.shuffle.compress", shufComp)
+      .config("spark.shuffle.spill.compress", shufComp)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
