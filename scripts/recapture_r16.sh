@@ -10,12 +10,13 @@ set -e
 cd /root/repo
 rm -f target/RECAPTURE_DONE target/RECAPTURE_FAILED
 
-# r16 trend subset (35 lines): r15's 32 plus the three r16
+# r16 trend subset (36 lines): r15's 32 plus the four r16
 # registrations — docs_corpus_build_neardup (the near-dup-cluster
 # corpus capstone, r15 verdict task 4), docs_source_greedy (bounded-k
-# greedy max-coverage source selection, task 5), and
+# greedy max-coverage source selection, task 5),
 # trades_projection_ingest (per-block aggregate projection maintained
-# at ingest, task 6). Per the r15 task-8 discipline, every query
+# at ingest, task 6), and docs_corpus_build_keepbest (quality-aware
+# rep selection). Per the r15 task-8 discipline, every query
 # registered this round lands in the trend subset the same round.
 TREND="docs_ngram_jaccard,docs_containment,docs_dedup_then_simhash,\
 emb_ivf_streamed,emb_ivf_streamed_sql,docs_dup_clusters,\
@@ -28,7 +29,8 @@ emb_knn_accuracy,emb_near_dup,docs_normalized_dedup,\
 joins_revenue_region_month,trades_gapfill_asof,trades_ingest_decode,\
 media_frame_sample,joins_revenue_region_month_bucketed,docs_cluster_split,\
 joins_top_suppliers_bucketed,docs_source_novelty,\
-docs_corpus_build_neardup,docs_source_greedy,trades_projection_ingest"
+docs_corpus_build_neardup,docs_source_greedy,trades_projection_ingest,\
+docs_corpus_build_keepbest"
 
 run() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$2" \

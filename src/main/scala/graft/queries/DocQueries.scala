@@ -2397,6 +2397,121 @@ object DocQueries {
       .orderBy("lang", "split")
   }
 
+  /** QUALITY-AWARE rep selection (r16) — [[corpusBuildNearDup]] with the
+    * keep-criterion production curation actually uses: instead of each
+    * near-dup cluster's MIN-ID member, keep its BEST-QUALITY member
+    * (the shared [[scoreDuck]]/[[scoreSpark]] composite, ties broken by
+    * doc_id), THEN gate. The order is equivalent to gating first and
+    * keeping the best survivor — the gate is a threshold on the same
+    * score the argmax maximizes, so the best member passes iff any
+    * member does — but keeps the dataflow one window pass. The split
+    * stays keyed on the CLUSTER label (never the surviving doc's id),
+    * so survivor choice can never move a cluster across the
+    * train/val/test boundary. `id_sum` pins survivor IDENTITY per
+    * stratum: keep-best vs keep-min twins can coincide on counts while
+    * choosing different docs, and the checksum is what the oracle
+    * hash-gates.
+    *
+    * Engine agreement rides [[corpusBuildNearDup]]'s rep-graph =
+    * per-doc-graph argument unchanged, plus one new observation: both
+    * engines rank the SAME candidate set (exact-dedup survivors — a
+    * non-rep member is byte-identical to its rep, so restricting to
+    * reps never removes a distinct score) by doubles computed through
+    * the pinned shared formulation, so `DESC NULLS LAST, doc_id` is
+    * the same total order on both sides. NULL-text docs score NULL,
+    * rank last, and die at the gate in both engines.
+    *
+    * Shape at 100 TB: identical to [[corpusBuildNearDup]] plus one
+    * window over the cluster key — a hash shuffle on an 8-byte
+    * near-unique key with per-group sort bounded by cluster size
+    * (bucket-bounded by construction), then map-side stages and one
+    * low-cardinality agg. */
+  val corpusBuildKeepBest: NamedQuery = NamedQuery(
+    "docs_corpus_build_keepbest",
+    s"""WITH RECURSIVE $gramCteDuck,
+       |$componentLabDuck,
+       |dedup AS (
+       |  SELECT lang, n_chars, text, doc_id FROM (
+       |    SELECT lang, n_chars, text, doc_id,
+       |           row_number() OVER (PARTITION BY md5(text)
+       |                              ORDER BY doc_id) AS rn
+       |    FROM documents)
+       |  WHERE rn = 1
+       |),
+       |reps AS (
+       |  SELECT d.lang, d.n_chars, d.doc_id,
+       |         COALESCE(l.cluster, d.doc_id) AS cluster,
+       |         $scoreDuck AS score
+       |  FROM dedup d LEFT JOIN lab l ON l.id = d.doc_id
+       |),
+       |kept AS (
+       |  SELECT lang, n_chars, doc_id, cluster, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cluster
+       |               ORDER BY score DESC NULLS LAST, doc_id) AS krn
+       |    FROM reps)
+       |  WHERE krn = 1
+       |),
+       |gated AS (
+       |  SELECT lang, n_chars, doc_id, cluster FROM kept
+       |  WHERE score >= 0.5
+       |),
+       |sampled AS (
+       |  SELECT lang, n_chars, doc_id, cluster FROM gated
+       |  WHERE CAST('0x' || substr(md5('s-' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |             AS BIGINT) % 100 < ${pctCaseSql("lang")}
+       |),
+       |assigned AS (
+       |  SELECT lang, n_chars, doc_id,
+       |         CASE WHEN b < 8 THEN 'train'
+       |              WHEN b = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM (SELECT lang, n_chars, doc_id, ${bucketDuckOf("cluster")} AS b
+       |        FROM sampled)
+       |)
+       |SELECT lang, split,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM assigned
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    // exact-dedup survivors ARE textGroups' reps; NULL-text docs are
+    // dropped at tg on the Spark side and at the gate (NULL score) on
+    // the oracle side — same survivors either way
+    val tg = textGroups(dd)
+    val g = gramProfilesOf(tg.select(col("rep").as("doc_id"), col("text")))
+    val labels = repClusterLabels(g)
+    val reps = tg.select(col("rep"), col("text"))
+      .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("rep").as("doc_id"), col("text"),
+        coalesce(col("label"), col("rep")).as("cluster"))
+      // narrow 8-byte-key hash join to recover the scoring columns
+      .join(dd.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      .withColumn("score", scoreSpark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("score").desc_nulls_last, col("doc_id"))
+    val kept = reps.withColumn("krn", row_number().over(w))
+      .where(col("krn") === 1)
+    val gated = kept.where(col("score") >= 0.5)
+    val sampleH = expr(
+      "cast(conv(substr(md5(concat('s-', cast(doc_id AS string))), 1, 8), 16, 10) AS bigint) % 100")
+    val sampled = gated.where(sampleH <
+      when(col("lang") === "en", SamplePct("en")).otherwise(SamplePct("other")))
+    val b = expr(bucketSparkOf("cluster"))
+    sampled
+      .select(col("lang"), col("n_chars"), col("doc_id"),
+        when(b < 8, "train").when(b === 8, "val").otherwise("test")
+          .as("split"))
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang", "split")
+  }
+
   /** ASYMMETRIC containment |A∩B| / |A| — the near-dup metric Jaccard
     * misses: a short document wholly embedded in a long one scores low
     * Jaccard (the union is dominated by the long side) but containment
@@ -3954,6 +4069,7 @@ object DocQueries {
     tfidfTop, trainSplit, stratifiedSample, qualityQuartiles, dupClusters,
     clusterSplit,
     bigramLm, simhashHamming, corpusBuild, corpusBuildNearDup,
+    corpusBuildKeepBest,
     containment, langSources,
     sourceNovelty, sourceGreedy,
     redaction, packSequences, repetition, contamination, spanDedup,

@@ -302,6 +302,43 @@ class QualityOpsSpec extends SparkSpec {
     assert(nd == 3L, s"near-dup capstone kept $nd")
   }
 
+  test("keep-best corpus build: picks the cluster's best-quality member " +
+    "where the min-id twin picks the smallest id") {
+    // one near-dup cluster whose HIGHER-id member scores higher: B is A
+    // plus an appended ' the the the' — +3 stopword tokens raise the
+    // stop-ratio term (0.3 × 3/103) while appending at the tail only
+    // ADDS ~3 stride-4 grams (earlier stride offsets don't move), so
+    // char-4-gram jaccard ≈ 175/179 stays ≥ the 0.9 cluster tau and
+    // the first-3-token blocking bucket is unchanged. Both ids are
+    // in-sample; the split keys on the CLUSTER label (= min id) either
+    // way, so survivor choice is the twins' only difference.
+    val a = (1 to 100).map(i => f"kbt$i%03d").mkString(" ")
+    val b = a + " the the the"
+    def sampledId(skip: Int): Long =
+      Iterator.from(0).map(_.toLong).filter(sampleHash(_) < 60)
+        .drop(skip).next()
+    val idA = sampledId(0)
+    val idB = sampledId(1)
+    assert(idA < idB)
+    val dir = writeDocs(Seq((idA, a, "aa"), (idB, b, "aa")))
+    def row(q: NamedQuery) =
+      q.run(spark, dir).collect().ensuring(_.length == 1).head
+    val kb = row(graft.queries.DocQueries.corpusBuildKeepBest)
+    val nd = row(graft.queries.DocQueries.corpusBuildNearDup)
+    val kbm = kb.schema.fieldNames.zipWithIndex.toMap
+    val ndm = nd.schema.fieldNames.zipWithIndex.toMap
+    // both twins collapse the cluster to ONE survivor…
+    assert(kb.getLong(kbm("n_docs")) == 1L)
+    assert(nd.getLong(ndm("n_docs")) == 1L)
+    // …but keep-best keeps B (higher score, higher id, longer text)
+    // while the min-id twin keeps A — identity pinned by the checksum
+    assert(kb.getLong(kbm("id_sum")) == idB,
+      s"keep-best kept id_sum ${kb.getLong(kbm("id_sum"))}, want $idB")
+    assert(kb.getLong(kbm("total_chars")) == b.length.toLong)
+    assert(nd.getLong(ndm("total_chars")) == a.length.toLong,
+      "min-id twin must keep the smaller-id (shorter) member")
+  }
+
   test("dedup-then-simhash equals the plain pairing on the pre-deduped corpus") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
