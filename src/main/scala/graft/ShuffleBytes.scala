@@ -37,7 +37,15 @@ object ShuffleBytes {
     // Disabling shuffle compression makes the byte term itself bigger.
     val memFrac = sys.env.getOrElse("SPARK_GRAFT_MEMORY_FRACTION", "0.6")
     val shufComp = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true")
-    val spark = SparkSession.builder()
+    // open-ended diagnostic conf: "k=v;k=v" — needed because the
+    // spill-forcing shape interacts with AQE (e.g. coalesced reduce
+    // partitions re-inflate a shuffled-hash build side past the shrunken
+    // per-task execution cap, which OOMs instead of spilling — the
+    // build-side HashedRelation is the one structure that can't spill)
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(';').map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+    val base = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.autoBroadcastJoinThreshold", bcast)
@@ -48,7 +56,9 @@ object ShuffleBytes {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra confs apply LAST so the knob can override any default above
+    val spark = extra.foldLeft(base) {
+      case (b, (k, v)) => b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val bytes = new LongAdder
