@@ -10,14 +10,15 @@ set -e
 cd /root/repo
 rm -f target/RECAPTURE_DONE target/RECAPTURE_FAILED
 
-# r16 trend subset (36 lines): r15's 32 plus the four r16
+# r16 trend subset (37 lines): r15's 32 plus the five r16
 # registrations — docs_corpus_build_neardup (the near-dup-cluster
 # corpus capstone, r15 verdict task 4), docs_source_greedy (bounded-k
 # greedy max-coverage source selection, task 5),
 # trades_projection_ingest (per-block aggregate projection maintained
-# at ingest, task 6), and docs_corpus_build_keepbest (quality-aware
-# rep selection). Per the r15 task-8 discipline, every query
-# registered this round lands in the trend subset the same round.
+# at ingest, task 6), docs_corpus_build_keepbest (quality-aware
+# rep selection), and docs_source_overlap (pairwise source-overlap
+# matrix). Per the r15 task-8 discipline, every query registered this
+# round lands in the trend subset the same round.
 TREND="docs_ngram_jaccard,docs_containment,docs_dedup_then_simhash,\
 emb_ivf_streamed,emb_ivf_streamed_sql,docs_dup_clusters,\
 docs_ingest_dedup_gate,docs_simhash_hamming,docs_span_dedup,\
@@ -30,7 +31,7 @@ joins_revenue_region_month,trades_gapfill_asof,trades_ingest_decode,\
 media_frame_sample,joins_revenue_region_month_bucketed,docs_cluster_split,\
 joins_top_suppliers_bucketed,docs_source_novelty,\
 docs_corpus_build_neardup,docs_source_greedy,trades_projection_ingest,\
-docs_corpus_build_keepbest"
+docs_corpus_build_keepbest,docs_source_overlap"
 
 run() {
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$2" \

@@ -2123,6 +2123,87 @@ object DocQueries {
 
   /** Greedy selection rounds for [[sourceGreedy]] — bounded so the
     * driver-side loop (and the unrolled oracle) stay O(1). */
+  /** PAIRWISE source-overlap matrix (r16) — the third leg of the
+    * source-curation family: [[sourceNovelty]] values sources in a
+    * fixed order, [[sourceGreedy]] selects them, and this answers the
+    * diagnostic question both rest on — WHICH sources duplicate each
+    * other, and in which direction. For every unordered source pair:
+    * shared distinct hashed word bigrams (the same fused
+    * [[graft.functions.GramIds]] 52-bit ids as the twins, NULL source
+    * coalesced to ''), Jaccard, and BOTH containments — `cont_a` ≈ 1
+    * flags src_a as (near-)subsumed by src_b, the actionable signal a
+    * mirror/scrape pipeline drops sources on. Pair universe = sources
+    * holding ≥ 1 bigram, in both engines. Integer set sizes under one
+    * IEEE division each ⇒ exact cross-engine; ordering is total
+    * (jaccard DESC, then the pair).
+    *
+    * Shape at 100 TB: the same ONE (source, gram) distinct exchange
+    * as the twins; the shared-count self-join keys on the 8-byte gram
+    * id — per gram the output is (holders choose 2) ≤ |S|²/2, settled
+    * by a map-side-combining (src_a, src_b) agg, so the pair term is
+    * vocab × avg-holders², never docs². The all-pairs completion join
+    * runs on the ≤|S|-row counts frame (a broadcast nested loop over a
+    * handful of rows — deliberate: the inequality condition on a tiny
+    * dimension frame is not a data-sized cartesian). */
+  val sourceOverlap: NamedQuery = NamedQuery(
+    "docs_source_overlap",
+    s"""WITH t AS (SELECT doc_id, COALESCE(source, '') AS source,
+       |                  $tokHashListDuck AS t
+       |           FROM documents),
+       |bg0 AS (
+       |  SELECT source,
+       |         unnest(list_transform(range(1, len(t)),
+       |           i -> ${gramFold(j => s"t[i + $j]", 2)})) AS g
+       |  FROM t WHERE len(t) >= 2
+       |),
+       |bg AS (SELECT DISTINCT source, g FROM bg0),
+       |ng AS (SELECT source, count(*) AS n FROM bg GROUP BY 1),
+       |sh AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS shared
+       |  FROM bg x JOIN bg y ON x.g = y.g AND x.source < y.source
+       |  GROUP BY 1, 2
+       |),
+       |p AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         a.n AS na, b.n AS nb,
+       |         COALESCE(sh.shared, 0) AS shared_grams
+       |  FROM ng a JOIN ng b ON a.source < b.source
+       |  LEFT JOIN sh ON sh.src_a = a.source AND sh.src_b = b.source
+       |)
+       |SELECT src_a, src_b, shared_grams,
+       |       CAST(shared_grams AS DOUBLE)
+       |         / (na + nb - shared_grams) AS jaccard,
+       |       CAST(shared_grams AS DOUBLE) / na AS cont_a,
+       |       CAST(shared_grams AS DOUBLE) / nb AS cont_b
+       |FROM p
+       |ORDER BY jaccard DESC, src_a, src_b""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val g = docs(s, d)
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
+      .distinct()
+    val ng = g.groupBy("source").agg(count(lit(1)).as("n"))
+    val sh = g.as("x").join(g.as("y"),
+        col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    // ng is ≤|sources| rows: the a<b completion join is a broadcast
+    // nested loop over a dimension-sized frame, never the corpus
+    val p = ng.as("a").join(ng.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .join(sh, Seq("src_a", "src_b"), "left")
+      .withColumn("shared_grams", coalesce(col("shared"), lit(0L)))
+    // every ng source holds ≥1 gram, so na/nb > 0 and the union
+    // na + nb − shared ≥ max(na, nb) > 0 — no 0/0 branch needed
+    p.select(col("src_a"), col("src_b"), col("shared_grams"),
+        (col("shared_grams").cast("double")
+          / (col("na") + col("nb") - col("shared_grams"))).as("jaccard"),
+        (col("shared_grams").cast("double") / col("na")).as("cont_a"),
+        (col("shared_grams").cast("double") / col("nb")).as("cont_b"))
+      .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+  }
+
   private val GreedyK = 5
 
   /** GREEDY max-coverage source selection (r16) — the curation
@@ -4071,7 +4152,7 @@ object DocQueries {
     bigramLm, simhashHamming, corpusBuild, corpusBuildNearDup,
     corpusBuildKeepBest,
     containment, langSources,
-    sourceNovelty, sourceGreedy,
+    sourceNovelty, sourceGreedy, sourceOverlap,
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, contaminationBloom, dedupThenSimhash,
     lmSurprise,

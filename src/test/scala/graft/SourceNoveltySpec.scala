@@ -108,4 +108,52 @@ class SourceNoveltySpec extends SparkSpec {
       .toList
     assert(got == List((1L, "sA"), (2L, "sB")))
   }
+
+  test("overlap matrix: shared counts, jaccard, directional containment, " +
+    "and zero-overlap pairs from the completion join") {
+    val dir = tmpDir("novelty-overlap")
+    // srcA {ab, bc}; srcB {ab, xy}; srcC {ab, bc} (≡ A); srcD {mn}
+    Seq(
+      (1L, "a b c", "en", 5L, "srcA"),
+      (2L, "a b", "en", 3L, "srcB"),
+      (3L, "x y", "en", 3L, "srcB"),
+      (4L, "a b c", "en", 5L, "srcC"),
+      (5L, "m n", "en", 3L, "srcD"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DocQueries.sourceOverlap.run(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("shared_grams"), r.getAs[Double]("jaccard"),
+        r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))).toList
+    assert(got == List(
+      // identical vocabularies: jaccard 1, both containments 1
+      ("srcA", "srcC", 2L, 1.0, 1.0, 1.0),
+      // one of two bigrams shared: 1/(2+2-1); jaccard ties break on
+      // the pair
+      ("srcA", "srcB", 1L, 1.0 / 3, 0.5, 0.5),
+      ("srcB", "srcC", 1L, 1.0 / 3, 0.5, 0.5),
+      // disjoint vocabularies still emit a row (the completion join)
+      ("srcA", "srcD", 0L, 0.0, 0.0, 0.0),
+      ("srcB", "srcD", 0L, 0.0, 0.0, 0.0),
+      ("srcC", "srcD", 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("overlap flags one-sided subsumption: a source wholly contained " +
+    "in a bigger one shows cont≈1 on its side only") {
+    val dir = tmpDir("novelty-overlap-sub")
+    // small {ab} ⊂ big {ab, bc, cd}
+    Seq(
+      (1L, "a b", "en", 3L, "sSmall"),
+      (2L, "a b c d", "en", 7L, "sBig"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val Array(r) = DocQueries.sourceOverlap.run(spark, dir).collect()
+    assert(r.getAs[String]("src_a") == "sBig" &&
+      r.getAs[String]("src_b") == "sSmall")
+    assert(r.getAs[Long]("shared_grams") == 1L)
+    assert(r.getAs[Double]("cont_a") == 1.0 / 3) // big side: 1 of 3
+    assert(r.getAs[Double]("cont_b") == 1.0)     // small side subsumed
+    assert(r.getAs[Double]("jaccard") == 1.0 / 3)
+  }
 }
