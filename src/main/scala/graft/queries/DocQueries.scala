@@ -2016,8 +2016,22 @@ object DocQueries {
     // no per-bigram string concat + md5, no interpreted lambdas
     graft.functions.GraftFunctions.register(s)
     val hashedBigrams = expr("graft_gram_ids(text, 2)")
+    // BOUNDED-STATE shape (r17, the r16-verdict task 1 class fix): the
+    // bigram stream is hash-partitioned by gram id BEFORE any
+    // aggregation, so the count agg's hash table holds vocab/partitions
+    // keys per task instead of the whole vocabulary (the r16 300×
+    // capture measured the unpartitioned partial agg spilling 1.6 GB on
+    // a working set that grows with corpus vocabulary — unbounded).
+    // The exchange this inserts carries rows the plan was ALREADY
+    // exchanging: the count join below requires both sides clustered by
+    // g, so the raw bigram side paid this exact shuffle before the fix
+    // — now the ReusedExchange feeds the groupBy AND the join probe,
+    // and HashPartitioning(g) satisfies both downstream distributions,
+    // so neither re-exchanges. Net: one shuffle (was two), zero spill,
+    // per-task state bounded by vocab/partitions at any corpus size.
     val g = docs(s, d)
       .select(col("doc_id"), col("lang"), explode(hashedBigrams).as("g"))
+      .repartition(col("g"))
     val counts = g.groupBy("g").agg(count(lit(1)).as("c"))
     g.join(counts, "g")
       .groupBy("doc_id", "lang")
@@ -2049,10 +2063,12 @@ object DocQueries {
     * exact integer arithmetic (BIGINT `div`, no float drift).
     *
     * Shape at 100 TB: per-doc `array_distinct` settles doc-local dups
-    * map-side; ONE (source, gram) distinct exchange of 8-byte pairs;
-    * the gram-keyed `min(source)` agg combines map-side (grams
-    * near-unique ⇒ no skew); everything after is a ≤|sources|-row
-    * frame. Nothing is pairwise in sources or documents.
+    * map-side; ONE gram-keyed exchange of 8-byte pairs feeds BOTH the
+    * (source, gram) distinct and the gram-keyed `min(source)` agg with
+    * per-task state bounded at vocab/partitions (the r17 bounded-state
+    * shape — see the inline comment for the measured spill-vs-exchange
+    * arithmetic); grams near-unique ⇒ no skew; everything after is a
+    * ≤|sources|-row frame. Nothing is pairwise in sources or documents.
     *
     * NULL sources (r16, was an r15 ADVICE gap): a NULL source would
     * diverge between engines — Spark ORDER BY puts NULLs first, DuckDB
@@ -2092,9 +2108,31 @@ object DocQueries {
        |FROM j
        |ORDER BY source""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
+    // BOUNDED-STATE distinct (r17, r16-verdict task 1): hash-partition
+    // the (source, gram) pair stream by gram id BEFORE the DISTINCT.
+    // HashPartitioning(g) satisfies the distinct's
+    // ClusteredDistribution(source, g) (equal g ⇒ colocated ⇒ equal
+    // (source, g) colocated), so the distinct runs partial+final in ONE
+    // post-exchange stage whose hash table holds vocab/partitions keys
+    // per task — at 300× the unpartitioned spelling's map-side partial
+    // agg held the WHOLE vocabulary per task and spilled 1.59 GB mem /
+    // 287 MB disk (measured, r16), a term that grows without bound with
+    // corpus vocabulary. The trade, with the r16 arithmetic: the
+    // exchange now carries the doc-deduped raw pairs (~103 MB at 300×)
+    // instead of the fully-deduped 2.0 MB the spill-side sort bought —
+    // but it is ONE exchange reused by both consumers (the gram-keyed
+    // novel-holder agg below reads the same HashPartitioning(g) and
+    // re-exchanges NOTHING, where the old plan paid a second exchange),
+    // per-task state is bounded at any scale, and the spill term is
+    // gone. On a network-bound cluster the ~50× wire difference buys
+    // back at the per-gram agg: the novel-holder side previously
+    // shuffled the deduped pairs AGAIN on g — net wire is raw-pairs vs
+    // (2 MB + deduped-pairs), and raw/deduped ≈ cross-doc dup rate,
+    // bounded by the corpus' repetition, not its vocabulary.
     val g = docs(s, d)
       .select(coalesce(col("source"), lit("")).as("source"),
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
+      .repartition(col("g"))
       .distinct()
     val ng = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val nv = g.groupBy("g").agg(min(col("source")).as("source"))
@@ -2178,9 +2216,14 @@ object DocQueries {
        |FROM p
        |ORDER BY jaccard DESC, src_a, src_b""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
+    // the r17 bounded-state distinct shape ([[sourceNovelty]]'s inline
+    // comment has the measured arithmetic); here the gram-keyed
+    // partitioning additionally pre-positions BOTH sides of the shared-
+    // gram self-join below, which joins on g
     val g = docs(s, d)
       .select(coalesce(col("source"), lit("")).as("source"),
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
+      .repartition(col("g"))
       .distinct()
     val ng = g.groupBy("source").agg(count(lit(1)).as("n"))
     val sh = g.as("x").join(g.as("y"),
@@ -2274,10 +2317,14 @@ object DocQueries {
     }) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    // the one corpus-sized piece, computed once and reused k times
+    // the one corpus-sized piece, computed once and reused k times —
+    // gram-partitioned before the distinct (the r17 bounded-state
+    // shape, see [[sourceNovelty]]), which also lands the checkpointed
+    // pair frame pre-clustered on the anti-join key the rounds use
     val base = docs(s, d)
       .select(coalesce(col("source"), lit("")).as("source"),
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
+      .repartition(col("g"))
       .distinct()
       .localCheckpoint()
     val total = base.agg(countDistinct(col("g"))).head().getLong(0)
