@@ -35,9 +35,12 @@ import org.apache.spark.sql.functions._
   * so scale ratios recorded in COVERAGE.md are reproducible across
   * rounds and machines.
   *
-  * Usage: runMain graft.ScaleCorpus <srcSfDir> <outDir> [factor] [clean]
-  * — the optional `clean` flag switches `documents` to the low-dup
-  * recipe of [[scaledCleanDocs]] (all other tables keep the dup recipe).
+  * Usage: runMain graft.ScaleCorpus <srcSfDir> <outDir> [factor]
+  * [clean|manysrc[N]] — `clean` switches `documents` to the low-dup
+  * recipe of [[scaledCleanDocs]]; `manysrc` (optionally `manysrc512`)
+  * to the many-pseudo-sources + universal-boilerplate recipe of
+  * [[scaledManySrc]] (all other tables keep the dup recipe in both
+  * modes).
   */
 object ScaleCorpus {
 
@@ -131,8 +134,39 @@ object ScaleCorpus {
         "raise SuffixWidth or change the marker")
   }
 
+  /** MANY-SOURCES mode (r17, r16 verdict tasks 2/7): the live corpus
+    * has a handful of sources, so neither the overlap matrix's
+    * holders² pair term nor greedy selection's k anti-join rounds ever
+    * stress. This recipe keeps the dup id remap but (a) spreads
+    * documents over `nSources` pseudo-sources (`src_0000` …,
+    * deterministic `pmod(doc_id, n)` — copies land across sources, so
+    * sources share real vocabulary) and (b) appends a fixed
+    * [[BoilerplateTokens]]-token boilerplate sentence to EVERY
+    * document — the production phenomenon (license headers, nav bars)
+    * that mints grams held by ALL sources. Each boilerplate bigram is
+    * then a universal gram: the uncapped pair join emits
+    * |S|·(|S|−1)/2 rows for every one of them (the unguarded tail the
+    * capped spelling exists for), while `docs_source_overlap_capped`
+    * drops them under its τ=1/2 document-frequency rule. Tokens are
+    * `zzboiler00`… — shapes absent from the generated corpus
+    * vocabulary, so the knob adds exactly the universal grams it
+    * means to. */
+  private[graft] val BoilerplateTokens = 64
+  private[graft] val boilerplate: String =
+    (0 until BoilerplateTokens).map(i => f"zzboiler$i%02d").mkString(" ")
+
+  def scaledManySrc(df: DataFrame, idCols: Seq[String], factor: Int,
+                    nSources: Int): DataFrame =
+    scaled(df, idCols, factor)
+      .withColumn("source",
+        concat(lit("src_"),
+          lpad(pmod(col("doc_id"), lit(nSources.toLong)).cast("string"),
+            4, "0")))
+      .withColumn("text", concat(col("text"), lit(" " + boilerplate)))
+      .withColumn("n_chars", char_length(col("text")))
+
   def build(spark: SparkSession, src: String, out: String, factor: Int,
-            cleanDocs: Boolean = false): Unit =
+            cleanDocs: Boolean = false, manySrc: Int = 0): Unit =
     Tables.corpusTables.foreach { t =>
       val base = Tables.table(spark, src, t)
       val df = factIds.get(t) match {
@@ -154,7 +188,9 @@ object ScaleCorpus {
             if (cleanDocs && t == "documents") {
               assertCleanSuffixSafe(base, factor)
               scaledCleanDocs(base, ids, factor)
-            } else scaled(base, ids, factor)
+            } else if (manySrc > 0 && t == "documents")
+              scaledManySrc(base, ids, factor, manySrc)
+            else scaled(base, ids, factor)
           sc.repartition(8)
         case None => base // dims copy through unchanged
       }
@@ -166,6 +202,12 @@ object ScaleCorpus {
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val cleanDocs = args.length > 3 && args(3) == "clean"
+    // `manysrc` or `manysrc<N>` (default 256 pseudo-sources)
+    val manySrc =
+      if (args.length > 3 && args(3).startsWith("manysrc")) {
+        val n = args(3).stripPrefix("manysrc")
+        if (n.isEmpty) 256 else n.toInt
+      } else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -176,9 +218,11 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, src, out, factor, cleanDocs)
+    build(spark, src, out, factor, cleanDocs, manySrc)
     println(s"SCALED $src -> $out factor=$factor" +
-      (if (cleanDocs) " mode=clean" else " mode=dup"))
+      (if (cleanDocs) " mode=clean"
+       else if (manySrc > 0) s" mode=manysrc($manySrc)"
+       else " mode=dup"))
     spark.stop()
   }
 }

@@ -2247,6 +2247,121 @@ object DocQueries {
       .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
   }
 
+  /** The heavy-holder cap for [[sourceOverlap]]'s pair term, as an
+    * exact integer fraction: a gram held by MORE than
+    * Num/Den · |sources| sources is "universal" (boilerplate, stop
+    * phrases, license headers) and is excluded from the pair join.
+    * 1/2 — a gram in over half the sources says nothing about which
+    * PAIR duplicates which. Integer cross-multiplication
+    * (`holders·Den > |S|·Num`) keeps the rule float-free in both
+    * engines. */
+  private val OverlapCapNum = 1
+  private val OverlapCapDen = 2
+
+  /** [[sourceOverlap]] with a DOCUMENT-FREQUENCY cap (r17, the r16
+    * verdict's What's-wrong #2): the uncapped matrix's per-gram pair
+    * term is holders·(holders−1)/2 join rows BEFORE the map-side
+    * combine — bounded only by vocab × avg-holders², which hides the
+    * max-holders tail. One universal stop-gram at production source
+    * counts (|S| ~ 10⁴ per-domain sources) emits ~10⁸ rows alone, and
+    * real corpora HAVE such grams (boilerplate headers, license
+    * sentences). This spelling drops grams held by more than
+    * [[OverlapCapNum]]/[[OverlapCapDen]] of the sources from the pair
+    * join — the per-gram pair term is then bounded by (τ·|S|)² by
+    * construction — and keeps the semantics honest by reporting the
+    * excluded mass: `universal_grams` (the count of capped grams, the
+    * same value on every row) says exactly how much overlap signal the
+    * cap discarded. Set sizes (`na`/`nb`), shared counts, Jaccard and
+    * both containments are all over the CAPPED gram sets, so the
+    * numbers stay internally consistent (a pair's jaccard is the
+    * jaccard of their non-universal vocabularies); a source holding
+    * ONLY universal grams leaves the pair universe — its capped
+    * vocabulary is empty, and 0/0 rows would diverge between engines.
+    *
+    * Shape at 100 TB: identical to the uncapped twin up to the ONE
+    * gram-keyed exchange (bounded-state distinct, r17); the holders
+    * count is a second consumer of that same exchange; the cap filter
+    * is a broadcast of a 1-row source-count frame; the anti-join
+    * removing universal grams keys on g and re-uses the gram
+    * partitioning. Nothing new is corpus-sized, and the one term that
+    * was quadratic in a DATA property (max holders) is now quadratic
+    * only in the cap, a configured constant fraction. */
+  val sourceOverlapCapped: NamedQuery = NamedQuery(
+    "docs_source_overlap_capped",
+    s"""WITH t AS (SELECT doc_id, COALESCE(source, '') AS source,
+       |                  $tokHashListDuck AS t
+       |           FROM documents),
+       |bg0 AS (
+       |  SELECT source,
+       |         unnest(list_transform(range(1, len(t)),
+       |           i -> ${gramFold(j => s"t[i + $j]", 2)})) AS g
+       |  FROM t WHERE len(t) >= 2
+       |),
+       |bg AS (SELECT DISTINCT source, g FROM bg0),
+       |ns AS (SELECT count(DISTINCT source) AS n_src FROM bg),
+       |hold AS (SELECT g, count(*) AS h FROM bg GROUP BY 1),
+       |uni AS (SELECT g FROM hold, ns
+       |        WHERE h * $OverlapCapDen > n_src * $OverlapCapNum),
+       |nu AS (SELECT count(*) AS universal_grams FROM uni),
+       |kept AS (SELECT b.source, b.g FROM bg b
+       |         WHERE NOT EXISTS (SELECT 1 FROM uni u WHERE u.g = b.g)),
+       |ng AS (SELECT source, count(*) AS n FROM kept GROUP BY 1),
+       |sh AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS shared
+       |  FROM kept x JOIN kept y ON x.g = y.g AND x.source < y.source
+       |  GROUP BY 1, 2
+       |),
+       |p AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         a.n AS na, b.n AS nb,
+       |         COALESCE(sh.shared, 0) AS shared_grams
+       |  FROM ng a JOIN ng b ON a.source < b.source
+       |  LEFT JOIN sh ON sh.src_a = a.source AND sh.src_b = b.source
+       |)
+       |SELECT src_a, src_b, shared_grams,
+       |       CAST(shared_grams AS DOUBLE)
+       |         / (na + nb - shared_grams) AS jaccard,
+       |       CAST(shared_grams AS DOUBLE) / na AS cont_a,
+       |       CAST(shared_grams AS DOUBLE) / nb AS cont_b,
+       |       (SELECT universal_grams FROM nu) AS universal_grams
+       |FROM p
+       |ORDER BY jaccard DESC, src_a, src_b""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val g = docs(s, d)
+      .select(coalesce(col("source"), lit("")).as("source"),
+        explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
+      .repartition(col("g"))
+      .distinct()
+    // 1-row source-count frame: the cap threshold travels by broadcast,
+    // never a driver round-trip
+    val ns = g.select("source").distinct()
+      .agg(count(lit(1)).as("n_src"))
+    val uni = g.groupBy("g").agg(count(lit(1)).as("h"))
+      .crossJoin(broadcast(ns))
+      .where(col("h") * OverlapCapDen > col("n_src") * OverlapCapNum)
+      .select("g")
+    val nu = uni.agg(count(lit(1)).as("universal_grams")) // 1 row
+    val kept = g.join(uni, Seq("g"), "left_anti")
+    val ng = kept.groupBy("source").agg(count(lit(1)).as("n"))
+    val sh = kept.as("x").join(kept.as("y"),
+        col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    val p = ng.as("a").join(ng.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .join(sh, Seq("src_a", "src_b"), "left")
+      .withColumn("shared_grams", coalesce(col("shared"), lit(0L)))
+    p.crossJoin(broadcast(nu)) // 1-row universal-grams frame
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        (col("shared_grams").cast("double")
+          / (col("na") + col("nb") - col("shared_grams"))).as("jaccard"),
+        (col("shared_grams").cast("double") / col("na")).as("cont_a"),
+        (col("shared_grams").cast("double") / col("nb")).as("cont_b"),
+        col("universal_grams"))
+      .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+  }
+
   private val GreedyK = 5
 
   /** GREEDY max-coverage source selection (r16) — the curation
@@ -4199,7 +4314,7 @@ object DocQueries {
     bigramLm, simhashHamming, corpusBuild, corpusBuildNearDup,
     corpusBuildKeepBest,
     containment, langSources,
-    sourceNovelty, sourceGreedy, sourceOverlap,
+    sourceNovelty, sourceGreedy, sourceOverlap, sourceOverlapCapped,
     redaction, packSequences, repetition, contamination, spanDedup,
     filterFunnel, fuzzyContamination, contaminationBloom, dedupThenSimhash,
     lmSurprise,

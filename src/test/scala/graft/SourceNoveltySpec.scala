@@ -156,4 +156,73 @@ class SourceNoveltySpec extends SparkSpec {
     assert(r.getAs[Double]("cont_b") == 1.0)     // small side subsumed
     assert(r.getAs[Double]("jaccard") == 1.0 / 3)
   }
+
+  test("capped overlap: a universal gram (> half the sources) leaves the " +
+    "pair join, is reported in universal_grams, and a source holding " +
+    "ONLY universal grams leaves the pair universe") {
+    val dir = tmpDir("novelty-overlap-capped")
+    // every doc opens "u v" → bigram {uv} held by all 5 sources
+    // (5·2 > 5·1 ⇒ universal under τ=1/2); srcE holds NOTHING else
+    Seq(
+      (1L, "u v a b", "en", 7L, "srcA"),
+      (2L, "u v a b", "en", 7L, "srcB"), // capped-identical to srcA
+      (3L, "u v x y", "en", 7L, "srcC"),
+      (4L, "u v m n", "en", 7L, "srcD"),
+      (5L, "u v", "en", 3L, "srcE"))     // universal-only source
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DocQueries.sourceOverlapCapped.run(spark, dir).collect()
+    // srcE has an empty capped vocabulary → absent from the matrix
+    assert(!rows.exists(r => r.getAs[String]("src_a") == "srcE" ||
+      r.getAs[String]("src_b") == "srcE"))
+    assert(rows.forall(_.getAs[Long]("universal_grams") == 1L))
+    val got = rows.map(r => (r.getAs[String]("src_a"),
+      r.getAs[String]("src_b"), r.getAs[Long]("shared_grams"),
+      r.getAs[Double]("jaccard"))).toList
+    // capped sets: A{va,ab} B{va,ab} C{vx,xy} D{vm,mn} — A≡B under the
+    // cap (uncapped they'd share 3 grams of 3: both shapes jaccard 1,
+    // but shared_grams pins that uv was EXCLUDED, not merely agreed on)
+    assert(got == List(
+      ("srcA", "srcB", 2L, 1.0),
+      ("srcA", "srcC", 0L, 0.0),
+      ("srcA", "srcD", 0L, 0.0),
+      ("srcB", "srcC", 0L, 0.0),
+      ("srcB", "srcD", 0L, 0.0),
+      ("srcC", "srcD", 0L, 0.0)))
+    // the uncapped twin on the same corpus: srcE present, shared
+    // counts include the universal gram — the contrast the cap exists for
+    val un = DocQueries.sourceOverlap.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("shared_grams"))).toList
+    assert(un.contains(("srcA", "srcB", 3L)))
+    assert(un.count { case (a, b, _) => a == "srcE" || b == "srcE" } == 4)
+  }
+
+  test("many-sources corpus recipe: boilerplate bigrams are held by " +
+    "every pseudo-source and fall to the cap") {
+    val dir = tmpDir("novelty-manysrc")
+    import org.apache.spark.sql.functions._
+    // 12 docs over 4 pseudo-sources via the ScaleCorpus recipe at
+    // factor 1 (id remap is identity at one copy)
+    val base = (1L to 12L).map(i => (i, s"w$i x$i y$i", "en", 8L, "orig"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    ScaleCorpus.scaledManySrc(base, Seq("doc_id"), 1, 4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(docs.select("source").distinct().count() == 4)
+    assert(docs.where(col("text").contains("zzboiler00")).count() == 12)
+    val capped = DocQueries.sourceOverlapCapped.run(spark, dir).collect()
+    // the 63 boilerplate bigrams + nothing else is universal (each
+    // doc's own bigrams are unique to it); every one is capped
+    assert(capped.head.getAs[Long]("universal_grams") ==
+      ScaleCorpus.BoilerplateTokens - 1)
+    // with boilerplate capped, the pseudo-sources share only their
+    // bridge bigrams (lastToken→zzboiler00 is per-doc unique): all
+    // shared counts are 0
+    assert(capped.forall(_.getAs[Long]("shared_grams") == 0L))
+    // the uncapped twin sees every pair sharing all 63 boilerplate grams
+    val un = DocQueries.sourceOverlap.run(spark, dir).collect()
+    assert(un.forall(_.getAs[Long]("shared_grams") ==
+      ScaleCorpus.BoilerplateTokens - 1))
+  }
 }
