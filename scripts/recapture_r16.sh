@@ -50,10 +50,13 @@ fail() { touch target/RECAPTURE_FAILED; exit 1; }
 # later clobber of the unstamped files detectable at READ time, but the
 # cheap fix is refusing to (re)generate the closing record when an
 # unstamped capture is NEWER than the stamped one it shadows — that is
-# exactly the r11 clobber scenario in flight. This check runs both here
-# (before capturing, catching a stale stamped set about to be quoted)
-# and is the reason closing_record.py must only ever be run right after
-# this script finishes.
+# exactly the r11 clobber scenario in flight. The check runs ONCE, at
+# end-of-run (just before the DONE sentinel), so it catches a clobber
+# that happened DURING this run; it is also the reason
+# closing_record.py must only ever be run right after this script
+# finishes. (r17 ADVICE fix: this comment previously claimed a
+# before-capture invocation that never existed; the r17 script calls
+# the guard at both points.)
 provenance_guard() {
   for base in bench_metrics bench_scale10 bench_scale30 bench_scale100 \
               bench_scale300; do

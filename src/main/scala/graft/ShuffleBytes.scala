@@ -37,7 +37,11 @@ object ShuffleBytes {
     // Disabling shuffle compression makes the byte term itself bigger.
     val memFrac = sys.env.getOrElse("SPARK_GRAFT_MEMORY_FRACTION", "0.6")
     val shufComp = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true")
-    // open-ended diagnostic conf: "k=v;k=v" — needed because the
+    // open-ended diagnostic conf: "k=v;k=v" — the split is on ';'
+    // unconditionally, so a conf VALUE containing a semicolon (e.g. an
+    // extraJavaOptions list) cannot be expressed through this knob
+    // (its fragments drop as non-'=' tokens); none of the spill-shape
+    // confs this diagnostic exists for need one. Needed because the
     // spill-forcing shape interacts with AQE (e.g. coalesced reduce
     // partitions re-inflate a shuffled-hash build side past the shrunken
     // per-task execution cap, which OOMs instead of spilling — the
