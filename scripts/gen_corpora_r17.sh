@@ -2,7 +2,7 @@
 # Round-17 corpus regeneration: the driver's clean wiped target/, so the
 # deterministic ScaleCorpus recipe rebuilds every scale factor used by
 # this round's captures — the four r16 factors plus the NEW 1000x point
-# (r16 verdict task 6: ~15 GB, the spill-sensitive structural lines).
+# (r16 verdict task 6) and the many-sources corpora (tasks 2/7).
 set -e
 cd /root/repo
 rm -f target/GEN_DONE target/GEN_FAILED
@@ -17,5 +17,7 @@ gen target/scale30 30
 gen target/scale100 100
 gen target/scale300 300
 gen target/scale100clean 100 clean
+gen target/scale30manysrc 30 manysrc
+gen target/scale100manysrc 100 manysrc
 gen target/scale1000 1000
 touch target/GEN_DONE

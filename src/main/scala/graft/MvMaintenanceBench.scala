@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.{AnnMV, IndexMV}
 
-/** Long-horizon MV maintenance scenario at scale (r15): drives ≥8
-  * blocks of BOTH streamed-MV store families (the ANN inverted lists
-  * and the posting-list index) through interleaved ingest → compact →
-  * expire → compact cycles — the multi-day life of a continuously-fed
+/** Long-horizon MV maintenance scenario at scale (r15; projection
+  * family r17): drives ≥8 blocks of THREE streamed-MV store families
+  * (the ANN inverted lists, the posting-list index, and the ingest-
+  * maintained aggregate projection) through interleaved ingest →
+  * compact → expire → compact cycles — the multi-day life of a continuously-fed
   * materialized view, which the unit suites exercise only at toy block
   * counts — and HASH-GATES the final merge-on-read against a batch
   * twin built from exactly the non-expired documents/vectors.
@@ -132,11 +133,79 @@ object MvMaintenanceBench {
     require(idxGot == idxWant,
       s"index maintenance readback mismatch: store=$idxGot batch=$idxWant")
 
+    // ---------- ingest-maintained aggregate projection family (r17,
+    // r16 verdict task 5: the per-block projection's probe scans
+    // |symbols|·|blocks| partial rows — prove the maintenance horizon
+    // bounds it by MEASURING probe wall against live block count
+    // through the same 12-block lifecycle, and hash-gating the probe
+    // across compaction/expiry/replay) ----------
+    import graft.streaming.ProjectionMV
+    val t2 = System.nanoTime()
+    val proj = graft.store.Store.scratchStore("mvmaint-proj")
+    val tradesDf = Tables.trades(spark, sfDir)
+      .select(col("symbol"), col("qty"), col("trade_id"))
+    def projBlock(i: Int) = tradesDf
+      .where(blockOf("trade_id", i)).select("symbol", "qty")
+    val probeCurve =
+      scala.collection.mutable.ListBuffer.empty[(String, Int, Double)]
+    def probePoint(label: String): Unit = {
+      val live = graft.store.BlockStore.blockDirs(
+        java.nio.file.Paths.get(proj).toAbsolutePath).size
+      val t = System.nanoTime()
+      ProjectionMV.probe(spark, proj).collect()
+      probeCurve += ((label, live, (System.nanoTime() - t) / 1e9))
+    }
+    (0 to 3).foreach(i => ProjectionMV.writeBlock(projBlock(i), proj, i))
+    probePoint("ingest0-3")
+    ProjectionMV.compact(spark, proj, throughBlockId = 3L)
+    probePoint("compact3")
+    (4 to 5).foreach(i => ProjectionMV.writeBlock(projBlock(i), proj, i))
+    graft.store.BlockStore.expire(proj, beforeBlockId = 4L)
+    probePoint("expire4")
+    (6 to 8).foreach(i => ProjectionMV.writeBlock(projBlock(i), proj, i))
+    probePoint("ingest6-8")
+    ProjectionMV.compact(spark, proj, throughBlockId = 7L)
+    probePoint("compact7")
+    (9 to 11).foreach(i => ProjectionMV.writeBlock(projBlock(i), proj, i))
+    probePoint("ingest9-11")
+    graft.store.BlockStore.expire(proj, beforeBlockId = 8L)
+    ProjectionMV.compact(spark, proj, throughBlockId = 10L)
+    probePoint("expire8+compact10")
+    // replay of a retired block: refused for base AND projection
+    require(!ProjectionMV.writeBlock(projBlock(5), proj, 5L),
+      "projection replay of a retired block was accepted")
+    require(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(proj, "block=5")),
+      "projection replay of a retired block resurrected its block dir")
+
+    // hash gate: the probe (projection partials ONLY) must equal the
+    // batch aggregation over exactly the retained fact rows
+    val retainedTrades = tradesDf
+      .where(pmod(col("trade_id"), lit(NumBlocks)) >= 8).select("symbol", "qty")
+    val projCols = Seq("symbol", "trades", "volume")
+    val projGot = checksum(ProjectionMV.probe(spark, proj), projCols)
+    val projWant = checksum(
+      retainedTrades.groupBy("symbol")
+        .agg(count(lit(1)).as("trades"),
+          graft.ops.Ops.dsum(col("qty")).as("volume"))
+        .orderBy("symbol"),
+      projCols)
+    val wallProj = (System.nanoTime() - t2) / 1e9
+    require(projGot == projWant,
+      s"projection maintenance readback mismatch: " +
+        s"store=$projGot batch=$projWant")
+    val curveJson = probeCurve.map { case (l, b, w) =>
+      f"""{"step":"$l","live_blocks":$b,"probe_sec":$w%.3f}"""
+    }.mkString("[", ",", "]")
+
     println(s"""{"metric":"mv_maintenance","sf_dir":"$sfDir"""" +
       s""","blocks":$NumBlocks,"compactions":3,"expirations":2""" +
-      s""","replays_dropped":2,"ann_rows":${annGot._1}""" +
+      s""","replays_dropped":3,"ann_rows":${annGot._1}""" +
       f""","ann_match":true,"idx_terms":${idxGot._1},"idx_match":true""" +
-      f""","wall_ann_sec":$wallAnn%.2f,"wall_idx_sec":$wallIdx%.2f}""")
+      s""","proj_symbols":${projGot._1},"proj_match":true""" +
+      s""","proj_probe_curve":$curveJson""" +
+      f""","wall_ann_sec":$wallAnn%.2f,"wall_idx_sec":$wallIdx%.2f""" +
+      f""","wall_proj_sec":$wallProj%.2f}""")
     spark.stop()
   }
 }

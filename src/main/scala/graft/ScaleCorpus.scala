@@ -55,15 +55,32 @@ object ScaleCorpus {
     "orders"     -> Seq("o_orderkey"))
 
   /** F stacked copies with id columns shifted into disjoint ranges;
-    * column order preserved so the written schema matches the source. */
+    * column order preserved so the written schema matches the source.
+    *
+    * The SOURCE is repartitioned before the explode (r17): the sf0.1
+    * fact files are one or a few parquet files, so the ×F explode —
+    * the whole build's CPU — otherwise runs inside the scan's single
+    * task (measured: the 300× lineitem build pegged ONE core for 30+
+    * minutes while 31 idled). Exchanging the small source first costs
+    * nothing and spreads the explode across the write width; the
+    * produced ROWS are identical either way — only task boundaries
+    * move. */
   def scaled(df: DataFrame, idCols: Seq[String], factor: Int): DataFrame = {
     val cols = df.columns
-    df.withColumn("copy_i", explode(expr(s"sequence(0, ${factor - 1})")))
+    df.repartition(writeFiles(factor))
+      .withColumn("copy_i", explode(expr(s"sequence(0, ${factor - 1})")))
       .select(cols.map { c =>
         if (idCols.contains(c)) (col(c) + col("copy_i") * lit(Stride)).as(c)
         else col(c)
       }: _*)
   }
+
+  /** Output file count per fact table: 8 matches every capture ≤300×;
+    * the 1000× corpus (~15 GB, r16 verdict task 6) writes 64-way or
+    * the build serializes on 8 cores. Readers re-normalize scan
+    * parallelism via the wideScan guard, so file count is a
+    * write-wall detail, not a bench variable. */
+  private def writeFiles(factor: Int): Int = if (factor >= 1000) 64 else 8
 
   /** CLEAN-mode documents (r15): same F-copy id remap, but every copy
     * past the first rewrites EVERY token with a per-copy FIXED-WIDTH
@@ -97,7 +114,8 @@ object ScaleCorpus {
       : DataFrame = {
     require(factor <= 9999, s"clean suffix width $SuffixWidth caps factor at 9999")
     val cols = df.columns
-    df.withColumn("copy_i", explode(expr(s"sequence(0, ${factor - 1})")))
+    df.repartition(writeFiles(factor)) // parallelize the explode (see [[scaled]])
+      .withColumn("copy_i", explode(expr(s"sequence(0, ${factor - 1})")))
       .withColumn("text",
         when(col("copy_i") === 0, col("text"))
           .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
@@ -191,7 +209,11 @@ object ScaleCorpus {
             } else if (manySrc > 0 && t == "documents")
               scaledManySrc(base, ids, factor, manySrc)
             else scaled(base, ids, factor)
-          sc.repartition(8)
+          // the pre-explode source repartition already fixed the
+          // partition count at writeFiles(factor) — each task explodes
+          // its slice and writes one file, no post-explode shuffle of
+          // the scaled data
+          sc
         case None => base // dims copy through unchanged
       }
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")

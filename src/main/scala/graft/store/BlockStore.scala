@@ -507,16 +507,47 @@ object BlockStore {
               throughBlockId: Long, partitionCols: Seq[String] = Nil)(
       fold: DataFrame => DataFrame): Unit = {
     val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
+    compactWith(spark, partialsPath, throughBlockId) {
+      (oldBlocks, foldedDir) =>
+        val folded = fold(
+          spark.read.option("basePath", root.toString)
+            .parquet(oldBlocks.map(_.toString): _*))
+        // a physically-partitioned family (the ANN inverted lists) keeps
+        // its layout through compaction so the probe's prune survives
+        if (partitionCols.nonEmpty)
+          folded
+            .repartition(partitionCols.map(
+              org.apache.spark.sql.functions.col): _*)
+            .write.partitionBy(partitionCols: _*)
+            .mode("overwrite").parquet(foldedDir)
+        else
+          folded.coalesce(1)
+            .write.mode("overwrite").parquet(foldedDir)
+    }
+  }
+
+  /** [[compact]] for block families whose block dir is NOT one
+    * homogeneous parquet table (r17: the ingest-maintained aggregate
+    * projection commits `side=base` + `side=proj` with two schemas in
+    * one block dir, which the single-DataFrame `fold` above cannot
+    * read together). `stageFold(oldBlocks, foldedDir)` must write the
+    * complete folded block dir; everything else — lease/fencing, the
+    * crash-safe parent-level swap, watermark preservation, retained-
+    * block copy, late-block capture, folded-block naming — is the one
+    * audited implementation both entry points share. */
+  def compactWith(spark: SparkSession, partialsPath: String,
+                  throughBlockId: Long)(
+      stageFold: (List[java.nio.file.Path], String) => Unit): Unit = {
+    val root = java.nio.file.Paths.get(partialsPath).toAbsolutePath
     val lease = acquireMaintenanceLease(partialsPath)
-    try compactHoldingLease(spark, root, throughBlockId, partitionCols,
-      lease)(fold)
+    try compactHoldingLease(root, throughBlockId, lease)(stageFold)
     finally lease.release()
   }
 
   private def compactHoldingLease(
-      spark: SparkSession, root: java.nio.file.Path, throughBlockId: Long,
-      partitionCols: Seq[String], lease: MaintenanceLease)(
-      fold: DataFrame => DataFrame): Unit = {
+      root: java.nio.file.Path, throughBlockId: Long,
+      lease: MaintenanceLease)(
+      stageFold: (List[java.nio.file.Path], String) => Unit): Unit = {
     val wm = watermark(root)
     val (oldBlocks, retained) =
       blockDirs(root).partition(blockId(_) <= throughBlockId)
@@ -532,20 +563,7 @@ object BlockStore {
       if (wm != Long.MinValue)
         java.nio.file.Files.writeString(
           tmpPath.resolve(WatermarkFile), wm.toString + "\n")
-      val folded = fold(
-        spark.read.option("basePath", root.toString)
-          .parquet(oldBlocks.map(_.toString): _*))
-      // a physically-partitioned family (the ANN inverted lists) keeps
-      // its layout through compaction so the probe's prune survives
-      if (partitionCols.nonEmpty)
-        folded
-          .repartition(partitionCols.map(
-            org.apache.spark.sql.functions.col): _*)
-          .write.partitionBy(partitionCols: _*)
-          .mode("overwrite").parquet(s"$tmp/block=$foldedId")
-      else
-        folded.coalesce(1)
-          .write.mode("overwrite").parquet(s"$tmp/block=$foldedId")
+      stageFold(oldBlocks, s"$tmp/block=$foldedId")
       retained.foreach { src =>
         copyRecursively(src, tmpPath.resolve(src.getFileName.toString))
       }
