@@ -2020,30 +2020,41 @@ object DocQueries {
     // transform spelling): the Generate emits 8-byte longs directly,
     // no per-bigram string concat + md5, no interpreted lambdas
     graft.functions.GraftFunctions.register(s)
-    val hashedBigrams = expr("graft_gram_ids(text, 2)")
-    // BOUNDED-STATE shape (r17, the r16-verdict task 1 class fix): the
-    // bigram stream is hash-partitioned by gram id BEFORE any
-    // aggregation, so the count agg's hash table holds vocab/partitions
-    // keys per task instead of the whole vocabulary (the r16 300×
-    // capture measured the unpartitioned partial agg spilling 1.6 GB on
-    // a working set that grows with corpus vocabulary — unbounded).
-    // The exchange this inserts carries rows the plan was ALREADY
-    // exchanging: the count join below requires both sides clustered by
-    // g, so the raw bigram side paid this exact shuffle before the fix
-    // — now the ReusedExchange feeds the groupBy AND the join probe,
-    // and HashPartitioning(g) satisfies both downstream distributions,
-    // so neither re-exchanges. Net: one shuffle (was two), zero spill,
-    // per-task state bounded by vocab/partitions at any corpus size.
-    val g = docs(s, d)
-      .select(col("doc_id"), col("lang"), explode(hashedBigrams).as("g"))
+    // BOUNDED-STATE shape (r17, r16-verdict task 1), the [[sourceNovelty]]
+    // two-level discipline applied to a COUNTING query: every LM figure
+    // here is a pure function of a document's TEXT, so the corpus first
+    // collapses to its distinct-text histogram (md5 key + multiplicity
+    // w — the [[bpeTrain]] word-type-histogram move at document
+    // granularity; partial-agg state ∝ the task's distinct documents,
+    // input-bounded), grams explode ONCE per distinct text, and the
+    // stream is hash-partitioned by gram id so the corpus-count agg and
+    // the count join both run post-exchange with vocab/partitions keys
+    // per task — the r16 spelling's map-side count agg held the whole
+    // vocabulary per task (the measured 300× spill class), and a
+    // repartition-only fix shuffled every duplicated document's grams
+    // (measured 34.1 s vs ~12 s at the dup-heavy 300× point).
+    // Occurrence counts keep multiplicity via sum(w); per-doc stats are
+    // computed per distinct text and expanded back through an md5-keyed
+    // join (near-unique key, no skew), so dup docs score identically —
+    // exactly the old per-doc arithmetic, oracle-gated unchanged.
+    val types = docs(s, d)
+      .select(md5(col("text")).as("h"), col("text"))
+      .groupBy("h")
+      .agg(first(col("text")).as("text"), count(lit(1)).as("w"))
+    val tg = types
+      .select(col("h"), col("w"),
+        explode(expr("graft_gram_ids(text, 2)")).as("g"))
       .repartition(col("g"))
-    val counts = g.groupBy("g").agg(count(lit(1)).as("c"))
-    g.join(counts, "g")
-      .groupBy("doc_id", "lang")
+    val counts = tg.groupBy("g").agg(sum(col("w")).as("c"))
+    val perText = tg.join(counts, "g")
+      .groupBy("h")
       .agg(
         count(lit(1)).as("n_bi"),
         sum(col("c")).as("sum_c"),
         count(when(col("c") === 1, 1)).as("n_rare"))
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      .join(perText, "h")
       .select(col("doc_id"), col("lang"), col("n_bi"),
         (col("sum_c").cast("double") / col("n_bi").cast("double"))
           .as("mean_c"),
@@ -2113,29 +2124,35 @@ object DocQueries {
        |FROM j
        |ORDER BY source""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    // BOUNDED-STATE distinct (r17, r16-verdict task 1): hash-partition
-    // the (source, gram) pair stream by gram id BEFORE the DISTINCT.
-    // HashPartitioning(g) satisfies the distinct's
-    // ClusteredDistribution(source, g) (equal g ⇒ colocated ⇒ equal
-    // (source, g) colocated), so the distinct runs partial+final in ONE
-    // post-exchange stage whose hash table holds vocab/partitions keys
-    // per task — at 300× the unpartitioned spelling's map-side partial
-    // agg held the WHOLE vocabulary per task and spilled 1.59 GB mem /
-    // 287 MB disk (measured, r16), a term that grows without bound with
-    // corpus vocabulary. The trade, with the r16 arithmetic: the
-    // exchange now carries the doc-deduped raw pairs (~103 MB at 300×)
-    // instead of the fully-deduped 2.0 MB the spill-side sort bought —
-    // but it is ONE exchange reused by both consumers (the gram-keyed
-    // novel-holder agg below reads the same HashPartitioning(g) and
-    // re-exchanges NOTHING, where the old plan paid a second exchange),
-    // per-task state is bounded at any scale, and the spill term is
-    // gone. On a network-bound cluster the ~50× wire difference buys
-    // back at the per-gram agg: the novel-holder side previously
-    // shuffled the deduped pairs AGAIN on g — net wire is raw-pairs vs
-    // (2 MB + deduped-pairs), and raw/deduped ≈ cross-doc dup rate,
-    // bounded by the corpus' repetition, not its vocabulary.
+    // BOUNDED-STATE shape (r17, r16-verdict task 1), two levels — both
+    // with per-task state ∝ task INPUT, never ∝ corpus vocabulary:
+    //  1. TEXT-LEVEL COLLAPSE first (the repo's dedup-before-work
+    //     discipline): distinct (source, text) — its partial agg's
+    //     hash table holds the task's distinct documents (input-
+    //     bounded), and on a dup-heavy corpus it collapses F-copy
+    //     cliques BEFORE any gram exists (at 300× this is a 300:1 cut
+    //     of everything downstream). distinct (source, gram) is
+    //     invariant to within-source text dedup, so semantics are
+    //     untouched.
+    //  2. gram explode of the COLLAPSED pairs, hash-partitioned by
+    //     gram id BEFORE the (source, gram) DISTINCT:
+    //     HashPartitioning(g) satisfies ClusteredDistribution(source,
+    //     g), so the distinct runs in the post-exchange stage with
+    //     vocab/partitions keys per task, and the gram-keyed
+    //     novel-holder agg below reuses the same exchange.
+    // The r16 spelling's map-side partial agg held the WHOLE
+    // vocabulary per task and spilled 1.59 GB mem / 287 MB disk at
+    // 300× (measured) — a working set ∝ corpus vocabulary. An
+    // intermediate r17 experiment that ONLY repartitioned (no text
+    // collapse) was measured WORSE on the dup corpus (23.4 s vs
+    // 10.1 s at 300×: it shuffles the 78M raw pairs the partial agg
+    // used to collapse); the collapse-first spelling keeps the
+    // map-side cut where it is cheap (text level, input-bounded) and
+    // the exchange small on dup and clean corpora alike.
     val g = docs(s, d)
-      .select(coalesce(col("source"), lit("")).as("source"),
+      .select(coalesce(col("source"), lit("")).as("source"), col("text"))
+      .distinct()
+      .select(col("source"),
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
       .repartition(col("g"))
       .distinct()
@@ -2221,12 +2238,14 @@ object DocQueries {
        |FROM p
        |ORDER BY jaccard DESC, src_a, src_b""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    // the r17 bounded-state distinct shape ([[sourceNovelty]]'s inline
-    // comment has the measured arithmetic); here the gram-keyed
-    // partitioning additionally pre-positions BOTH sides of the shared-
-    // gram self-join below, which joins on g
+    // the r17 bounded-state shape ([[sourceNovelty]]'s inline comment
+    // has the measured arithmetic): text-level collapse first, then
+    // the gram-keyed exchange — which here additionally pre-positions
+    // BOTH sides of the shared-gram self-join below, which joins on g
     val g = docs(s, d)
-      .select(coalesce(col("source"), lit("")).as("source"),
+      .select(coalesce(col("source"), lit("")).as("source"), col("text"))
+      .distinct()
+      .select(col("source"),
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
       .repartition(col("g"))
       .distinct()
@@ -2333,7 +2352,9 @@ object DocQueries {
        |ORDER BY jaccard DESC, src_a, src_b""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val g = docs(s, d)
-      .select(coalesce(col("source"), lit("")).as("source"),
+      .select(coalesce(col("source"), lit("")).as("source"), col("text"))
+      .distinct() // text-level collapse first (the [[sourceNovelty]] shape)
+      .select(col("source"),
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
       .repartition(col("g"))
       .distinct()
@@ -2453,7 +2474,9 @@ object DocQueries {
     // shape, see [[sourceNovelty]]), which also lands the checkpointed
     // pair frame pre-clustered on the anti-join key the rounds use
     val base = docs(s, d)
-      .select(coalesce(col("source"), lit("")).as("source"),
+      .select(coalesce(col("source"), lit("")).as("source"), col("text"))
+      .distinct() // text-level collapse first (the [[sourceNovelty]] shape)
+      .select(col("source"),
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
       .repartition(col("g"))
       .distinct()
