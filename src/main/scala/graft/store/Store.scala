@@ -133,8 +133,27 @@ object Store {
     * invocation. */
   private[graft] val ScratchMinAgeMs: Long = 15 * 60 * 1000L
 
+  /** Root for scratch stores. Default: a RAM-backed tmpfs when one is
+    * available (`/dev/shm` — streaming checkpoints fsync many small
+    * files per micro-batch and the commit protocol renames per block;
+    * on ext4 those journal, on tmpfs they are memory ops — the local
+    * stand-in for the fast local NVMe scratch a production node gives
+    * its executors), else `target` as before. `SPARK_GRAFT_SCRATCH_DIR`
+    * overrides both (set it to `target` to reproduce the pre-r17
+    * on-disk layout, or to a disk path when scratch outgrows RAM).
+    * Scratch contents are per-run intermediates rebuilt from the
+    * parquet inputs on every invocation — nothing cross-run lives
+    * here (the sweep + shutdown hook below delete this JVM's dirs). */
+  private[graft] val scratchRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH_DIR", {
+      val shm = Paths.get("/dev/shm")
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        "/dev/shm/graft-scratch"
+      else "target"
+    })
+
   private[graft] def scratchStore(sub: String): String = {
-    val root = Paths.get("target", sub)
+    val root = Paths.get(scratchRoot, sub)
     Files.createDirectories(root)
     val dir = Files.createTempDirectory(root, "store-").toString
     scratchDirs.add(dir)
