@@ -50,5 +50,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Dspark.local.dir=$sparkLocalDir",
+  // static SQL conf (must precede SparkSession creation, hence a -D):
+  // the generated-class cache defaults to 100 entries, and a session
+  // running the whole 132-query registry churns it — every re-run of a
+  // query re-compiles codegen units Janino compiled minutes earlier.
+  // 10k entries keeps every unit of the registry warm (class refs, a
+  // few MB); any long-lived production session gets the same benefit.
+  "-Dspark.sql.codegen.cache.maxEntries=10000",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

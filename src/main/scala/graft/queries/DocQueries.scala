@@ -2045,6 +2045,12 @@ object DocQueries {
       .select(col("h"), col("w"),
         explode(expr("graft_gram_ids(text, 2)")).as("g"))
       .repartition(col("g"))
+      // pin the shared gram stream (r17 opt): counts and the per-text
+      // score below both consume tg — unpinned, each re-embeds the
+      // scan → distinct-text histogram → explode lineage in the plan
+      // (duplicated subtrees, duplicate execution where AQE cannot
+      // prove exchange reuse); pinned, both read one materialization
+      .pipe(graft.ops.Ckpt.pin)
     val counts = tg.groupBy("g").agg(sum(col("w")).as("c"))
     val perText = tg.join(counts, "g")
       .groupBy("h")
@@ -2156,6 +2162,9 @@ object DocQueries {
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
       .repartition(col("g"))
       .distinct()
+      // pin (r17 opt): ng and nv below both consume g — one
+      // materialization instead of two full lineage executions
+      .pipe(graft.ops.Ckpt.pin)
     val ng = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val nv = g.groupBy("g").agg(min(col("source")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("novel_grams"))
@@ -2249,6 +2258,9 @@ object DocQueries {
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
       .repartition(col("g"))
       .distinct()
+      // pin (r17 opt): ng + both sides of the shared-gram self-join
+      // consume g — one materialization instead of three
+      .pipe(graft.ops.Ckpt.pin)
     val ng = g.groupBy("source").agg(count(lit(1)).as("n"))
     val sh = g.as("x").join(g.as("y"),
         col("x.g") === col("y.g") && col("x.source") < col("y.source"))
@@ -2358,6 +2370,11 @@ object DocQueries {
         explode(array_distinct(expr("graft_gram_ids(text, 2)"))).as("g"))
       .repartition(col("g"))
       .distinct()
+      // pin (r17 opt): ns, the holders count, and the anti-join's left
+      // side all consume g — the unpinned plan re-embedded the whole
+      // scan → collapse → explode → distinct lineage per consumer
+      // (a 1201-line physical plan with 8 parquet scans of one table)
+      .pipe(graft.ops.Ckpt.pin)
     // 1-row source-count frame: the cap threshold travels by broadcast,
     // never a driver round-trip
     val ns = g.select("source").distinct()
@@ -2368,6 +2385,8 @@ object DocQueries {
       .select("g")
     val nu = uni.agg(count(lit(1)).as("universal_grams")) // 1 row
     val kept = g.join(uni, Seq("g"), "left_anti")
+      // pin (r17 opt): ng + both self-join sides consume kept
+      .pipe(graft.ops.Ckpt.pin)
     val ng = kept.groupBy("source").agg(count(lit(1)).as("n"))
     val sh = kept.as("x").join(kept.as("y"),
         col("x.g") === col("y.g") && col("x.source") < col("y.source"))
