@@ -390,13 +390,23 @@ object DocQueries {
        |ORDER BY jaccard DESC, doc_a, doc_b
        |LIMIT 20""".stripMargin) { (s, d) =>
     val dd = docs(s, d)
+    // pin (r17 opt): reps feeds the src join AND both n_dups joins —
+    // unpinned, each consumer re-runs the corpus md5 groupBy (the plan
+    // carried 8 parquet scans); same for the shingle frame, which
+    // minhashVerifiedPairs consumes three times (candidate generation
+    // + both verification sides). The plain minhashPairs twin stays
+    // unpinned deliberately — its input lineage is ONE cheap scan, and
+    // the r12 A/B measured pinning as a slowdown there; here the
+    // lineage below the shingle frame is groupBy + join, which the pin
+    // executes once instead of three times.
     val reps = dd
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
       .select("doc_id", "n_dups")
+      .pipe(graft.ops.Ckpt.pin)
     val src = reps.select("doc_id")
       .join(dd.select("doc_id", "text"), "doc_id")
-    minhashVerifiedPairs(shingleFrame(src))
+    minhashVerifiedPairs(shingleFrame(src).pipe(graft.ops.Ckpt.pin))
       .join(reps.select(col("doc_id").as("ida"), col("n_dups").as("dups_a")),
         col("ida") === col("doc_a"))
       .join(reps.select(col("doc_id").as("idb"), col("n_dups").as("dups_b")),
@@ -1065,12 +1075,22 @@ object DocQueries {
        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val tok = docs(s, d)
       .select(col("lang"), col("doc_id"), explode(expr(tokSpark)).as("tok"))
-    val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    // ONE pass over the exploded token stream (r17 opt): tf and doctok
+    // both consumed `tok` before, so the tokenize + explode lineage ran
+    // twice. The (doc_id, lang, tok) count frame subsumes both — tf is
+    // its (lang, tok) re-aggregation (sum of per-doc counts == the raw
+    // occurrence count), doctok is its key projection (lang is
+    // per-doc, so (doc_id, tok) rows stay distinct) — and is pinned:
+    // doc-vocabulary-sized, input-bounded map-side state.
+    val dt = tok
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+      .pipe(graft.ops.Ckpt.pin)
+    val tf = dt.groupBy("lang", "tok").agg(sum(col("c")).as("c"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("c").desc, col("tok"))
     val prof = tf.withColumn("rk", row_number().over(w))
       .where(col("rk") <= 20).select(col("lang"), col("tok"))
-    val doctok = tok.select("doc_id", "tok").distinct()
+    val doctok = dt.select("doc_id", "tok")
     val scores = doctok.as("d")
       .join(prof.as("p"), col("d.tok") === col("p.tok"))
       .groupBy(col("d.doc_id").as("doc_id"), col("p.lang").as("cand"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1536,6 +1538,15 @@ object EmbQueries {
           col("embedding"))).as("b"))
         .select(col("vec_id"), col("b.clabel").as("cell"),
           col("b.label").as("orig"), col("b.embedding").as("embedding"))
+        // pin (r17 opt): stats and the centroid recompute below both
+        // consume the assignment — unpinned, the broadcast-distance
+        // argmin (the dominant per-round compute) planned twice per
+        // round; exchange reuse deduplicated the shuffle but the
+        // post-shuffle min-struct agg over full embedding rows still
+        // ran twice. Assignment state is exactly the loop-state class
+        // Ckpt exists for (e and the round codebook are already
+        // pinned).
+        .pipe(graft.ops.Ckpt.pin)
       val stats = assigned.groupBy("cell")
         .agg(count(lit(1)).as("n_assigned"),
           count(when(col("orig") =!= col("cell"), 1)).as("n_moved"))
