@@ -13,9 +13,11 @@ class StoreReuseSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   /** Find the store dir a fresh run just (re)built: the newest
-    * `store-*` under `target/<sub>`. */
+    * `store-*` under `<scratchRoot>/<sub>` (the root is tmpfs-backed
+    * by default since r17 — follow the engine's knob, not a literal
+    * `target`). */
   private def newestStore(sub: String): java.nio.file.Path = {
-    val root = java.nio.file.Paths.get("target", sub)
+    val root = java.nio.file.Paths.get(graft.store.Store.scratchRoot, sub)
     val s = java.nio.file.Files.list(root)
     try {
       import scala.jdk.CollectionConverters._
