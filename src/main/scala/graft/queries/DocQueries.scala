@@ -3713,6 +3713,11 @@ object DocQueries {
     val wc = docs(s, d)
       .select(explode(expr(tokSpark)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      // pin (r17 opt): four consumers (pair histogram, total, hit,
+      // vocab) each re-ran the corpus tokenize + histogram unpinned;
+      // the word-type histogram is the vocabulary-sized frame the
+      // scaladoc's scale story already trains on — materialize it once
+      .pipe(graft.ops.Ckpt.pin)
     val pc = wc
       .select(col("w"), col("c"),
         // guard 1-char words: sequence(1, 0) is the DESCENDING [1, 0]

@@ -1152,11 +1152,18 @@ object EmbQueries {
        |JOIN cents c ON s.cell = c.label
        |ORDER BY s.cell""".stripMargin) { (s, d) =>
     val e = emb(s, d).where(col("vec_id") =!= 0)
+    // pin (r17 opt): the quantizer feeds the assignment broadcast AND
+    // the final shift join — unpinned, the centroid training pass (the
+    // 64-dim explode + exact-decimal means) ran twice; same for the
+    // assignment below, whose stats and centroid-recompute consumers
+    // re-ran the post-shuffle argmin (the kmeansTrain round fix).
     val cents = centroidFrame(s, d)
       .select(col("label").as("clabel"), col("centroid"))
+      .pipe(graft.ops.Ckpt.pin)
     val assigned = assignCells(e, cents)
       .select(col("vec_id"), col("cell"),
         col("orig"), col("embedding"))
+      .pipe(graft.ops.Ckpt.pin)
     val stats = assigned.groupBy("cell")
       .agg(count(lit(1)).as("n_assigned"),
         count(when(col("orig") =!= col("cell"), 1)).as("n_moved"))
